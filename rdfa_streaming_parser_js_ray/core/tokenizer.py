@@ -1,0 +1,289 @@
+"""Streaming HTML/XML tokenizers driving the RDFa evaluator.
+
+Replaces the reference's htmlparser2 wiring
+(/root/reference/lib/RdfaParser.ts:870-920: ``decodeEntities: true,
+recognizeSelfClosing: true, xmlMode: profile === 'xml'``) with Python
+stdlib parsers, matched to htmlparser2's documented HTML-mode behavior:
+
+- tag and attribute names lowercased; entities decoded in text and
+  attribute values; duplicate attributes keep the first occurrence;
+- void elements (<br>, <base>, ...) emit an immediate close; stray end
+  tags for them are ignored;
+- ``openImpliesClose`` auto-closing (<li> closes <li>, block elements
+  close <p>, ...);
+- an unmatched end tag closes up to its nearest open ancestor of the same
+  name, or is ignored; remaining open tags are closed at end of input.
+
+XML mode uses expat: case-preserving, namespace-unaware (so ``xml:lang``
+etc. arrive verbatim), self-closing tags native, CDATA as text.
+
+Both tokenizers accept incremental ``feed()`` calls, so a document split
+into arbitrary text spans (the interleaved-documents input schema) parses
+identically to a single string.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Protocol
+
+
+class SaxSink(Protocol):
+    def on_tag_open(self, name: str, attributes: dict[str, str]) -> None: ...
+    def on_text(self, data: str) -> None: ...
+    def on_tag_close(self) -> None: ...
+    def on_end(self) -> None: ...
+
+
+# htmlparser2 HTML-mode void elements (public htmlparser2 Parser tables)
+VOID_ELEMENTS = frozenset((
+    "area", "base", "basefont", "br", "col", "command", "embed", "frame",
+    "hr", "img", "input", "isindex", "keygen", "link", "meta", "param",
+    "source", "track", "wbr",
+))
+
+_P_CLOSERS = frozenset((
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "nav", "ol", "p", "pre",
+    "section", "table", "ul",
+))
+
+# tag being opened → set of open ancestors it implicitly closes
+OPEN_IMPLIES_CLOSE: dict[str, frozenset[str]] = {
+    "tr": frozenset(("tr", "th", "td")),
+    "th": frozenset(("th",)),
+    "td": frozenset(("thead", "th", "td")),
+    "body": frozenset(("head", "link", "script")),
+    "li": frozenset(("li",)),
+    "option": frozenset(("option",)),
+    "optgroup": frozenset(("optgroup", "option")),
+    "dd": frozenset(("dt", "dd")),
+    "dt": frozenset(("dt", "dd")),
+    "rt": frozenset(("rt", "rp")),
+    "rp": frozenset(("rt", "rp")),
+    "tbody": frozenset(("thead", "tbody")),
+    "tfoot": frozenset(("thead", "tbody")),
+}
+OPEN_IMPLIES_CLOSE.update({name: OPEN_IMPLIES_CLOSE.get(name, frozenset()) | frozenset(("p",))
+                           for name in _P_CLOSERS})
+
+
+class HtmlTokenizer(HTMLParser):
+    """HTML-mode tokenizer with htmlparser2-compatible tree discipline."""
+
+    def __init__(self, sink: SaxSink):
+        super().__init__(convert_charrefs=True)
+        self.sink = sink
+        self._stack: list[str] = []
+
+    # -- incremental API -------------------------------------------------
+    def write(self, chunk: str) -> None:
+        self.feed(chunk)
+
+    def end(self) -> None:
+        self.close()
+        # close all tags left open at EOF (htmlparser2 onend behavior)
+        while self._stack:
+            self._stack.pop()
+            self.sink.on_tag_close()
+        self.sink.on_end()
+
+    # -- internals ---------------------------------------------------------
+    def _open(self, name: str, attrs: list[tuple[str, str | None]]) -> None:
+        implied = OPEN_IMPLIES_CLOSE.get(name)
+        if implied:
+            while self._stack and self._stack[-1] in implied:
+                self._stack.pop()
+                self.sink.on_tag_close()
+        attributes: dict[str, str] = {}
+        for key, value in attrs:
+            if key not in attributes:
+                attributes[key] = value if value is not None else ""
+        self._stack.append(name)
+        self.sink.on_tag_open(name, attributes)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._open(tag, attrs)
+        if tag in VOID_ELEMENTS:
+            self._stack.pop()
+            self.sink.on_tag_close()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # <x/> — recognizeSelfClosing
+        self._open(tag, attrs)
+        self._stack.pop()
+        self.sink.on_tag_close()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return  # </br> and friends are ignored in HTML mode
+        if tag in self._stack:
+            while self._stack:
+                top = self._stack.pop()
+                self.sink.on_tag_close()
+                if top == tag:
+                    break
+        elif tag == "p":
+            # htmlparser2: an unmatched </p> implies <p></p>
+            self.sink.on_tag_open("p", {})
+            self.sink.on_tag_close()
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.sink.on_text(data)
+
+    # comments / declarations / PIs produce no events
+    def handle_comment(self, data: str) -> None: ...
+    def handle_decl(self, decl: str) -> None: ...
+    def handle_pi(self, data: str) -> None: ...
+    def unknown_decl(self, data: str) -> None: ...
+
+
+_XML_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+_XML_ENTITY_RE = re.compile(r"&(#x[0-9A-Fa-f]+|#\d+|[A-Za-z][\w.-]*);")
+_XML_ATTR_RE = re.compile(
+    r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""")
+_XML_NAME_RE = re.compile(r"[^\s/>]+")
+
+
+def _decode_xml_entities(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        ent = m.group(1)
+        if ent.startswith("#x") or ent.startswith("#X"):
+            try:
+                return chr(int(ent[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if ent.startswith("#"):
+            try:
+                return chr(int(ent[1:]))
+            except ValueError:
+                return m.group(0)
+        return _XML_ENTITIES.get(ent, m.group(0))
+    return _XML_ENTITY_RE.sub(sub, s)
+
+
+class XmlTokenizer:
+    """Forgiving streaming XML-mode tokenizer.
+
+    Matches htmlparser2's ``xmlMode`` (which is NOT a strict XML parser):
+    case-preserving tag/attribute names, no void elements, no implied
+    closes, self-closing ``<x/>`` recognized, CDATA as text, XML entities
+    (named 5 + numeric) decoded, unclosed tags closed at end of input,
+    stray end tags ignored.
+    """
+
+    def __init__(self, sink: SaxSink):
+        self.sink = sink
+        self._buf = ""
+        self._depth = 0
+
+    def write(self, chunk: str) -> None:
+        self._buf += chunk
+        self._process(final=False)
+
+    def end(self) -> None:
+        self._process(final=True)
+        if self._buf:  # dangling '<...' at EOF: surface as text
+            self.sink.on_text(_decode_xml_entities(self._buf))
+            self._buf = ""
+        while self._depth > 0:
+            self._depth -= 1
+            self.sink.on_tag_close()
+        self.sink.on_end()
+
+    def _process(self, final: bool) -> None:
+        buf = self._buf
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            lt = buf.find("<", pos)
+            if lt < 0:
+                text = buf[pos:]
+                if not final:
+                    # hold back a possible split entity ('&am' + 'p;')
+                    amp = text.rfind("&")
+                    if amp >= 0 and ";" not in text[amp:] and len(text) - amp < 12:
+                        self._buf = text[amp:]
+                        text = text[:amp]
+                        if text:
+                            self.sink.on_text(_decode_xml_entities(text))
+                        return
+                if text:
+                    self.sink.on_text(_decode_xml_entities(text))
+                pos = n
+                break
+            if lt > pos:
+                self.sink.on_text(_decode_xml_entities(buf[pos:lt]))
+                pos = lt
+            # a construct starting at '<'
+            if buf.startswith("<!--", pos):
+                end = buf.find("-->", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                pos = end + 3
+            elif buf.startswith("<![CDATA[", pos):
+                end = buf.find("]]>", pos)
+                if end < 0:
+                    if not final:
+                        break
+                    self.sink.on_text(buf[pos + 9:])
+                    pos = n
+                else:
+                    self.sink.on_text(buf[pos + 9:end])
+                    pos = end + 3
+            elif buf.startswith("<!", pos) or buf.startswith("<?", pos):
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                pos = end + 1
+            elif buf.startswith("</", pos):
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                if self._depth > 0:
+                    self._depth -= 1
+                    self.sink.on_tag_close()
+                pos = end + 1
+            else:
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        # malformed dangling tag: treat as text
+                        self.sink.on_text(_decode_xml_entities(buf[pos:]))
+                        pos = n
+                    break
+                inner = buf[pos + 1:end]
+                self_closing = inner.endswith("/")
+                if self_closing:
+                    inner = inner[:-1]
+                nm = _XML_NAME_RE.match(inner)
+                if nm is None:
+                    pos = end + 1
+                    continue
+                name = nm.group(0)
+                attributes: dict[str, str] = {}
+                for am in _XML_ATTR_RE.finditer(inner, nm.end()):
+                    key = am.group(1)
+                    value = am.group(2) or am.group(3) or am.group(4) or ""
+                    if key not in attributes:
+                        attributes[key] = _decode_xml_entities(value)
+                self.sink.on_tag_open(name, attributes)
+                self._depth += 1
+                if self_closing:
+                    self._depth -= 1
+                    self.sink.on_tag_close()
+                pos = end + 1
+        self._buf = buf[pos:]
+
+
+def make_tokenizer(sink: SaxSink, xml_mode: bool):
+    return XmlTokenizer(sink) if xml_mode else HtmlTokenizer(sink)
