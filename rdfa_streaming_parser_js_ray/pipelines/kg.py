@@ -1,0 +1,111 @@
+"""The flagship KG-construction pipeline (north_star, end to end).
+
+documents (interleaved spans) → extract triples [stateless map_batches]
+→ mention detection [actor pool] → entity linking vs broadcast alias dict
+[actor pool] → canonicalization [groupby + broadcast rewrite]
+→ exact dedup [combiner + hash-partitioned groupby]
+→ partitioned materialize with per-partition manifests [resumable].
+
+Everything before the canonicalization groupby is shuffle-free and
+streams; the only materialized intermediates are the (small) alias dict
+and canonical map.
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..stages.canonicalize import (
+    ApplyCanonicalMap, build_canonical_map, dedup_triples, with_part_key,
+)
+from ..stages.extract import extract_triples
+from ..stages.linking import build_alias_dict, link_entities
+from ..stages.mentions import detect_mentions
+from ..state import checkpoints
+
+
+def construct_kg(docs_ds, out_dir: str | None = None, *,
+                 extract_concurrency: int | None = None,
+                 actor_concurrency: int = 2,
+                 num_partitions: int = 64,
+                 input_fingerprint: str = "",
+                 resume: bool = True,
+                 skip_linking: bool = False):
+    """Run the full pipeline; returns (canonical_triples_ds, metrics dict).
+
+    When ``out_dir`` is given, materializes partitioned parquet with
+    per-partition lineage manifests and resumability.
+    """
+    import ray
+
+    metrics: dict = {"stages": {}}
+    t0 = time.monotonic()
+
+    triples = extract_triples(docs_ds, num_partitions=num_partitions)
+
+    if skip_linking:
+        canonical = triples
+        mapping = {}
+    else:
+        # the alias dict derives from extraction output; build it on a
+        # second pass (the triples Dataset re-executes lazily — at scale
+        # this is two streamed passes, never a driver-side materialize)
+        alias = build_alias_dict(triples)
+        metrics["alias_entries"] = len(alias)
+        alias_ref = ray.put(alias)
+
+        mentions = detect_mentions(triples, concurrency=actor_concurrency)
+        links = link_entities(mentions, alias_ref, concurrency=actor_concurrency)
+        mapping = build_canonical_map(links)
+        metrics["canonical_map_entries"] = len(mapping)
+
+    mapping_ref = ray.put(mapping)
+    canonical = triples.map_batches(
+        ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
+        batch_format="pyarrow", concurrency=actor_concurrency, num_cpus=0.5)
+
+    deduped = with_part_key(dedup_triples(canonical, keep_doc_id=True),
+                            num_partitions=num_partitions)
+
+    if out_dir is not None:
+        written = materialize_partitioned(
+            deduped, out_dir, num_partitions=num_partitions,
+            input_fingerprint=input_fingerprint, resume=resume)
+        metrics["partitions_written"] = written
+    metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+    return deduped, metrics
+
+
+def materialize_partitioned(triples_ds, out_dir: str, *, num_partitions: int,
+                            input_fingerprint: str, resume: bool) -> int:
+    """Partition-keyed parquet materialize with manifests + resume.
+
+    Skips partitions whose manifest matches ``input_fingerprint``; each
+    written partition directory is atomic (checkpoints module).  Partition
+    assignment reuses the precomputed ``part_key`` column (hash(subj) % P),
+    so this is ONE shuffle keyed the same way downstream consumers read.
+    """
+    done = checkpoints.completed_partitions(out_dir) if resume else {}
+    skip = {k for k, m in done.items()
+            if m.get("input_fingerprint") == input_fingerprint}
+
+    written = 0
+
+    def write_group(group):
+        import pandas as pd
+        part_key = int(group["part_key"].iloc[0])
+        if part_key not in skip:
+            import pyarrow as pa
+            checkpoints.write_partition(
+                out_dir, part_key, pa.Table.from_pandas(group, preserve_index=False),
+                input_fingerprint)
+        return pd.DataFrame({"part_key": [part_key], "rows": [len(group)]})
+
+    stats = triples_ds.groupby("part_key").map_groups(write_group, batch_format="pandas")
+    written = stats.count()
+    checkpoints.write_run_manifest(out_dir, {
+        "input_fingerprint": input_fingerprint,
+        "partitions": written,
+        "resumed_skipped": sorted(skip),
+    })
+    return written

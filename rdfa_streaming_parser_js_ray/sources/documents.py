@@ -1,0 +1,238 @@
+"""The interleaved-documents table: schema, synthesis, read/write.
+
+Authoritative input shape (BASELINE.json ``input_hint`` / FIXTURES.md §1):
+
+    doc_id: string
+    spans:  list<struct<kind: string, text: string,
+                        media_ref: string, offset: int32>>
+
+``kind`` is ``"text"`` (an HTML/XHTML/SVG chunk — chunk boundaries are
+arbitrary and may split tags mid-token, mirroring the reference's stream
+chunking at /root/reference/lib/RdfaParser.ts:77-80) or ``"media"`` (an
+opaque media reference that must round-trip unchanged).
+
+Lance is preferred when ``pylance`` is importable; this container has no
+Lance, so Parquet is the interchange format behind the same two calls.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+TRIPLES_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj_kind", pa.string()),       # "iri" | "bnode" | "literal"
+    ("obj_value", pa.string()),
+    ("obj_lang", pa.string()),
+    ("obj_datatype", pa.string()),
+    ("graph", pa.string()),
+    ("part_key", pa.int32()),
+])
+
+try:  # pragma: no cover - environment probe
+    import lance  # noqa: F401
+    _HAVE_LANCE = True
+except ImportError:
+    _HAVE_LANCE = False
+
+
+def read_documents(path: str, **kwargs):
+    """documents table → ray.data.Dataset (Lance when available, else Parquet)."""
+    import ray.data as rd
+
+    if _HAVE_LANCE and not path.endswith(".parquet"):
+        return rd.read_lance(path, **kwargs)
+    return rd.read_parquet(path, **kwargs)
+
+
+def write_table(ds, path: str, **kwargs):
+    if _HAVE_LANCE and not path.endswith(".parquet"):
+        return ds.write_lance(path, **kwargs)
+    return ds.write_parquet(path, **kwargs)
+
+
+def spans_from_html(doc_id: str, html: str, rng: random.Random,
+                    max_text_spans: int = 8, max_media_spans: int = 3) -> list[dict]:
+    """Pack one document's markup into an interleaved span sequence.
+
+    Splits at pseudo-random character positions into 1..max_text_spans text
+    spans (boundaries may fall inside tags/entities) and interleaves
+    0..max_media_spans opaque media spans (FIXTURES.md §1 generation rules).
+    Deterministic given the caller's seeded ``rng``.
+    """
+    n_cuts = rng.randint(0, max_text_spans - 1)
+    cuts = sorted(rng.sample(range(1, max(2, len(html))), min(n_cuts, max(0, len(html) - 1))))
+    pieces = []
+    prev = 0
+    for cut in cuts:
+        pieces.append(html[prev:cut])
+        prev = cut
+    pieces.append(html[prev:])
+
+    n_media = rng.randint(0, max_media_spans)
+    media_slots = sorted(rng.randint(0, len(pieces)) for _ in range(n_media))
+
+    spans: list[dict] = []
+    offset = 0
+    media_i = 0
+    for i, piece in enumerate(pieces):
+        while media_i < len(media_slots) and media_slots[media_i] == i:
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": f"media://{doc_id}/m{media_i}", "offset": offset})
+            offset += 1
+            media_i += 1
+        spans.append({"kind": "text", "text": piece, "media_ref": "", "offset": offset})
+        offset += 1
+    while media_i < len(media_slots):
+        spans.append({"kind": "media", "text": "",
+                      "media_ref": f"media://{doc_id}/m{media_i}", "offset": offset})
+        offset += 1
+        media_i += 1
+    return spans
+
+
+# --- deterministic synthetic corpora ---------------------------------------
+
+_VOCABS = [
+    "http://schema.org/",
+    "http://xmlns.com/foaf/0.1/",
+    "http://purl.org/dc/terms/",
+]
+_PROPS = ["name", "title", "description", "creator", "subject", "knows",
+          "member", "author", "headline", "text"]
+
+
+def _synth_html(doc_id: str, rng: random.Random, depth_max: int, scale_chars: int) -> str:
+    """Seeded template expansion: nested div/span trees with
+    property/rel/typeof/about/inlist attributes (FIXTURES.md §4)."""
+    vocab = rng.choice(_VOCABS)
+    parts = [f'<html prefix="ex: http://example.org/ns#">'
+             f'<head><base href="http://data.example/{doc_id}/" /></head>'
+             f'<body vocab="{vocab}">']
+    budget = [max(1, scale_chars)]
+
+    def emit_node(depth: int) -> None:
+        if budget[0] <= 0:
+            return
+        choice = rng.random()
+        prop = rng.choice(_PROPS)
+        if choice < 0.35:
+            text = " ".join(rng.choice(_PROPS) for _ in range(rng.randint(1, 8)))
+            parts.append(f'<span property="{prop}">{text}</span>')
+            budget[0] -= len(text) + 30
+        elif choice < 0.55:
+            eid = rng.randint(0, 199)
+            # mention text matches the IRI tail so entity linking has signal
+            parts.append(f'<div about="#Entity{eid}" typeof="Thing">'
+                         f'<span property="name">Entity{eid}</span>')
+            if depth < depth_max:
+                for _ in range(rng.randint(1, 3)):
+                    emit_node(depth + 1)
+            parts.append("</div>")
+            budget[0] -= 70
+        elif choice < 0.7:
+            parts.append(f'<a rel="ex:{prop}" href="item{rng.randint(0, 999)}">x</a>')
+            budget[0] -= 40
+        elif choice < 0.8:
+            parts.append(f'<ul rel="ex:list{rng.randint(0, 9)}" inlist="">')
+            for i in range(rng.randint(0, 3)):
+                parts.append(f'<li about="#i{rng.randint(0, 99)}"></li>')
+            parts.append("</ul>")
+            budget[0] -= 50
+        elif choice < 0.9:
+            parts.append(f'<time property="dateModified">20{rng.randint(10, 29)}-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}</time>')
+            budget[0] -= 45
+        else:
+            text = " ".join(rng.choice(_PROPS) for _ in range(rng.randint(1, 5)))
+            parts.append(f'<p property="{prop}" content="{text}">ignored</p>')
+            budget[0] -= len(text) + 40
+        return
+
+    while budget[0] > 0:
+        emit_node(0)
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def synthesize_documents(n_docs: int, seed: int = 42,
+                         median_chars: int = 1500, heavy_tail: bool = True,
+                         ) -> pa.Table:
+    """Deterministic corpus of n_docs interleaved documents.
+
+    Doc sizes are log-normal (top ~1% ≈ 30-100× median) to exercise skew
+    handling; every doc is packed via ``spans_from_html``.
+    """
+    rng = random.Random(seed)
+    doc_ids, spans_col = [], []
+    for i in range(n_docs):
+        doc_id = f"doc-{i:08d}"
+        if heavy_tail:
+            scale = int(median_chars * rng.lognormvariate(0, 1.2))
+        else:
+            scale = median_chars
+        html = _synth_html(doc_id, rng, depth_max=rng.randint(2, 6),
+                           scale_chars=scale)
+        doc_ids.append(doc_id)
+        spans_col.append(spans_from_html(doc_id, html, rng))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+    })
+
+
+def documents_from_sf_table(sf_dir: str) -> "object":
+    """Wrap the driver's ``documents`` parquet table (doc_id:int64, text,
+    lang, source, n_chars) into RDFa-annotated interleaved span documents.
+
+    The wrapping template is deliberately simple enough that the emitted
+    triples are SQL-derivable from the source table — this is what makes the
+    distributed extraction stage oracle-checkable end-to-end (each doc emits
+    exactly: (subj, dc:title, text-literal@lang) and (subj, dc:source,
+    source-IRI), subj = http://data.example/doc/{doc_id}).
+
+    Returns a ray.data.Dataset with DOCS_SCHEMA.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc  # noqa: F401
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        doc_ids, spans_col = [], []
+        for doc_id, text, lang, source in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
+                batch["lang"].to_pylist(), batch["source"].to_pylist()):
+            esc = (text or "").replace("&", "&amp;").replace("<", "&lt;")
+            html = (
+                f'<html prefix="dc: http://purl.org/dc/terms/">'
+                f'<body about="http://data.example/doc/{doc_id}" lang="{lang}">'
+                f'<h1 property="dc:title">{esc}</h1>'
+                f'<a rel="dc:source" href="http://data.example/src/{source}">src</a>'
+                f"</body></html>"
+            )
+            rng = random.Random(doc_id)  # deterministic per-doc chunking
+            doc_ids.append(f"doc-{doc_id}")
+            spans_col.append(spans_from_html(f"doc-{doc_id}", html, rng))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+        })
+
+    return ds.map_batches(to_spans, batch_format="pyarrow", batch_size=1024)

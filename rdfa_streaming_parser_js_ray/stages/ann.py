@@ -1,0 +1,187 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (the small side ships once via ``ray.put``), then a
+global top-k merge.  Scale path: LSH (random-hyperplane) bucketing so each
+query only scans its probe buckets, plus an embedding-cosine near-dup
+operator built on the same buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _to_matrix(column) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float32) for v in column])
+
+
+class BruteForceScorer:
+    """Per-batch cosine scores vs the broadcast query matrix; emits each
+    batch's local top-k per query (the combiner) — the global merge only
+    sees n_batches × k × n_queries rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, (np.ndarray, list)) \
+            else queries_ref
+        self.q = np.asarray(q, dtype=np.float32)
+        self.qnorm = self.q / np.maximum(np.linalg.norm(self.q, axis=1, keepdims=True), 1e-30)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(batch[self.vec_col])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        scores = mat @ self.qnorm.T                      # (rows, n_queries)
+        ids = np.asarray(batch[self.id_col])
+        out = {"qid": [], self.id_col: [], "score": []}
+        k = min(self.k, len(ids))
+        for qid in range(scores.shape[1]):
+            col = scores[:, qid]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            for i in top:
+                out["qid"].append(qid)
+                out[self.id_col].append(ids[i])
+                out["score"].append(float(col[i]))
+        return pd.DataFrame(out)
+
+
+def brute_force_topk(ds, queries_ref, k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", concurrency: int = 4):
+    """Exact cosine top-k for each query row in the broadcast matrix.
+
+    Returns (qid, vec_id, score) with exactly k rows per query, ties broken
+    by ascending id (deterministic).
+    """
+    local = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return local.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: n_bits sign bits → bucket id per vector.
+
+    The scale path for ANN: co-bucket vectors once (shuffle keyed on a
+    uniform hash), then answer queries by scanning only matching buckets.
+    """
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 42,
+                 vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.vec_col = vec_col
+        self._weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) > 0
+        return signs @ self._weights
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(batch[self.vec_col])
+        batch = batch.assign(bucket=self.bucket_of(mat))
+        return batch
+
+
+def lsh_bucketed_topk(ds, query_vecs: np.ndarray, dim: int, k: int = 10,
+                      n_bits: int = 8, seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding", concurrency: int = 4):
+    """ANN top-k scanning only the query's LSH bucket (approximate).
+
+    Recall < 1 by construction; multi-probe (flipping low-margin bits) is
+    the standard extension — single-probe keeps this operator simple.
+    """
+    import ray
+
+    bucketer = LshBucketer(dim=dim, n_bits=n_bits, seed=seed, vec_col=vec_col)
+    q = np.asarray(query_vecs, dtype=np.float32)
+    q_buckets = bucketer.bucket_of(q)
+    wanted = set(int(b) for b in q_buckets)
+
+    bucketed = ds.map_batches(bucketer, batch_format="pandas",
+                              concurrency=concurrency, num_cpus=0.5)
+    candidates = bucketed.filter(lambda row: row["bucket"] in wanted)
+
+    # per-bucket queries only
+    by_bucket: dict[int, list[int]] = {}
+    for qid, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qid)
+
+    queries_ref = ray.put(q)
+
+    class BucketScorer(BruteForceScorer):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for bucket, grp in batch.groupby("bucket"):
+                qids = by_bucket.get(int(bucket))
+                if not qids:
+                    continue
+                scored = BruteForceScorer.__call__(self, grp)
+                scored = scored[scored["qid"].isin(qids)]
+                outs.append(scored)
+            if not outs:
+                return pd.DataFrame({"qid": [], id_col: [], "score": []})
+            return pd.concat(outs, ignore_index=True)
+
+    local = candidates.map_batches(
+        BucketScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return local.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
+                             dim: int | None = None, seed: int = 42,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             concurrency: int = 4):
+    """Embedding-cosine near-duplicate pairs via LSH co-bucketing.
+
+    groupby(bucket) → exact pairwise cosine within bucket ≥ threshold.
+    Bucket sizes stay bounded because random hyperplanes split uniformly;
+    skewed buckets would be salted by an extra hash of the id.
+    """
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    bucketer = LshBucketer(dim=dim, n_bits=n_bits, seed=seed, vec_col=vec_col)
+    bucketed = ds.map_batches(bucketer, batch_format="pandas",
+                              concurrency=concurrency, num_cpus=0.5)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(group[vec_col])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ mat.T
+        ids = np.asarray(group[id_col])
+        order = np.argsort(ids)
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if sims[i, j] >= threshold:
+                    out["id_a"].append(ids[i])
+                    out["id_b"].append(ids[j])
+                    out["cosine"].append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(out)
+
+    found = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    if found.count() == 0:
+        return found
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+    return found.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")

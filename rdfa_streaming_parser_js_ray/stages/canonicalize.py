@@ -1,0 +1,121 @@
+"""IRI/bnode canonicalization + exact triple dedup (north-star shuffles).
+
+The only all-to-all exchanges in the KG pipeline (SURVEY.md §2.6):
+
+- ``build_canonical_map``: groupby over entity-link evidence → one canonical
+  IRI per equivalence group (smallest lexicographic member wins, so the
+  choice is deterministic and retry-stable).
+- ``apply_canonical_map``: rewrites triples via the (small) canonical map
+  broadcast into a stateless ``map_batches`` — a broadcast join, NOT a
+  second shuffle.
+- ``dedup_triples``: exact duplicate elimination, pre-reduced per batch
+  (combiner) before the hash-partitioned global pass, so the shuffle moves
+  unique triples only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TRIPLE_KEY = ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
+              "obj_datatype", "graph"]
+
+
+def with_part_key(triples_ds, num_partitions: int = 64):
+    """(Re)compute ``part_key = hash(subj) % P`` — needed after any stage
+    that rewrites subjects (canonicalization) or drops the column (dedup)."""
+    import zlib
+
+    def add(batch: pa.Table) -> pa.Table:
+        part = pa.array([zlib.crc32(s.encode()) % num_partitions
+                         for s in batch["subj"].to_pylist()], pa.int32())
+        if "part_key" in batch.column_names:
+            return batch.set_column(
+                batch.schema.get_field_index("part_key"), "part_key", part)
+        return batch.append_column("part_key", part)
+
+    return triples_ds.map_batches(add, batch_format="pyarrow")
+
+
+def build_canonical_map(links_ds) -> dict[str, str]:
+    """links (subj ↔ entity evidence) → {term → canonical IRI}.
+
+    Groups link evidence by entity and maps every subject that linked to an
+    entity onto that entity's IRI.  Distributed pre-aggregation: per-batch
+    distinct pairs, then a global groupby on entity.
+    """
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        tbl = batch.select(["subj", "entity"])
+        return tbl.group_by(["subj", "entity"]).aggregate([])
+
+    pairs = links_ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    mapping: dict[str, str] = {}
+    # per-subject: choose the lexicographically-smallest entity (deterministic)
+    def choose(group):
+        import pandas as pd
+        entity = group["entity"].min()
+        return pd.DataFrame({"subj": [group["subj"].iloc[0]], "entity": [entity]})
+
+    chosen = pairs.groupby("subj").map_groups(choose, batch_format="pandas")
+    for row in chosen.iter_rows():
+        if row["subj"] != row["entity"]:
+            mapping[row["subj"]] = row["entity"]
+    return mapping
+
+
+class ApplyCanonicalMap:
+    """Rewrite subj / IRI-objects through the broadcast canonical map."""
+
+    def __init__(self, mapping_ref):
+        import ray
+        self.mapping = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) \
+            else mapping_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mapping = self.mapping
+        if not mapping:
+            return batch
+        subj = [mapping.get(s, s) for s in batch["subj"].to_pylist()]
+        kinds = batch["obj_kind"].to_pylist()
+        vals = batch["obj_value"].to_pylist()
+        obj = [mapping.get(v, v) if k == "iri" else v for k, v in zip(kinds, vals)]
+        return batch.set_column(batch.schema.get_field_index("subj"), "subj",
+                                pa.array(subj, pa.string())) \
+                    .set_column(batch.schema.get_field_index("obj_value"), "obj_value",
+                                pa.array(obj, pa.string()))
+
+
+def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
+    return triples_ds.map_batches(
+        ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+
+
+def dedup_triples(triples_ds, keep_doc_id: bool = False):
+    """Exact triple dedup.
+
+    Stage 1 (combiner, shuffle-free): per-batch distinct on the triple key.
+    Stage 2: global hash-partitioned distinct via groupby on the key.
+    ``keep_doc_id=False`` drops provenance (the graph-level view);
+    otherwise the smallest doc_id is kept as the representative witness.
+    """
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        agg = [("doc_id", "min")] if keep_doc_id else []
+        cols = TRIPLE_KEY + (["doc_id"] if keep_doc_id else [])
+        out = batch.select(cols).group_by(TRIPLE_KEY).aggregate(agg)
+        if keep_doc_id:
+            out = out.rename_columns(TRIPLE_KEY + ["doc_id"])
+        return out
+
+    local = triples_ds.map_batches(local_distinct, batch_format="pyarrow")
+
+    if keep_doc_id:
+        def first(group):
+            return group.sort_values("doc_id").head(1)
+        return local.groupby(TRIPLE_KEY).map_groups(first, batch_format="pandas")
+
+    def head1(group):
+        return group.head(1)
+    return local.groupby(TRIPLE_KEY).map_groups(head1, batch_format="pandas")

@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families as Ray Data compositions (ray_guide: Aggregation at
+scale):
+
+- exact:        vectorized content-hash per batch (combiner) → one
+                hash-partitioned groupby → first-per-group.
+- MinHash+LSH:  shingle → K minhashes (numpy-vectorized) → band rows →
+                groupby(band) → candidate pairs → Jaccard verify.
+- SimHash:      64-bit weighted token fingerprint; near-dups = equal
+                fingerprints on rotated bands (Hamming ≤ k by pigeonhole).
+- n-gram Jaccard: exact verification kernel, also usable standalone.
+
+Scale notes: every groupby here is keyed on a hash (uniform, no skew);
+candidate verification uses a broadcast doc-text lookup at test scale and
+documents the bucket-join path for corpora whose text exceeds node memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------- exact --
+
+def add_content_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
+    """Vectorized md5 content hash per batch (the dedup/bucketing key)."""
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = [ _md5_hex(t or "") for t in batch[text_col] ]
+        return batch
+    return ds.map_batches(hash_batch, batch_format="pandas")
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest id per distinct text.
+
+    Returns (text_hash, doc_id, n_copies).  Hash-partition + per-group
+    first (SURVEY.md §2.6): per-batch partial (min id, count) per hash,
+    then a small global groupby over partials — the shuffle moves one row
+    per distinct text per batch, not the corpus.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, text_col]].copy()
+        batch["text_hash"] = [ _md5_hex(t or "") for t in batch[text_col] ]
+        grouped = batch.groupby("text_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")})
+        return grouped[["text_hash", id_col, "n_copies"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("text_hash").aggregate(
+        Min(id_col, alias_name=id_col),
+        Sum("n_copies", alias_name="n_copies"),
+    )
+
+
+# ------------------------------------------------------------- shingles --
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles → uint64 hash array (crc32 pairs, deterministic)."""
+    tokens = text.lower().split()
+    if len(tokens) < k:
+        shingles = [" ".join(tokens)] if tokens else [""]
+    else:
+        shingles = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        b = s.encode()
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+    return out
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity."""
+    a = set(_shingle_hashes(text_a, k).tolist())
+    b = set(_shingle_hashes(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# -------------------------------------------------------------- minhash --
+
+class MinHasher:
+    """Actor-pool stage: text → K minhash values → LSH band rows.
+
+    Hash parameters are built once per actor (``__init__``); per-batch work
+    is numpy over the shingle-hash arrays.  Output: one row per (doc, band):
+    (doc_id, band, band_hash) — ``groupby(["band","band_hash"])`` downstream
+    buckets near-duplicate candidates without comparing all pairs.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
+                 seed: int = 42, text_col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_k)
+        # (a*h + b) mod p, row-wise min — vectorized over shingles × perms
+        prod = (self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
+            sig = self.signature(text or "")
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                digest = zlib.crc32(chunk.tobytes())
+                ids.append(doc_id)
+                bands.append(band)
+                band_hashes.append(digest)
+        return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": band_hashes})
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
+                           shingle_k: int = 3, concurrency: int = 4,
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands agreeing)."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(group["doc_id"]))
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs_a, pairs_b = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs_a.append(docs[i])
+                pairs_b.append(docs[j])
+        return pd.DataFrame({"doc_a": pairs_a, "doc_b": pairs_b})
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    if pairs.count() == 0:
+        return pairs
+    # de-duplicate pairs found in multiple bands, counting agreements
+    from ray.data.aggregate import Count
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+class JaccardVerifier:
+    """Verify candidate pairs with exact shingle Jaccard.
+
+    ``texts_ref``: broadcast {doc_id → text} (``ray.put`` once).  At corpus
+    sizes beyond node memory, replace with a bucket join: hash-partition
+    both pairs and texts on doc_id and verify per bucket.
+    """
+
+    def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.8):
+        import ray
+        self.texts = ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
+        self.k = shingle_k
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sims = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), self.k)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])]
+        batch = batch.assign(jaccard=sims)
+        return batch[batch["jaccard"] >= self.threshold]
+
+
+def minhash_dedup_pairs(ds, texts_ref, threshold: float = 0.8, **kwargs):
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    candidates = minhash_lsh_candidates(ds, **kwargs)
+    if candidates.count() == 0:
+        return candidates
+    return candidates.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs=dict(texts_ref=texts_ref,
+                                   shingle_k=kwargs.get("shingle_k", 3),
+                                   threshold=threshold),
+        batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+
+# -------------------------------------------------------------- simhash --
+
+class SimHasher:
+    """64-bit SimHash per document (frequency-weighted token hashes)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        tokens = (text or "").lower().split()
+        if not tokens:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        from collections import Counter
+        for token, count in Counter(tokens).items():
+            b = token.encode()
+            h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xBEEF)
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits.astype(np.int64) > 0, count, -count)
+        return int(np.packbits(acc > 0).view(">u8")[0])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "simhash": [self.simhash64(t) for t in batch[self.text_col]],
+        })
+
+
+def simhash_documents(ds, concurrency: int = 4, num_cpus: float = 0.5, **kwargs):
+    return ds.map_batches(SimHasher, fn_constructor_kwargs=kwargs,
+                          batch_format="pandas", concurrency=concurrency,
+                          num_cpus=num_cpus)
+
+
+def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4):
+    """Near-dup pairs with Hamming distance ≤ k via the pigeonhole trick:
+    split 64 bits into k+1 bands; any pair within k differing bits agrees
+    exactly on ≥1 band → groupby(band, band_bits) buckets candidates."""
+    sigs = simhash_documents(ds, concurrency=concurrency, num_cpus=0.5)
+    n_bands = hamming_k + 1
+    width = 64 // n_bands
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "band": [], "band_bits": [], "simhash": []}
+        for doc_id, sig in zip(batch["doc_id"], batch["simhash"]):
+            for band in range(n_bands):
+                rows["doc_id"].append(doc_id)
+                rows["band"].append(band)
+                rows["band_bits"].append((int(sig) >> (band * width)) & ((1 << width) - 1))
+                rows["simhash"].append(int(sig))
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(group["doc_id"], group["simhash"])))
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin(recs[i][1] ^ recs[j][1]).count("1")
+                if d <= hamming_k:
+                    out["doc_a"].append(recs[i][0])
+                    out["doc_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = sigs.map_batches(to_bands, batch_format="pandas") \
+                .groupby(["band", "band_bits"]).map_groups(bucket_pairs,
+                                                           batch_format="pandas")
+    if pairs.count() == 0:
+        return pairs
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_group,
+                                                        batch_format="pandas")

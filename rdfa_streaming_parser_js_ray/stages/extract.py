@@ -1,0 +1,162 @@
+"""Triple extraction: the reference parser as one stateless Ray Data stage.
+
+One input row (an interleaved document) explodes to N output triple rows.
+The whole reference engine — tokenizer + RDFa evaluation sequence — runs
+per row inside ``map_batches`` with zero cross-document state (SURVEY.md §1:
+document = unit of parallelism).  Text spans are fed to the streaming
+parser in ``offset`` order exactly as the reference consumes stream chunks
+(/root/reference/lib/RdfaParser.ts:77-80); media spans are skipped for
+parsing but counted, and span sequences are never reordered or mutated
+(per-row invariant in BASELINE.json input_hint).
+
+Blank-node labels are doc_id-scoped (``_:{doc_id}/{label}``) so extraction
+is deterministic under retries and bnodes never collide across documents.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from ..core.parser import RdfaParser
+from ..core.profiles import RdfaFeatures
+from ..core.terms import BlankNode, Literal, NamedNode
+from ..sources.documents import TRIPLES_SCHEMA
+
+DEFAULT_PARTITIONS = 64
+
+
+def triples_for_document(doc_id: str, spans: list[dict], *,
+                         base_iri: str | None = None, profile: str = "",
+                         features: RdfaFeatures | None = None,
+                         vocab: str | None = None, language: str | None = None,
+                         ) -> list[tuple]:
+    """Parse one document's ordered spans; returns term triples.
+
+    ``base_iri`` defaults to a doc_id-derived IRI (the reference takes it
+    per-document from the caller, RdfaParser.ts:929-932).
+    """
+    if base_iri is None:
+        base_iri = f"http://data.example/{doc_id}"
+    parser = RdfaParser(base_iri=base_iri, profile=profile, features=features,
+                        vocab=vocab, language=language)
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        if span["kind"] == "text" and span["text"]:
+            parser.write(span["text"])
+    parser.end()
+    return parser.triples
+
+
+class ExtractTriples:
+    """Callable for ``ds.map_batches(ExtractTriples(...))``.
+
+    Configured once per worker (profile/features parsed in ``__init__``),
+    then applied per Arrow batch.  Usable as a plain function too — it
+    holds no mutable state, so Ray schedules it as stateless tasks unless
+    an actor pool is requested.
+    """
+
+    def __init__(self, profile: str = "", features: RdfaFeatures | None = None,
+                 vocab: str | None = None, language: str | None = None,
+                 base_iri: str | None = None,
+                 num_partitions: int = DEFAULT_PARTITIONS):
+        self.profile = profile
+        self.features = features
+        self.vocab = vocab
+        self.language = language
+        self.base_iri = base_iri
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_s, out_p = [], [], []
+        out_kind, out_val, out_lang, out_dt = [], [], [], []
+        num_partitions = self.num_partitions
+
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        for doc_id, spans in zip(doc_ids, spans_col):
+            try:
+                triples = triples_for_document(
+                    doc_id, spans, base_iri=self.base_iri, profile=self.profile,
+                    features=self.features, vocab=self.vocab, language=self.language)
+            except Exception:
+                # best-effort per document: a malformed doc yields nothing
+                # rather than failing the block (SURVEY.md §4 error handling)
+                continue
+            prefix = f"_:{doc_id}/"
+            for s, p, o in triples:
+                out_doc.append(doc_id)
+                out_s.append(prefix + s.value if isinstance(s, BlankNode) else s.value)
+                out_p.append(p.value)
+                if isinstance(o, Literal):
+                    out_kind.append("literal")
+                    out_val.append(o.value)
+                    out_lang.append(o.language)
+                    out_dt.append(o.datatype)
+                elif isinstance(o, BlankNode):
+                    out_kind.append("bnode")
+                    out_val.append(prefix + o.value)
+                    out_lang.append("")
+                    out_dt.append("")
+                else:
+                    out_kind.append("iri")
+                    out_val.append(o.value)
+                    out_lang.append("")
+                    out_dt.append("")
+
+        part = [zlib.crc32(s.encode()) % num_partitions for s in out_s]
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.string()),
+            "subj": pa.array(out_s, pa.string()),
+            "pred": pa.array(out_p, pa.string()),
+            "obj_kind": pa.array(out_kind, pa.string()),
+            "obj_value": pa.array(out_val, pa.string()),
+            "obj_lang": pa.array(out_lang, pa.string()),
+            "obj_datatype": pa.array(out_dt, pa.string()),
+            "graph": pa.array([""] * len(out_doc), pa.string()),
+            "part_key": pa.array(part, pa.int32()),
+        }, schema=TRIPLES_SCHEMA)
+
+
+def extract_triples(docs_ds, *, profile: str = "",
+                    features: RdfaFeatures | None = None,
+                    vocab: str | None = None, language: str | None = None,
+                    base_iri: str | None = None,
+                    batch_size: int = 64,
+                    num_partitions: int = DEFAULT_PARTITIONS):
+    """documents Dataset → triples Dataset (stateless, shuffle-free).
+
+    ``batch_size`` is deliberately small (docs are KB–MB each and parsing is
+    CPU-heavy); the streaming executor pipelines blocks with backpressure.
+    """
+    fn = ExtractTriples(profile=profile, features=features, vocab=vocab,
+                        language=language, base_iri=base_iri,
+                        num_partitions=num_partitions)
+    return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def span_audit(docs_ds):
+    """Per-row span-sequence audit record: (doc_id, n_spans, n_text, n_media,
+    fingerprint) where fingerprint hashes the ordered (kind, text, media_ref)
+    sequence.  Comparing audits before/after a pipeline proves the span
+    invariant (BASELINE.json input_hint)."""
+
+    def audit(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        rows = {"doc_id": [], "n_spans": [], "n_text": [], "n_media": [],
+                "fingerprint": []}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            ordered = sorted(spans, key=lambda s: s["offset"])
+            fp = zlib.crc32(
+                "\x1f".join(f"{s['kind']}\x1e{s['text']}\x1e{s['media_ref']}"
+                            for s in ordered).encode())
+            rows["doc_id"].append(doc_id)
+            rows["n_spans"].append(len(ordered))
+            rows["n_text"].append(sum(s["kind"] == "text" for s in ordered))
+            rows["n_media"].append(sum(s["kind"] == "media" for s in ordered))
+            rows["fingerprint"].append(fp)
+        return pa.table(rows)
+
+    return docs_ds.map_batches(audit, batch_format="pyarrow")

@@ -1,0 +1,134 @@
+"""Text-analysis stages: language-ID, quality scoring, token counting,
+document fingerprinting.  All vectorized pandas/numpy inside
+``map_batches``; the language model (stopword tables) and compiled
+regexes load once per actor."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "with", "on", "as", "at", "by", "this", "from", "or", "an", "be"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "por",
+           "con", "no", "para", "los", "las", "del", "se", "al", "lo", "como"},
+    "fr": {"le", "la", "de", "et", "un", "une", "est", "en", "que", "pour",
+           "dans", "qui", "au", "du", "des", "les", "ce", "il", "ne", "pas"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "ist", "des", "im", "nicht", "ein", "eine", "auf", "für", "als"},
+}
+
+
+class LangId:
+    """Stopword-overlap language identifier (n-gram-free heuristic).
+
+    Emits (id, lang_pred, lang_conf).  A real fastText-style model would
+    load in ``__init__`` exactly the same way — the actor-pool shape is the
+    contract."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñäöüß]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for text in batch[self.text_col]:
+            tokens = [t.lower() for t in self.word.findall(text or "")][:2000]
+            if not tokens:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {lang: sum(t in sw for t in tokens) / len(tokens)
+                      for lang, sw in _STOPWORDS.items()}
+            best = max(scores, key=lambda k: (scores[k], k))
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(round(scores[best], 4))
+        return pd.DataFrame({self.id_col: batch[self.id_col],
+                             "lang_pred": preds, "lang_conf": confs})
+
+
+def lang_id(ds, concurrency: int = 4, **kwargs):
+    return ds.map_batches(LangId, fn_constructor_kwargs=kwargs,
+                          batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+
+def token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_tokens, n_chars) — whitespace tokens, vectorized str ops."""
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_tokens": s.str.count(r"\S+").astype("int64"),
+            "n_chars": s.str.len().astype("int64"),
+        })
+    return ds.map_batches(count, batch_format="pandas")
+
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def bpe_ish_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_bpe_tokens) — GPT-2-style pre-tokenizer regex approximation:
+    letter runs, digit runs, and single punctuation marks."""
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_bpe_tokens": [len(_BPE_ISH.findall(t or "")) for t in batch[text_col]],
+        })
+    return ds.map_batches(count, batch_format="pandas")
+
+
+def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc quality features (vectorized): char/word counts, mean word
+    length, punctuation ratio, distinct-word ratio, stopword(en) ratio."""
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        n_chars = s.str.len().astype("int64")
+        n_words = s.str.count(r"\S+").astype("int64")
+        # ASCII classes ([A-Za-z0-9_]) so the integer features are exactly
+        # reproducible by an RE2-based SQL oracle
+        n_punct = s.str.count(r"[^A-Za-z0-9_ \t\n\r]").astype("int64")
+        words = s.str.lower().str.findall(r"[a-z]+")
+        n_distinct = words.map(lambda w: len(set(w))).astype("int64")
+        sw = _STOPWORDS["en"]
+        n_stop = words.map(lambda w: sum(t in sw for t in w)).astype("int64")
+        n_letter_words = words.map(len).astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_punct": n_punct,
+            "n_distinct": n_distinct,
+            "n_stop": n_stop,
+            "punct_ratio": (n_punct / n_chars.replace(0, 1)).round(6),
+            "distinct_ratio": (n_distinct / n_letter_words.replace(0, 1)).round(6),
+            "stopword_ratio": (n_stop / n_letter_words.replace(0, 1)).round(6),
+        })
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text",
+                 window: int = 8):
+    """Winnowing-style rolling-hash fingerprint: min crc32 over each
+    ``window`` of word 4-grams, xor-folded to one uint64 per doc."""
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch[text_col]:
+            tokens = (text or "").lower().split()
+            grams = [" ".join(tokens[i:i + 4]) for i in range(max(1, len(tokens) - 3))]
+            hashes = np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
+            if len(hashes) >= window:
+                mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+            else:
+                mins = hashes
+            acc = np.uint64(0)
+            for i, v in enumerate(np.unique(mins)):
+                acc ^= np.uint64((int(v) << (i % 32)) & 0xFFFFFFFFFFFFFFFF)
+            out.append(int(acc))
+        return pd.DataFrame({id_col: batch[id_col], "fingerprint": out})
+    return ds.map_batches(fp, batch_format="pandas")

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run each queries()
+entry and its oracle_sql() side by side, compare row count, sorted-column
+schema, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def to_pandas(result) -> pd.DataFrame:
+    try:
+        import ray.data as rd
+        if isinstance(result, rd.Dataset):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    import pyarrow as pa
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for table in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+        con.sql(f"CREATE VIEW {table} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{table}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            ours = to_pandas(fn(sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        wall = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(ours)} cols={sorted(ours.columns)} "
+                  f"[{wall:.1f}s] (rows-only, no oracle)")
+            continue
+        theirs = con.sql(oracles[name]).df()
+        ok_rows = len(ours) == len(theirs)
+        ok_schema = sorted(ours.columns) == sorted(theirs.columns)
+        ok_hash = ok_schema and value_hash(ours) == value_hash(theirs)
+        status = "PASS" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status}  {name}: rows {len(ours)}/{len(theirs)} "
+              f"schema={'=' if ok_schema else sorted(ours.columns)}"
+              f"{'' if ok_schema else ' vs ' + str(sorted(theirs.columns))} "
+              f"hash={'=' if ok_hash else '≠'} [{wall:.1f}s]")
+        if not ok_hash and ok_schema and len(ours) < 50000:
+            merged = ours[sorted(ours.columns)].astype(str)
+            theirs2 = theirs[sorted(theirs.columns)].astype(str)
+            a = set(map(tuple, merged.itertuples(index=False, name=None)))
+            b = set(map(tuple, theirs2.itertuples(index=False, name=None)))
+            for row in list(a - b)[:3]:
+                print(f"        ours-only:   {row}")
+            for row in list(b - a)[:3]:
+                print(f"        oracle-only: {row}")
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
