@@ -1,0 +1,169 @@
+"""Headline benchmark driver.
+
+Runs the engine's headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "throughput": {...docs/s, triples/s...}}
+
+``--scaling``: runs the headline extract+KG pipeline in two fresh
+processes (8 then 32 CPUs, stand-in for N vs 4N nodes) on the same input
+and reports both throughputs plus scaling efficiency (north_rule
+criterion; recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "12000"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    import ray.data as rd
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        documents_from_sf_table, synthesize_documents,
+    )
+    from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    # ---- warm the page cache (untimed) ------------------------------------
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/embeddings.parquet").count()
+
+    # ---- q1: RDFa extraction over the heavy-tailed synthetic corpus ------
+    synth = synthesize_documents(SYNTH_DOCS, seed=42)
+    n_bytes = sum(len(s["text"]) for spans in synth["spans"].to_pylist() for s in spans)
+    docs = rd.from_arrow(synth).repartition(NUM_CPUS * 4).materialize()
+    # spin up the full worker pool before timing (measure compute, not
+    # process startup — ray_guide: scaling methodology); best-of-2 to damp
+    # scheduler/page-cache variance
+    extract_triples(docs.limit(NUM_CPUS * 16)).count()
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_triples = extract_triples(docs).count()
+        dt = min(dt, time.monotonic() - t0)
+    queries["extract_synth"] = round(dt, 3)
+    throughput["extract_docs_per_s"] = round(SYNTH_DOCS / dt, 1)
+    throughput["extract_triples_per_s"] = round(n_triples / dt, 1)
+    throughput["extract_mb_per_s"] = round(n_bytes / dt / 1e6, 2)
+
+    # ---- q2: full KG construction over the wrapped sf documents table ----
+    wrapped = documents_from_sf_table(SF_DIR).materialize()
+    n_docs = wrapped.count()
+    t0 = time.monotonic()
+    out_dir = "/tmp/bench_kg"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples, _metrics = construct_kg(wrapped, out_dir=out_dir,
+                                     actor_concurrency=max(2, NUM_CPUS // 4),
+                                     input_fingerprint=f"bench-{SF_DIR}")
+    dt = time.monotonic() - t0
+    queries["kg_construct"] = round(dt, 3)
+    throughput["kg_docs_per_s"] = round(n_docs / dt, 1)
+
+    # ---- q3: minhash-LSH near-dup candidates over documents --------------
+    from rdfa_streaming_parser_js_ray.stages.dedup import minhash_lsh_candidates
+    sf_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"]).materialize()
+    t0 = time.monotonic()
+    minhash_lsh_candidates(sf_docs, concurrency=max(2, NUM_CPUS // 4)).count()
+    queries["minhash_lsh"] = round(time.monotonic() - t0, 3)
+
+    # ---- q4: ANN brute-force top-k over embeddings -----------------------
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.ann import brute_force_topk
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    qrows = sorted(emb.take(64), key=lambda r: r["vec_id"])[:32]
+    qmat = np.asarray([np.asarray(r["embedding"]) for r in qrows])
+    t0 = time.monotonic()
+    brute_force_topk(emb, ray.put(qmat), k=10,
+                     concurrency=max(2, NUM_CPUS // 4)).count()
+    queries["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    # ---- q5: windowed aggregation + sessionization over events -----------
+    from rdfa_streaming_parser_js_ray.stages.windows import (
+        sessionize, tumbling_window_agg,
+    )
+    events = rd.read_parquet(f"{SF_DIR}/events.parquet").materialize()
+    t0 = time.monotonic()
+    tumbling_window_agg(events).count()
+    queries["window_agg"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    sessionize(events).count()
+    queries["sessionize"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "kg-construction pipeline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "throughput": throughput,
+        "synth_docs": SYNTH_DOCS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger corpus for the scaling runs so per-stage fixed overhead
+        # (~1.5 s of scheduling/pool spin-up) is small vs compute
+        env.setdefault("GRAFT_SYNTH_DOCS", "48000")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    # scaling on the parse-bound headline stage (docs/s), plus total
+    d_lo = r_lo["throughput"]["extract_docs_per_s"]
+    d_hi = r_hi["throughput"]["extract_docs_per_s"]
+    eff_extract = (d_hi / d_lo) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "cpus": [lo, hi],
+        "extract_docs_per_s": [d_lo, d_hi],
+        "total_sec": [r_lo["value"], r_hi["value"]],
+        "scaling_efficiency_extract": round(eff_extract, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -43,13 +43,30 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
 
     triples = extract_triples(docs_ds, num_partitions=num_partitions)
 
+    # Checkpointed stage boundary: extraction output is consumed by three
+    # downstream passes (alias build, mention→link, final rewrite).  Parse
+    # ONCE and pin the triples — to parquet when an out_dir exists (doubles
+    # as a resumable checkpoint), else into the object store (spills to
+    # disk under pressure; fine for the block-sized intermediates here).
+    if out_dir is not None:
+        import os
+        import shutil
+        raw_dir = os.path.join(out_dir, "triples_raw")
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        t_x = time.monotonic()
+        triples.write_parquet(raw_dir)
+        metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
+        import ray.data as rd
+        triples = rd.read_parquet(raw_dir)
+    else:
+        t_x = time.monotonic()
+        triples = triples.materialize()
+        metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
+
     if skip_linking:
         canonical = triples
         mapping = {}
     else:
-        # the alias dict derives from extraction output; build it on a
-        # second pass (the triples Dataset re-executes lazily — at scale
-        # this is two streamed passes, never a driver-side materialize)
         alias = build_alias_dict(triples)
         metrics["alias_entries"] = len(alias)
         alias_ref = ray.put(alias)

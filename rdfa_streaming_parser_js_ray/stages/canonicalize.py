@@ -45,20 +45,23 @@ def build_canonical_map(links_ds) -> dict[str, str]:
     entity onto that entity's IRI.  Distributed pre-aggregation: per-batch
     distinct pairs, then a global groupby on entity.
     """
+    from ray.data.aggregate import Min
+
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         tbl = batch.select(["subj", "entity"])
         return tbl.group_by(["subj", "entity"]).aggregate([])
 
     pairs = links_ds.map_batches(distinct_pairs, batch_format="pyarrow")
 
-    mapping: dict[str, str] = {}
-    # per-subject: choose the lexicographically-smallest entity (deterministic)
-    def choose(group):
-        import pandas as pd
-        entity = group["entity"].min()
-        return pd.DataFrame({"subj": [group["subj"].iloc[0]], "entity": [entity]})
+    # per-subject: lexicographically-smallest entity (deterministic), as a
+    # vectorized grouped aggregate — NOT per-group Python calls
+    chosen = pairs.groupby("subj").aggregate(Min("entity", alias_name="entity"))
 
-    chosen = pairs.groupby("subj").map_groups(choose, batch_format="pandas")
+    # The canonical map is entity-level (orders of magnitude smaller than
+    # the triples), so it collects to the driver for broadcast; a corpus
+    # whose entity set outgrew driver memory would keep this as a Dataset
+    # and bucket-join it instead.
+    mapping: dict[str, str] = {}
     for row in chosen.iter_rows():
         if row["subj"] != row["entity"]:
             mapping[row["subj"]] = row["entity"]
@@ -93,29 +96,40 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
-def dedup_triples(triples_ds, keep_doc_id: bool = False):
+def dedup_triples(triples_ds, keep_doc_id: bool = False, num_buckets: int = 256):
     """Exact triple dedup.
 
     Stage 1 (combiner, shuffle-free): per-batch distinct on the triple key.
-    Stage 2: global hash-partitioned distinct via groupby on the key.
+    Stage 2: hash-partition into ``num_buckets`` coarse buckets (uniform —
+    the key is a hash) and run a VECTORIZED distinct per bucket.  Coarse
+    buckets instead of groupby-per-triple: one pandas ``drop_duplicates``
+    per bucket beats millions of per-group Python calls.
     ``keep_doc_id=False`` drops provenance (the graph-level view);
     otherwise the smallest doc_id is kept as the representative witness.
     """
+    import zlib
+
     def local_distinct(batch: pa.Table) -> pa.Table:
         agg = [("doc_id", "min")] if keep_doc_id else []
         cols = TRIPLE_KEY + (["doc_id"] if keep_doc_id else [])
         out = batch.select(cols).group_by(TRIPLE_KEY).aggregate(agg)
         if keep_doc_id:
             out = out.rename_columns(TRIPLE_KEY + ["doc_id"])
-        return out
+        key = [zlib.crc32("\x1f".join(vals).encode()) % num_buckets
+               for vals in zip(*(out[c].to_pylist() for c in TRIPLE_KEY))]
+        return out.append_column("_bucket", pa.array(key, pa.int32()))
 
     local = triples_ds.map_batches(local_distinct, batch_format="pyarrow")
 
     if keep_doc_id:
-        def first(group):
-            return group.sort_values("doc_id").head(1)
-        return local.groupby(TRIPLE_KEY).map_groups(first, batch_format="pandas")
+        def bucket_distinct(group):
+            return group.sort_values("doc_id") \
+                        .drop_duplicates(subset=TRIPLE_KEY, keep="first") \
+                        .drop(columns=["_bucket"])
+    else:
+        def bucket_distinct(group):
+            return group.drop_duplicates(subset=TRIPLE_KEY) \
+                        .drop(columns=["_bucket"])
 
-    def head1(group):
-        return group.head(1)
-    return local.groupby(TRIPLE_KEY).map_groups(head1, batch_format="pandas")
+    return local.groupby("_bucket").map_groups(bucket_distinct,
+                                               batch_format="pandas")

@@ -146,19 +146,17 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                                    id_col=id_col),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc_id"]))
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs_a, pairs_b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pairs_a.append(docs[i])
-                pairs_b.append(docs[j])
-        return pd.DataFrame({"doc_a": pairs_a, "doc_b": pairs_b})
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-join on band_hash within one band — one pandas
+        # merge per band instead of a Python call per (band, hash) bucket
+        g = group[["doc_id", "band_hash"]].drop_duplicates()
+        joined = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+        joined = joined[joined["doc_id_a"] < joined["doc_id_b"]]
+        return pd.DataFrame({"doc_a": joined["doc_id_a"],
+                             "doc_b": joined["doc_id_b"]})
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = band_rows.groupby("band").map_groups(band_pairs,
+                                                 batch_format="pandas")
     if pairs.count() == 0:
         return pairs
     # de-duplicate pairs found in multiple bands, counting agreements
@@ -254,25 +252,27 @@ def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4):
                 rows["simhash"].append(int(sig))
         return pd.DataFrame(rows)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(group["doc_id"], group["simhash"])))
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = bin(recs[i][1] ^ recs[j][1]).count("1")
-                if d <= hamming_k:
-                    out["doc_a"].append(recs[i][0])
-                    out["doc_b"].append(recs[j][0])
-                    out["hamming"].append(d)
-        return pd.DataFrame(out)
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-join on band_bits within one band, then a
+        # vectorized popcount over the xor of the full signatures
+        g = group[["doc_id", "band_bits", "simhash"]].drop_duplicates("doc_id")
+        joined = g.merge(g, on="band_bits", suffixes=("_a", "_b"))
+        joined = joined[joined["doc_id_a"] < joined["doc_id_b"]]
+        if joined.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        x = joined["simhash_a"].to_numpy(dtype=np.uint64) ^ \
+            joined["simhash_b"].to_numpy(dtype=np.uint64)
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        joined = joined.assign(hamming=ham)[ham <= hamming_k]
+        return pd.DataFrame({"doc_a": joined["doc_id_a"],
+                             "doc_b": joined["doc_id_b"],
+                             "hamming": joined["hamming"]})
 
     pairs = sigs.map_batches(to_bands, batch_format="pandas") \
-                .groupby(["band", "band_bits"]).map_groups(bucket_pairs,
-                                                           batch_format="pandas")
+                .groupby("band").map_groups(band_pairs, batch_format="pandas")
     if pairs.count() == 0:
         return pairs
 
-    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_group,
-                                                        batch_format="pandas")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
