@@ -27,6 +27,14 @@ from .terms import (
 
 _EMPTY: dict[str, str] = {}
 
+# constant terms reused across all emissions (immutable value objects)
+_RDF_TYPE = NamedNode(RDF + "type")
+_RDF_FIRST = NamedNode(RDF + "first")
+_RDF_REST = NamedNode(RDF + "rest")
+_RDF_NIL = NamedNode(RDF + "nil")
+_RDFA_USES_VOCAB = NamedNode(RDFA + "usesVocabulary")
+_XHV_ROLE = NamedNode(XHTML_VOCAB + "role")
+
 
 class ActiveTag:
     """One evaluation-context frame per open element (IActiveTag.ts:7-30)."""
@@ -264,6 +272,37 @@ class RdfaEvaluator:
         tag.local_base_iri = parent.local_base_iri
         stack.append(tag)
 
+        # Fast path: a bare tag (no attributes) that isn't <base>/<time>,
+        # outside XMLLiteral capture and pattern collection, reduces the
+        # whole processing sequence to pure context inheritance — the
+        # dominant case in real-world markup.
+        if not attributes and not tag.collect_child_tags \
+                and not (self._copy_patterns_active
+                         and parent.collected_pattern_tag is not None) \
+                and name != "base" and name != "time":
+            tag.vocab = parent.vocab
+            tag.prefixes_custom = parent.prefixes_custom
+            tag.prefixes_all = parent.prefixes_all
+            tag.language = parent.language
+            if len(stack) == 2:
+                new_subject = True
+            elif self._inherit_subject_in_head_body(name):
+                new_subject = parent.object
+            elif parent.object:
+                new_subject = parent.object
+                tag.skip_element = True
+            else:
+                new_subject = None
+            completed = False
+            if not tag.skip_element and new_subject and parent.incomplete_triples:
+                completed = True
+                self._complete_incomplete_triples(tag, parent, new_subject)
+            if not completed and parent.incomplete_triples:
+                tag.incomplete_triples = tag.incomplete_triples + parent.incomplete_triples
+            tag.subject = new_subject if new_subject else parent.subject
+            tag.object = new_subject
+            return
+
         # XMLLiteral capture: serialize the open tag, injecting inherited
         # xmlns declarations sorted alphabetically (RdfaParser.ts:123-139)
         if tag.collect_child_tags:
@@ -335,7 +374,7 @@ class RdfaEvaluator:
                 tag.vocab = attributes["vocab"]
                 self.emit_triple(
                     self.get_base_iri_term(tag),
-                    NamedNode(RDFA + "usesVocabulary"),
+                    _RDFA_USES_VOCAB,
                     NamedNode(tag.vocab),
                 )
             else:
@@ -362,7 +401,7 @@ class RdfaEvaluator:
             tag.vocab = XHTML_VOCAB
             if role_subject is not None:
                 for role in self.create_vocab_iris(attributes["role"], tag, True, False):
-                    self.emit_triple(role_subject, NamedNode(XHTML_VOCAB + "role"), role)
+                    self.emit_triple(role_subject, _XHV_ROLE, role)
             tag.vocab = vocab_old
 
         # 4: language (RdfaParser.ts:271-276)
@@ -462,7 +501,7 @@ class RdfaEvaluator:
             for type_term in self.create_vocab_iris(attributes.get("typeof", ""), tag, True, True):
                 self.emit_triple(
                     self.resource_or_base(typed_resource, tag),
-                    NamedNode(RDF + "type"),
+                    _RDF_TYPE,
                     type_term,
                 )
 
@@ -581,20 +620,7 @@ class RdfaEvaluator:
         completed = False
         if not tag.skip_element and new_subject and parent.incomplete_triples:
             completed = True
-            subject = self.resource_or_base(parent.subject, tag)
-            obj = self.resource_or_base(new_subject, tag)
-            for predicate, reverse, is_list in parent.incomplete_triples:
-                if reverse:
-                    self.emit_triple(obj, predicate, subject)
-                elif is_list:
-                    first_in_list_tag = None
-                    for i in range(len(stack) - 1, -1, -1):
-                        if stack[i].inlist:
-                            first_in_list_tag = stack[i]
-                            break
-                    self.add_list_mapping(first_in_list_tag, new_subject, predicate, obj)
-                else:
-                    self.emit_triple(subject, predicate, obj)
+            self._complete_incomplete_triples(tag, parent, new_subject)
         if not completed and parent.incomplete_triples:
             tag.incomplete_triples = tag.incomplete_triples + parent.incomplete_triples
 
@@ -667,12 +693,12 @@ class RdfaEvaluator:
                         bnodes = [self.create_blank_node() for _ in values]
                         for i, value in enumerate(values):
                             obj = self.resource_or_base(value, tag)
-                            self.emit_triple(bnodes[i], NamedNode(RDF + "first"), obj)
-                            rest = bnodes[i + 1] if i < len(values) - 1 else NamedNode(RDF + "nil")
-                            self.emit_triple(bnodes[i], NamedNode(RDF + "rest"), rest)
+                            self.emit_triple(bnodes[i], _RDF_FIRST, obj)
+                            rest = bnodes[i + 1] if i < len(values) - 1 else _RDF_NIL
+                            self.emit_triple(bnodes[i], _RDF_REST, rest)
                         self.emit_triple(subject, predicate, bnodes[0])
                     else:
-                        self.emit_triple(subject, predicate, NamedNode(RDF + "nil"))
+                        self.emit_triple(subject, predicate, _RDF_NIL)
 
         stack.pop()
 
@@ -718,6 +744,25 @@ class RdfaEvaluator:
     # ------------------------------------------------------------------ #
     # helpers
 
+    def _complete_incomplete_triples(self, tag: ActiveTag, parent: ActiveTag,
+                                     new_subject) -> None:
+        """Step 12 body (RdfaParser.ts:560-582)."""
+        stack = self.stack
+        subject = self.resource_or_base(parent.subject, tag)
+        obj = self.resource_or_base(new_subject, tag)
+        for predicate, reverse, is_list in parent.incomplete_triples:
+            if reverse:
+                self.emit_triple(obj, predicate, subject)
+            elif is_list:
+                first_in_list_tag = None
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i].inlist:
+                        first_in_list_tag = stack[i]
+                        break
+                self.add_list_mapping(first_in_list_tag, new_subject, predicate, obj)
+            else:
+                self.emit_triple(subject, predicate, obj)
+
     def _inherit_subject_in_head_body(self, name: str) -> bool:
         return self.features.inherit_subject_in_head_body and name in ("head", "body")
 
@@ -726,9 +771,9 @@ class RdfaEvaluator:
         if tag.explicit_new_subject:
             bnode = self.create_blank_node()
             self.emit_triple(self.resource_or_base(subject, tag), predicate, bnode)
-            self.emit_triple(bnode, NamedNode(RDF + "first"),
+            self.emit_triple(bnode, _RDF_FIRST,
                              self.resource_or_base(current_object_resource, tag))
-            self.emit_triple(bnode, NamedNode(RDF + "rest"), NamedNode(RDF + "nil"))
+            self.emit_triple(bnode, _RDF_REST, _RDF_NIL)
         else:
             predicate_list = tag.list_mapping_local.get(predicate.value)
             if predicate_list is None:

@@ -101,10 +101,28 @@ def _join(scheme: str | None, authority: str | None, path: str,
     return "".join(out)
 
 
+_RESOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
 def resolve_iri(reference: str, base: str) -> str:
-    """Resolve ``reference`` against ``base`` per RFC 3986 §5.2.2."""
+    """Resolve ``reference`` against ``base`` per RFC 3986 §5.2.2.
+
+    Memoized: (reference, base) pairs repeat heavily within a corpus
+    (same prefixes/relative paths under the same document bases).
+    """
     if not reference:
         return base
+    key = (reference, base)
+    cached = _RESOLVE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if len(_RESOLVE_CACHE) > 200_000:
+        _RESOLVE_CACHE.clear()
+    _RESOLVE_CACHE[key] = resolved = _resolve_uncached(reference, base)
+    return resolved
+
+
+def _resolve_uncached(reference: str, base: str) -> str:
     if _SCHEME_RE.match(reference):
         # Absolute reference: returned untouched (matches the reference
         # library's pass-through of absolute IRIs).

@@ -147,8 +147,18 @@ def expand_prefixed_term(term: str, prefixes_all: dict[str, str]) -> str:
     return term
 
 
+_VALID_IRI_CACHE: dict[str, bool] = {}
+
+
 def is_valid_iri(iri: str) -> bool:
-    return _IRI_RE.match(iri) is not None
+    # IRIs (predicates/types especially) repeat across and within docs;
+    # the bounded memo removes most validity-regex work from the hot path
+    cached = _VALID_IRI_CACHE.get(iri)
+    if cached is None:
+        if len(_VALID_IRI_CACHE) > 200_000:
+            _VALID_IRI_CACHE.clear()
+        cached = _VALID_IRI_CACHE[iri] = _IRI_RE.match(iri) is not None
+    return cached
 
 
 def sniff_time_datatype(literal: str) -> str | None:
