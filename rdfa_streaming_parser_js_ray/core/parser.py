@@ -18,6 +18,43 @@ from .terms import Term
 from .tokenizer import make_tokenizer
 
 
+class HtmlParseListener:
+    """Optional tap on the SAX event stream (the reference's
+    ``htmlParseListener`` hook, IHtmlParseListener.ts:4-29 / wired at
+    RdfaParser.ts:876-911).  Subclass and override any subset."""
+
+    def on_tag_open(self, name: str, attributes: dict[str, str]) -> None: ...
+    def on_text(self, data: str) -> None: ...
+    def on_tag_close(self) -> None: ...
+    def on_end(self) -> None: ...
+
+
+class _TappedSink:
+    """Fans SAX events out to the evaluator and a listener."""
+
+    __slots__ = ("evaluator", "listener")
+
+    def __init__(self, evaluator: RdfaEvaluator, listener: HtmlParseListener):
+        self.evaluator = evaluator
+        self.listener = listener
+
+    def on_tag_open(self, name, attributes):
+        self.evaluator.on_tag_open(name, attributes)
+        self.listener.on_tag_open(name, attributes)
+
+    def on_text(self, data):
+        self.evaluator.on_text(data)
+        self.listener.on_text(data)
+
+    def on_tag_close(self):
+        self.evaluator.on_tag_close()
+        self.listener.on_tag_close()
+
+    def on_end(self):
+        self.evaluator.on_end()
+        self.listener.on_end()
+
+
 class RdfaParser:
     """Streaming RDFa parser for a single document.
 
@@ -31,14 +68,17 @@ class RdfaParser:
                  content_type: str | None = None,
                  features: RdfaFeatures | None = None,
                  vocab: str | None = None, language: str | None = None,
-                 emit: Callable[[Term, Term, Term], None] | None = None):
+                 emit: Callable[[Term, Term, Term], None] | None = None,
+                 html_parse_listener: HtmlParseListener | None = None):
         if content_type is not None:
             profile = content_type_to_profile(content_type)
         profile = profile or ""
         self.evaluator = RdfaEvaluator(
             base_iri=base_iri, profile=profile, features=features,
             vocab=vocab, language=language, emit=emit)
-        self._tokenizer = make_tokenizer(self.evaluator, xml_mode=(profile == "xml"))
+        sink = self.evaluator if html_parse_listener is None \
+            else _TappedSink(self.evaluator, html_parse_listener)
+        self._tokenizer = make_tokenizer(sink, xml_mode=(profile == "xml"))
 
     @property
     def triples(self) -> list[tuple[Term, Term, Term]]:

@@ -212,3 +212,40 @@ def test_kg_construct_canonicalizes(rd):
     # canonicalization must leave no duplicate triples
     key = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
     assert not df.duplicated(subset=key).any()
+
+
+def test_repartition_weighted_isolates_giants(rd):
+    from rdfa_streaming_parser_js_ray.stages.skew import repartition_weighted
+    from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
+    docs = rd.from_arrow(synthesize_documents(60, seed=21))
+    out = repartition_weighted(docs, num_blocks=4, big_doc_bytes=4000)
+    assert out.count() == 60
+    assert set(out.schema().names) == {"doc_id", "spans"}
+    # extraction over the reshaped corpus yields identical triples
+    a = extract_triples(docs).to_pandas().sort_values(
+        ["doc_id", "subj", "pred", "obj_value"]).reset_index(drop=True)
+    b = extract_triples(out).to_pandas().sort_values(
+        ["doc_id", "subj", "pred", "obj_value"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_lsh_bucketed_topk_recall(rd):
+    import ray
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.ann import (
+        brute_force_topk, lsh_bucketed_topk,
+    )
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((400, 32)).astype(np.float64)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": mat[i].tolist()} for i in range(400)])
+    q = mat[:4]  # queries drawn from the corpus: bucket contains themselves
+    approx = lsh_bucketed_topk(ds, q, dim=32, k=5, n_bits=4).to_pandas()
+    exact = brute_force_topk(ds, ray.put(q), k=5).to_pandas()
+    # approximate: each query must at least find itself (cosine 1.0),
+    # and return <= k candidates from its probe bucket
+    for qid in range(4):
+        got = approx[approx["qid"] == qid]
+        assert len(got) <= 5
+        assert qid in set(got["vec_id"])
+    assert len(exact) == 20
