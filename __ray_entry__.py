@@ -178,6 +178,79 @@ def q_sessionize(sf_dir: str):
     return out.map_batches(to_ints, batch_format="pandas")
 
 
+def q_join_broadcast(sf_dir: str):
+    """Broadcast join (orders x customer small side) + pre-aggregated
+    rollup per market segment (SURVEY.md SS2.5 broadcast-small-side join)."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join
+
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    customer = customer.rename(columns={"c_custkey": "o_custkey"})
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, ray.put(customer), on="o_custkey",
+                            concurrency=2)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grouped = batch.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_cents=("o_totalprice", "sum"))
+        grouped["total_cents"] = (grouped["total_cents"] * 100).round()
+        return grouped
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_orders"] = batch["n_orders"].astype("int64")
+        batch["total_cents"] = batch["total_cents"].round().astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
+def q_join_hash(sf_dir: str):
+    """Partitioned hash join (lineitem x orders, both large) + rollup per
+    order priority (SURVEY.md SS2.5 bucketed hash-join pattern)."""
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(lambda b: b.rename(columns={"l_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    joined = hash_join(lineitem, orders, on="orderkey", num_buckets=32)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grouped = batch.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("l_quantity", "size"),
+            sum_qty_cents=("l_quantity", "sum"))
+        grouped["sum_qty_cents"] = (grouped["sum_qty_cents"] * 100).round()
+        return grouped
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("o_orderpriority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_items"] = batch["n_items"].astype("int64")
+        batch["sum_qty_cents"] = batch["sum_qty_cents"].round().astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
 def q_media_manifest(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.media import media_manifest
     return media_manifest(_wrapped_docs(sf_dir))
@@ -222,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,
+        "join_broadcast": q_join_broadcast,
+        "join_hash": q_join_hash,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "span_audit": q_span_audit,
@@ -317,6 +392,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "join_broadcast": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "join_hash": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         # kg_construct, lang_id, fingerprints, minhash_near_dups, simhash,
         # embedding_near_dups, media_*, span_audit: non-SQL-expressible

@@ -1,0 +1,110 @@
+"""Join operators (SURVEY.md §2.5).
+
+The reference has no joins; its only lookup (prefix maps) is in-row.  The
+north-star KG stages and any real pipeline need two shapes:
+
+- ``broadcast_join``: small side ``ray.put`` once, probed per batch with a
+  vectorized pandas merge inside ``map_batches`` — zero shuffle.  This is
+  the same pattern the EntityLinker uses with its alias dict.
+- ``hash_join``: both sides large — add ``bucket = hash(key) % B`` to both,
+  co-group per bucket, merge per bucket (explicit partitioned hash join;
+  portable across Ray versions that lack ``Dataset.join``).  Salt hot keys
+  by widening B; buckets are uniform when the key is hashed.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+
+class BroadcastJoiner:
+    """Actor-pool stage holding the broadcast small side as a DataFrame."""
+
+    def __init__(self, small_ref, on: str, how: str = "inner",
+                 suffix: str = "_r"):
+        import ray
+        small = ray.get(small_ref) if not isinstance(small_ref, pd.DataFrame) \
+            else small_ref
+        self.small = small
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how,
+                           suffixes=("", self.suffix))
+
+
+def broadcast_join(big_ds, small_ref, on: str, how: str = "inner",
+                   concurrency: int = 4):
+    """big Dataset ⋈ broadcast small DataFrame on one key column."""
+    return big_ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(small_ref=small_ref, on=on, how=how),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+
+def _bucketed(ds, on: str, num_buckets: int, side: str):
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[on]
+        if key.dtype.kind in "iu":
+            bucket = (key.to_numpy() % num_buckets).astype("int32")
+        else:
+            bucket = key.map(lambda v: zlib.crc32(str(v).encode()) % num_buckets) \
+                        .astype("int32")
+        batch = batch.copy()
+        batch["_bucket"] = bucket
+        batch["_side"] = side
+        return batch
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def hash_join(left_ds, right_ds, on: str, how: str = "inner",
+              num_buckets: int = 64):
+    """Partitioned hash join: both sides bucketed on hash(key), unioned
+    under an aligned superset schema, co-grouped per bucket, merged per
+    bucket with vectorized pandas.
+
+    One all-to-all exchange total (the bucket groupby over the union);
+    each bucket's merge is in-memory — size buckets so
+    |left_bucket| + |right_bucket| fits a worker (num_buckets is the
+    salt knob for hot keys).
+    """
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    # right-side non-key columns that clash with left names get suffixed
+    rename = {c: c + "_r" for c in right_cols if c != on and c in left_cols}
+    right_out = [rename.get(c, c) for c in right_cols]
+    all_cols = left_cols + [c for c in right_out if c not in left_cols]
+
+    def align(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r":
+                batch = batch.rename(columns=rename)
+            key = batch[on]
+            if key.dtype.kind in "iu":
+                bucket = (key.to_numpy() % num_buckets).astype("int32")
+            else:
+                bucket = key.map(
+                    lambda v: zlib.crc32(str(v).encode()) % num_buckets
+                ).astype("int32")
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = pd.NA
+            batch["_bucket"] = bucket
+            batch["_side"] = side
+            return batch[all_cols + ["_bucket", "_side"]]
+        return f
+
+    both = left_ds.map_batches(align("l"), batch_format="pandas") \
+        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == "l"][left_cols]
+        right = group[group["_side"] == "r"][[c for c in right_out]]
+        return left.merge(right, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
