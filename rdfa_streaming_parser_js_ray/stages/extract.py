@@ -59,13 +59,16 @@ class ExtractTriples:
 
     def __init__(self, profile: str = "", features: RdfaFeatures | None = None,
                  vocab: str | None = None, language: str | None = None,
-                 base_iri: str | None = None,
+                 base_iri: str | None = None, default_graph: str = "",
                  num_partitions: int = DEFAULT_PARTITIONS):
         self.profile = profile
         self.features = features
         self.vocab = vocab
         self.language = language
         self.base_iri = base_iri
+        # constant graph term for all quads (the reference's defaultGraph
+        # constructor option, RdfaParser.ts:37,941-943); '' = default graph
+        self.default_graph = default_graph
         self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -114,7 +117,7 @@ class ExtractTriples:
             "obj_value": pa.array(out_val, pa.string()),
             "obj_lang": pa.array(out_lang, pa.string()),
             "obj_datatype": pa.array(out_dt, pa.string()),
-            "graph": pa.array([""] * len(out_doc), pa.string()),
+            "graph": pa.array([self.default_graph] * len(out_doc), pa.string()),
             "part_key": pa.array(part, pa.int32()),
         }, schema=TRIPLES_SCHEMA)
 
@@ -122,7 +125,7 @@ class ExtractTriples:
 def extract_triples(docs_ds, *, profile: str = "",
                     features: RdfaFeatures | None = None,
                     vocab: str | None = None, language: str | None = None,
-                    base_iri: str | None = None,
+                    base_iri: str | None = None, default_graph: str = "",
                     batch_size: int = 64,
                     num_partitions: int = DEFAULT_PARTITIONS):
     """documents Dataset → triples Dataset (stateless, shuffle-free).
@@ -132,6 +135,7 @@ def extract_triples(docs_ds, *, profile: str = "",
     """
     fn = ExtractTriples(profile=profile, features=features, vocab=vocab,
                         language=language, base_iri=base_iri,
+                        default_graph=default_graph,
                         num_partitions=num_partitions)
     return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
