@@ -96,12 +96,12 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    import ray
-    from rdfa_streaming_parser_js_ray.stages.dedup import minhash_dedup_pairs
+    """LSH candidates verified via partitioned hash-joins of the texts onto
+    the pairs — the no-broadcast scale path (nothing driver-materialized)."""
+    from rdfa_streaming_parser_js_ray.stages.dedup import minhash_dedup_pairs_joined
     docs = _sf_documents(sf_dir)
-    texts = {r["doc_id"]: r["text"] for r in docs.iter_rows()}
-    return minhash_dedup_pairs(docs, ray.put(texts), threshold=0.5,
-                               concurrency=2)
+    return minhash_dedup_pairs_joined(docs, threshold=0.5, num_buckets=16,
+                                      concurrency=2)
 
 
 def q_simhash(sf_dir: str):
@@ -265,6 +265,65 @@ def q_media_features(sf_dir: str):
     return feats.select_columns(["media_ref", "doc_id", "mean_r", "mean_g", "mean_b"])
 
 
+def q_top_docs_by_tokens(sf_dir: str):
+    """Distributed sort + limit (top-k documents by token count)."""
+    from rdfa_streaming_parser_js_ray.stages.text import token_counts
+    counts = token_counts(_sf_documents(sf_dir))
+    return counts.sort(["n_tokens", "doc_id"], descending=[True, False]) \
+                 .limit(20)
+
+
+def q_distinct_langs(sf_dir: str):
+    """Distributed distinct (pre-reduced per batch, then one exchange)."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": pc.unique(batch["lang"])})
+
+    return docs.map_batches(local_unique, batch_format="pyarrow") \
+               .groupby("lang").count().select_columns(["lang"])
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style multi-aggregate groupby over lineitem, pre-aggregated
+    inside map_batches (combiner) before one small global groupby."""
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty_c=(batch["l_quantity"] * 100).round(),
+            price_c=(batch["l_extendedprice"] * 100).round(),
+            disc_price_c=(batch["l_extendedprice"] * (1 - batch["l_discount"]) * 10000).round(),
+            n=1)
+        return batch.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+                    .agg(sum_qty_cents=("qty_c", "sum"),
+                         sum_price_cents=("price_c", "sum"),
+                         sum_disc_price_e4=("disc_price_c", "sum"),
+                         n_rows=("n", "sum"))
+
+    out = li.map_batches(partial, batch_format="pandas") \
+            .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+                Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+                Sum("sum_price_cents", alias_name="sum_price_cents"),
+                Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+                Sum("n_rows", alias_name="n_rows"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty_cents", "sum_price_cents", "sum_disc_price_e4", "n_rows"):
+            batch[c] = batch[c].round().astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
 def q_span_audit(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.extract import span_audit
     return span_audit(_wrapped_docs(sf_dir))
@@ -297,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "join_broadcast": q_join_broadcast,
         "join_hash": q_join_hash,
+        "top_docs_by_tokens": q_top_docs_by_tokens,
+        "distinct_langs": q_distinct_langs,
+        "pricing_summary": q_pricing_summary,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "span_audit": q_span_audit,
@@ -305,10 +367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rdfa_extract": f"""
+        "rdfa_extract": """
             WITH docs AS (
-              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+              SELECT doc_id AS i, 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
                      'http://data.example/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+                     'http://mirror.example/doc/' || CAST(doc_id AS VARCHAR) AS msubj,
                      text, lang, source
               FROM documents)
             SELECT doc_id, subj, 'http://purl.org/dc/terms/title' AS pred,
@@ -320,11 +383,46 @@ def oracle_sql() -> dict[str, str]:
                    'http://data.example/src/' || source AS obj_value,
                    '' AS obj_lang
             FROM docs
+            UNION ALL
+            SELECT doc_id, subj, 'http://purl.org/dc/terms/identifier' AS pred,
+                   'literal' AS obj_kind,
+                   'doc' || CAST(i AS VARCHAR) AS obj_value, lang AS obj_lang
+            FROM docs
+            UNION ALL
+            SELECT doc_id, msubj, 'http://purl.org/dc/terms/title' AS pred,
+                   'literal' AS obj_kind, text AS obj_value, lang AS obj_lang
+            FROM docs WHERE i % 50 = 7
+            UNION ALL
+            SELECT doc_id, msubj, 'http://purl.org/dc/terms/identifier' AS pred,
+                   'literal' AS obj_kind,
+                   'doc' || CAST(i AS VARCHAR) AS obj_value, lang AS obj_lang
+            FROM docs WHERE i % 50 = 7
         """,
         "rdfa_triple_counts": """
             SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
-                   CAST(2 AS BIGINT) AS n_triples
+                   CAST(CASE WHEN doc_id % 50 = 7 THEN 5 ELSE 3 END AS BIGINT)
+                     AS n_triples
             FROM documents
+        """,
+        "kg_construct": """
+            WITH d AS (SELECT doc_id AS i, text, lang, source FROM documents),
+            prim AS (SELECT 'http://data.example/doc/' || CAST(i AS VARCHAR)
+                            AS subj, * FROM d)
+            SELECT subj, 'http://purl.org/dc/terms/title' AS pred,
+                   'literal' AS obj_kind, text AS obj_value,
+                   lang AS obj_lang, '' AS obj_datatype
+            FROM prim
+            UNION ALL
+            SELECT subj, 'http://purl.org/dc/terms/source' AS pred,
+                   'iri' AS obj_kind,
+                   'http://data.example/src/' || source AS obj_value,
+                   '' AS obj_lang, '' AS obj_datatype
+            FROM prim
+            UNION ALL
+            SELECT subj, 'http://purl.org/dc/terms/identifier' AS pred,
+                   'literal' AS obj_kind, 'doc' || CAST(i AS VARCHAR) AS obj_value,
+                   lang AS obj_lang, '' AS obj_datatype
+            FROM prim
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
@@ -407,7 +505,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
-        # kg_construct, lang_id, fingerprints, minhash_near_dups, simhash,
+        "top_docs_by_tokens": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id LIMIT 20
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 10000)) AS BIGINT)
+                     AS sum_disc_price_e4,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # lang_id, fingerprints, minhash_near_dups, simhash,
         # embedding_near_dups, media_*, span_audit: non-SQL-expressible
         # (model-/hash-parameterized or defined over the synthesized span
         # wrapping) → rows-only check.

@@ -25,6 +25,7 @@ identically to a single string.
 from __future__ import annotations
 
 import re
+from html import unescape as _html_unescape
 from html.parser import HTMLParser
 from typing import Protocol
 
@@ -139,6 +140,227 @@ class HtmlTokenizer(HTMLParser):
     def handle_decl(self, decl: str) -> None: ...
     def handle_pi(self, data: str) -> None: ...
     def unknown_decl(self, data: str) -> None: ...
+
+
+# body of a start tag: everything up to the first '>' that is not inside
+# a quoted attribute value (handles href="a>b")
+_HTML_TAG_BODY_RE = re.compile(r'(?:"[^"]*"|\'[^\']*\'|[^>"\'])*>')
+_HTML_NAME_RE = re.compile(r"[a-zA-Z][^\s/>]*")
+_HTML_ATTR_RE = re.compile(
+    r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""")
+# htmlparser2/stdlib raw-text elements: content is plain text (no entity
+# decoding, no nested tags) until the matching end tag
+_RAWTEXT_ELEMENTS = frozenset(("script", "style"))
+
+
+class FastHtmlTokenizer:
+    """Single-pass regex HTML tokenizer (hot path for extraction).
+
+    Event-compatible with :class:`HtmlTokenizer` (the stdlib-based
+    implementation, kept for differential testing): lowercased tag and
+    attribute names, entities decoded in text and attribute values,
+    duplicate attributes keep the first occurrence, void elements,
+    ``openImpliesClose`` discipline, ``<x/>`` self-closing, script/style
+    raw-text, comments/doctype/PIs skipped.  Accepts arbitrary chunk
+    boundaries: incomplete constructs (a tag, comment, or entity split
+    across ``write`` calls) are buffered until resolvable.
+    """
+
+    __slots__ = ("sink", "_stack", "_buf", "_rawtext")
+
+    def __init__(self, sink: SaxSink):
+        self.sink = sink
+        self._stack: list[str] = []
+        self._buf = ""
+        self._rawtext: str | None = None
+
+    # -- incremental API -------------------------------------------------
+    def write(self, chunk: str) -> None:
+        if self._buf:
+            self._buf += chunk
+        else:
+            self._buf = chunk
+        self._process(final=False)
+
+    def end(self) -> None:
+        self._process(final=True)
+        if self._buf:  # dangling '<...' at EOF surfaces as text
+            text = self._buf
+            self._buf = ""
+            self.sink.on_text(_html_unescape(text) if "&" in text else text)
+        while self._stack:
+            self._stack.pop()
+            self.sink.on_tag_close()
+        self.sink.on_end()
+
+    # -- internals ---------------------------------------------------------
+    def _emit_text(self, text: str) -> None:
+        self.sink.on_text(_html_unescape(text) if "&" in text else text)
+
+    def _open(self, name: str, attributes: dict[str, str]) -> None:
+        implied = OPEN_IMPLIES_CLOSE.get(name)
+        if implied:
+            stack = self._stack
+            sink = self.sink
+            while stack and stack[-1] in implied:
+                stack.pop()
+                sink.on_tag_close()
+        self._stack.append(name)
+        self.sink.on_tag_open(name, attributes)
+
+    def _close(self, name: str) -> None:
+        if name in VOID_ELEMENTS:
+            return  # </br> and friends are ignored in HTML mode
+        stack = self._stack
+        if name in stack:
+            sink = self.sink
+            while stack:
+                top = stack.pop()
+                sink.on_tag_close()
+                if top == name:
+                    break
+        elif name == "p":
+            # htmlparser2: an unmatched </p> implies <p></p>
+            self.sink.on_tag_open("p", {})
+            self.sink.on_tag_close()
+
+    def _process(self, final: bool) -> None:
+        buf = self._buf
+        pos = 0
+        n = len(buf)
+        sink = self.sink
+        while pos < n:
+            if self._rawtext is not None:
+                # inside <script>/<style>: scan for the matching end tag
+                closer = "</" + self._rawtext
+                idx = buf.find(closer, pos)
+                if idx < 0:
+                    lower = buf.lower()
+                    idx = lower.find(closer, pos)
+                if idx < 0:
+                    if final:
+                        if pos < n:
+                            sink.on_text(buf[pos:])
+                        pos = n
+                        break
+                    # hold back a possible split '</scrip' tail
+                    keep = max(pos, n - len(closer))
+                    if pos < keep:
+                        sink.on_text(buf[pos:keep])
+                    pos = keep
+                    break
+                if idx > pos:
+                    sink.on_text(buf[pos:idx])  # raw: no entity decoding
+                gt = buf.find(">", idx)
+                if gt < 0:
+                    if final:
+                        pos = n
+                        break
+                    pos = idx
+                    break
+                self._close(self._rawtext)
+                self._rawtext = None
+                pos = gt + 1
+                continue
+            lt = buf.find("<", pos)
+            if lt < 0:
+                text = buf[pos:]
+                if not final:
+                    # hold back a possible split entity ('&am' + 'p;')
+                    amp = text.rfind("&")
+                    if amp >= 0 and ";" not in text[amp:] \
+                            and len(text) - amp < 32:
+                        held = text[amp:]
+                        text = text[:amp]
+                        if text:
+                            self._emit_text(text)
+                        self._buf = held
+                        return
+                if text:
+                    self._emit_text(text)
+                pos = n
+                break
+            if lt > pos:
+                self._emit_text(buf[pos:lt])
+                pos = lt
+            if pos + 1 >= n:
+                break  # lone '<' at buffer end: hold
+            nxt = buf[pos + 1]
+            if nxt == "!":
+                if buf.startswith("<!--", pos):
+                    end = buf.find("-->", pos + 4)
+                    if end < 0:
+                        if final:
+                            pos = n
+                        break
+                    pos = end + 3
+                    continue
+                if not final and n - pos < 4 and "<!--".startswith(buf[pos:]):
+                    break  # possible split '<!--'
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                pos = end + 1
+            elif nxt == "?":
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                pos = end + 1
+            elif nxt == "/":
+                end = buf.find(">", pos)
+                if end < 0:
+                    if final:
+                        pos = n
+                    break
+                nm = _HTML_NAME_RE.match(buf, pos + 2)
+                if nm is not None:
+                    self._close(nm.group(0).lower())
+                pos = end + 1
+            elif ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+                m = _HTML_TAG_BODY_RE.match(buf, pos + 1)
+                if m is None:
+                    if final:
+                        # malformed dangling tag: surface as text
+                        self._emit_text(buf[pos:])
+                        pos = n
+                    break
+                end = m.end()  # index just past '>'
+                inner = buf[pos + 1:end - 1]
+                self_closing = inner.endswith("/")
+                if self_closing:
+                    inner = inner[:-1]
+                nm = _HTML_NAME_RE.match(inner)
+                name = nm.group(0).lower()
+                attributes: dict[str, str] = {}
+                if nm.end() < len(inner):
+                    for am in _HTML_ATTR_RE.finditer(inner, nm.end()):
+                        key = am.group(1).lower()
+                        if key in attributes:
+                            continue
+                        value = am.group(2)
+                        if value is None:
+                            value = am.group(3)
+                            if value is None:
+                                value = am.group(4) or ""
+                        if "&" in value:
+                            value = _html_unescape(value)
+                        attributes[key] = value
+                self._open(name, attributes)
+                if self_closing or name in VOID_ELEMENTS:
+                    self._stack.pop()
+                    sink.on_tag_close()
+                elif name in _RAWTEXT_ELEMENTS:
+                    self._rawtext = name
+                pos = end
+            else:
+                # '<' not starting a construct: it's text
+                self._emit_text("<")
+                pos += 1
+        self._buf = buf[pos:]
 
 
 _XML_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
@@ -286,4 +508,4 @@ class XmlTokenizer:
 
 
 def make_tokenizer(sink: SaxSink, xml_mode: bool):
-    return XmlTokenizer(sink) if xml_mode else HtmlTokenizer(sink)
+    return XmlTokenizer(sink) if xml_mode else FastHtmlTokenizer(sink)

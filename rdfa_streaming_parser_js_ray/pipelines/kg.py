@@ -16,7 +16,8 @@ from __future__ import annotations
 import time
 
 from ..stages.canonicalize import (
-    ApplyCanonicalMap, build_canonical_map, dedup_triples, with_part_key,
+    ApplyCanonicalMap, build_canonical_map, combine_distinct, part_distinct,
+    with_part_key,
 )
 from ..stages.extract import extract_triples
 from ..stages.linking import build_alias_dict, link_entities
@@ -54,10 +55,16 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
         raw_dir = os.path.join(out_dir, "triples_raw")
         shutil.rmtree(raw_dir, ignore_errors=True)
         t_x = time.monotonic()
-        triples.write_parquet(raw_dir)
+        # bound the file count: a wide cluster otherwise writes one tiny
+        # file per block and every downstream pass pays per-file/per-block
+        # overhead (64k rows ≈ a few MB of triples per file)
+        triples.write_parquet(raw_dir, min_rows_per_file=65536)
         metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
         import ray.data as rd
-        triples = rd.read_parquet(raw_dir)
+        # pin the (re-)read once: three downstream passes consume it, and
+        # object-store blocks (spillable) beat re-reading the many small
+        # files a wide write_parquet produces
+        triples = rd.read_parquet(raw_dir).materialize()
     else:
         t_x = time.monotonic()
         triples = triples.materialize()
@@ -67,62 +74,82 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
         canonical = triples
         mapping = {}
     else:
+        t_s = time.monotonic()
         alias = build_alias_dict(triples)
         metrics["alias_entries"] = len(alias)
+        metrics["stages"]["alias_sec"] = round(time.monotonic() - t_s, 3)
         alias_ref = ray.put(alias)
 
+        t_s = time.monotonic()
         mentions = detect_mentions(triples, concurrency=actor_concurrency)
         links = link_entities(mentions, alias_ref, concurrency=actor_concurrency)
         mapping = build_canonical_map(links)
         metrics["canonical_map_entries"] = len(mapping)
+        metrics["stages"]["link_sec"] = round(time.monotonic() - t_s, 3)
 
     mapping_ref = ray.put(mapping)
     canonical = triples.map_batches(
         ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
-        batch_format="pyarrow", concurrency=actor_concurrency, num_cpus=0.5)
+        batch_format="pyarrow", concurrency=(1, actor_concurrency),
+        num_cpus=0.5)
 
-    deduped = with_part_key(dedup_triples(canonical, keep_doc_id=True),
-                            num_partitions=num_partitions)
+    # Tail = ONE all-to-all: per-batch distinct combiner (shuffle-free) →
+    # part_key groupby whose per-group pass does the global distinct AND
+    # (when materializing) the partition write.  Equal triples share subj
+    # and hence part_key, so part_key-grouped dedup is exact; fusing the
+    # write into the same groupby avoids a second exchange.
+    keyed = with_part_key(combine_distinct(canonical, keep_doc_id=True),
+                          num_partitions=num_partitions)
 
+    t_s = time.monotonic()
     if out_dir is not None:
-        written = materialize_partitioned(
-            deduped, out_dir, num_partitions=num_partitions,
+        deduped, written = materialize_partitioned(
+            keyed, out_dir, num_partitions=num_partitions,
             input_fingerprint=input_fingerprint, resume=resume)
         metrics["partitions_written"] = written
+        metrics["stages"]["write_sec"] = round(time.monotonic() - t_s, 3)
+    else:
+        deduped = keyed.groupby("part_key").map_groups(
+            part_distinct(keep_doc_id=True), batch_format="pandas")
     metrics["wall_sec"] = round(time.monotonic() - t0, 3)
     return deduped, metrics
 
 
-def materialize_partitioned(triples_ds, out_dir: str, *, num_partitions: int,
-                            input_fingerprint: str, resume: bool) -> int:
+def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
+                            input_fingerprint: str, resume: bool,
+                            dedup: bool = True):
     """Partition-keyed parquet materialize with manifests + resume.
 
-    Skips partitions whose manifest matches ``input_fingerprint``; each
-    written partition directory is atomic (checkpoints module).  Partition
-    assignment reuses the precomputed ``part_key`` column (hash(subj) % P),
-    so this is ONE shuffle keyed the same way downstream consumers read.
+    ONE shuffle total: the ``part_key`` groupby whose per-group pass runs
+    the global exact-distinct (input is combiner output — per-batch
+    distinct rows) and writes the partition, keyed the same way
+    (hash(subj) % P) downstream consumers read.  Skips partitions whose
+    manifest matches ``input_fingerprint``; each written partition
+    directory is atomic (checkpoints module).  Returns (deduped Dataset,
+    partitions written).
     """
     done = checkpoints.completed_partitions(out_dir) if resume else {}
     skip = {k for k, m in done.items()
             if m.get("input_fingerprint") == input_fingerprint}
-
-    written = 0
+    distinct = part_distinct(keep_doc_id=True) if dedup else (lambda g: g)
 
     def write_group(group):
-        import pandas as pd
+        import pyarrow as pa
+        group = distinct(group)
         part_key = int(group["part_key"].iloc[0])
         if part_key not in skip:
-            import pyarrow as pa
             checkpoints.write_partition(
-                out_dir, part_key, pa.Table.from_pandas(group, preserve_index=False),
+                out_dir, part_key,
+                pa.Table.from_pandas(group, preserve_index=False),
                 input_fingerprint)
-        return pd.DataFrame({"part_key": [part_key], "rows": [len(group)]})
+        return group
 
-    stats = triples_ds.groupby("part_key").map_groups(write_group, batch_format="pandas")
-    written = stats.count()
+    deduped = keyed_ds.groupby("part_key").map_groups(
+        write_group, batch_format="pandas").materialize()
+    written = len(checkpoints.completed_partitions(out_dir))
     checkpoints.write_run_manifest(out_dir, {
         "input_fingerprint": input_fingerprint,
         "partitions": written,
         "resumed_skipped": sorted(skip),
     })
-    return written
+    return deduped, written

@@ -202,9 +202,20 @@ def documents_from_sf_table(sf_dir: str) -> "object":
 
     The wrapping template is deliberately simple enough that the emitted
     triples are SQL-derivable from the source table — this is what makes the
-    distributed extraction stage oracle-checkable end-to-end (each doc emits
-    exactly: (subj, dc:title, text-literal@lang) and (subj, dc:source,
-    source-IRI), subj = http://data.example/doc/{doc_id}).
+    distributed extraction stage oracle-checkable end-to-end.  Each doc
+    emits (subj = http://data.example/doc/{doc_id}):
+
+      (subj, dc:title,      text-literal@lang)
+      (subj, dc:source,     source-IRI)
+      (subj, dc:identifier, "doc{doc_id}"@lang)
+
+    Docs with ``doc_id % 50 == 7`` additionally carry a *mirror* section
+    under the alternate IRI http://mirror.example/doc/{doc_id} with the
+    same dc:identifier and dc:title — planted duplicate entities that the
+    KG pipeline's identifier-based entity resolution must merge (mirror
+    subject canonicalizes onto the primary IRI, after which exact dedup
+    collapses its triples), keeping the full kg_construct output
+    SQL-derivable too.
 
     Returns a ray.data.Dataset with DOCS_SCHEMA.
     """
@@ -220,12 +231,21 @@ def documents_from_sf_table(sf_dir: str) -> "object":
                 batch["doc_id"].to_pylist(), batch["text"].to_pylist(),
                 batch["lang"].to_pylist(), batch["source"].to_pylist()):
             esc = (text or "").replace("&", "&amp;").replace("<", "&lt;")
+            mirror = ""
+            if doc_id % 50 == 7:
+                mirror = (
+                    f'<div about="http://mirror.example/doc/{doc_id}">'
+                    f'<h2 property="dc:title">{esc}</h2>'
+                    f'<span property="dc:identifier">doc{doc_id}</span>'
+                    f"</div>"
+                )
             html = (
                 f'<html prefix="dc: http://purl.org/dc/terms/">'
                 f'<body about="http://data.example/doc/{doc_id}" lang="{lang}">'
                 f'<h1 property="dc:title">{esc}</h1>'
                 f'<a rel="dc:source" href="http://data.example/src/{source}">src</a>'
-                f"</body></html>"
+                f'<span property="dc:identifier">doc{doc_id}</span>'
+                f"{mirror}</body></html>"
             )
             rng = random.Random(doc_id)  # deterministic per-doc chunking
             doc_ids.append(f"doc-{doc_id}")

@@ -38,17 +38,27 @@ def with_part_key(triples_ds, num_partitions: int = 64):
     return triples_ds.map_batches(add, batch_format="pyarrow")
 
 
-def build_canonical_map(links_ds) -> dict[str, str]:
+def build_canonical_map(links_ds, *, identity_preds=None,
+                        min_score: float = 1.0) -> dict[str, str]:
     """links (subj ↔ entity evidence) → {term → canonical IRI}.
 
-    Groups link evidence by entity and maps every subject that linked to an
-    entity onto that entity's IRI.  Distributed pre-aggregation: per-batch
-    distinct pairs, then a global groupby on entity.
+    Only *identity-bearing* evidence merges nodes: a mention in a
+    dc:identifier / owl:sameAs literal that exact-matches an alias
+    (score ≥ ``min_score``) says "this subject IS that entity"; a title
+    merely *mentioning* an entity must not collapse the two nodes.
+    Distributed pre-aggregation: per-batch distinct pairs, then a global
+    groupby on subj taking the lexicographically-smallest entity.
     """
     from ray.data.aggregate import Min
 
+    from .linking import IDENTITY_PREDS
+    preds = IDENTITY_PREDS if identity_preds is None else frozenset(identity_preds)
+
     def distinct_pairs(batch: pa.Table) -> pa.Table:
-        tbl = batch.select(["subj", "entity"])
+        mask = pc.and_(pc.is_in(batch["pred"],
+                                value_set=pa.array(sorted(preds))),
+                       pc.greater_equal(batch["score"], min_score))
+        tbl = batch.filter(mask).select(["subj", "entity"])
         return tbl.group_by(["subj", "entity"]).aggregate([])
 
     pairs = links_ds.map_batches(distinct_pairs, batch_format="pyarrow")
@@ -94,6 +104,36 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
     return triples_ds.map_batches(
         ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+
+
+def combine_distinct(triples_ds, keep_doc_id: bool = False):
+    """Stage-1 exact-dedup combiner: per-batch distinct on the triple key,
+    shuffle-free (``keep_doc_id`` keeps the smallest witness doc_id).
+    Shrinks what the downstream exchange must move to unique triples per
+    batch; pair with ONE keyed groupby (``part_key`` works, since equal
+    triples share subj and hence part_key) for the global pass."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        agg = [("doc_id", "min")] if keep_doc_id else []
+        cols = TRIPLE_KEY + (["doc_id"] if keep_doc_id else [])
+        out = batch.select(cols).group_by(TRIPLE_KEY).aggregate(agg)
+        if keep_doc_id:
+            out = out.rename_columns(TRIPLE_KEY + ["doc_id"])
+        return out
+
+    return triples_ds.map_batches(local_distinct, batch_format="pyarrow")
+
+
+def part_distinct(keep_doc_id: bool = False):
+    """Per-group global distinct for a part_key-grouped ``map_groups``."""
+    if keep_doc_id:
+        def f(group):
+            return group.sort_values("doc_id") \
+                        .drop_duplicates(subset=TRIPLE_KEY, keep="first")
+    else:
+        def f(group):
+            return group.drop_duplicates(subset=TRIPLE_KEY)
+    return f
 
 
 def dedup_triples(triples_ds, keep_doc_id: bool = False, num_buckets: int = 256):

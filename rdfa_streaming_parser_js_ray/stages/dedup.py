@@ -186,7 +186,14 @@ class JaccardVerifier:
 
 
 def minhash_dedup_pairs(ds, texts_ref, threshold: float = 0.8, **kwargs):
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    Broadcast-verify variant: ``texts_ref`` is a ``ray.put`` {doc_id→text}
+    map fetched once per verifier actor.  Right when the text corpus fits a
+    node; for corpora beyond node memory use
+    :func:`minhash_dedup_pairs_joined` (no broadcast, no driver
+    materialization).
+    """
     candidates = minhash_lsh_candidates(ds, **kwargs)
     if candidates.count() == 0:
         return candidates
@@ -196,6 +203,50 @@ def minhash_dedup_pairs(ds, texts_ref, threshold: float = 0.8, **kwargs):
                                    shingle_k=kwargs.get("shingle_k", 3),
                                    threshold=threshold),
         batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+
+def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
+                               num_buckets: int = 64,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               **kwargs):
+    """Near-dup pipeline with *joined* verification — the 100-TB path.
+
+    Candidate (doc_a, doc_b) pairs get their texts attached via two
+    partitioned hash joins against the documents dataset (each one
+    all-to-all exchange over the pair/text buckets; candidate pairs are a
+    tiny fraction of the corpus, texts stream through), then exact shingle
+    Jaccard is computed per pair.  Nothing is materialized on the driver
+    and no node ever holds the whole corpus.
+    """
+    from .joins import hash_join
+
+    candidates = minhash_lsh_candidates(ds, text_col=text_col,
+                                        id_col=id_col, **kwargs)
+    if candidates.count() == 0:
+        return candidates
+
+    def project(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({f"doc_{side}": batch[id_col],
+                                 f"text_{side}": batch[text_col]})
+        return f
+
+    texts_a = ds.map_batches(project("a"), batch_format="pandas")
+    texts_b = ds.map_batches(project("b"), batch_format="pandas")
+    with_a = hash_join(candidates, texts_a, on="doc_a",
+                       num_buckets=num_buckets)
+    with_b = hash_join(with_a, texts_b, on="doc_b", num_buckets=num_buckets)
+
+    k = kwargs.get("shingle_k", 3)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = [ngram_jaccard(a or "", b or "", k)
+                for a, b in zip(batch["text_a"], batch["text_b"])]
+        batch = batch.assign(jaccard=sims)
+        return batch.loc[batch["jaccard"] >= threshold,
+                         ["doc_a", "doc_b", "n_bands", "jaccard"]]
+
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # -------------------------------------------------------------- simhash --

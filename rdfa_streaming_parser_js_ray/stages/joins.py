@@ -16,7 +16,23 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
+
+
+def _bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
+    """Value-based bucket assignment, stable across container dtypes:
+    an int64 column and an object column holding the same Python ints
+    bucket identically (a merge output may carry object dtype)."""
+    if key.dtype.kind in "iu":
+        return (key.to_numpy() % num_buckets).astype("int32")
+    vals = key.tolist()
+    if vals and all(isinstance(v, (int, np.integer)) for v in vals):
+        return np.fromiter((int(v) % num_buckets for v in vals),
+                           dtype="int32", count=len(vals))
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % num_buckets for v in vals),
+        dtype="int32", count=len(vals))
 
 
 class BroadcastJoiner:
@@ -48,14 +64,8 @@ def broadcast_join(big_ds, small_ref, on: str, how: str = "inner",
 
 def _bucketed(ds, on: str, num_buckets: int, side: str):
     def add(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch[on]
-        if key.dtype.kind in "iu":
-            bucket = (key.to_numpy() % num_buckets).astype("int32")
-        else:
-            bucket = key.map(lambda v: zlib.crc32(str(v).encode()) % num_buckets) \
-                        .astype("int32")
         batch = batch.copy()
-        batch["_bucket"] = bucket
+        batch["_bucket"] = _bucket_of(batch[on], num_buckets)
         batch["_side"] = side
         return batch
     return ds.map_batches(add, batch_format="pandas")
@@ -84,13 +94,7 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
             batch = batch.copy()
             if side == "r":
                 batch = batch.rename(columns=rename)
-            key = batch[on]
-            if key.dtype.kind in "iu":
-                bucket = (key.to_numpy() % num_buckets).astype("int32")
-            else:
-                bucket = key.map(
-                    lambda v: zlib.crc32(str(v).encode()) % num_buckets
-                ).astype("int32")
+            bucket = _bucket_of(batch[on], num_buckets)
             for c in all_cols:
                 if c not in batch.columns:
                     batch[c] = pd.NA
@@ -103,8 +107,10 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
         .union(right_ds.map_batches(align("r"), batch_format="pandas"))
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["_side"] == "l"][left_cols]
-        right = group[group["_side"] == "r"][[c for c in right_out]]
+        # infer_objects(): the NA-padded union demotes columns to object;
+        # restore native dtypes so merge keys and outputs stay typed
+        left = group.loc[group["_side"] == "l", left_cols].infer_objects()
+        right = group.loc[group["_side"] == "r", right_out].infer_objects()
         return left.merge(right, on=on, how=how)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -22,26 +22,61 @@ LINKS_SCHEMA = pa.schema([
 ])
 
 
+IDENTITY_PREDS = frozenset((
+    "http://purl.org/dc/terms/identifier",
+    "http://purl.org/dc/elements/1.1/identifier",
+    "http://www.w3.org/2002/07/owl#sameAs",
+))
+
+
 def build_alias_dict(triples_ds, max_entities: int = 1_000_000) -> dict[str, str]:
-    """Derive a deterministic alias dictionary from the corpus's subject IRIs.
+    """Derive a deterministic alias dictionary from the corpus.
 
-    alias (lowercased last IRI path segment) → entity IRI.  The distinct-IRI
-    set is computed distributed (per-batch set reduction, then a small
-    driver-side merge) — only unique IRIs ever reach the driver.
+    Two evidence sources, both computed distributed (per-batch candidate
+    pairs → one grouped Min → only unique aliases reach the driver):
+
+    - lowercased last path segment of every subject IRI → that IRI;
+    - every identity-predicate literal (dc:identifier, owl:sameAs) →
+      lexicographically-smallest subject bearing it (ties between mirrors
+      of the same entity resolve to one canonical IRI deterministically).
     """
-    def distinct_subjects(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        mask = pc.invert(pc.starts_with(batch["subj"], pattern="_:"))
-        iris = pc.unique(batch.filter(mask)["subj"])
-        return pa.table({"subj": iris})
+    import pyarrow.compute as pc
 
-    uniq = triples_ds.map_batches(distinct_subjects, batch_format="pyarrow") \
-                     .unique("subj")
+    def candidate_pairs(batch: pa.Table) -> pa.Table:
+        aliases: list[str] = []
+        entities: list[str] = []
+        mask = pc.invert(pc.starts_with(batch["subj"], pattern="_:"))
+        for iri in pc.unique(batch.filter(mask)["subj"]).to_pylist():
+            tail = iri.rstrip("/#").rsplit("/", 1)[-1].split("#")[-1]
+            if tail:
+                aliases.append(tail.lower())
+                entities.append(iri)
+        id_mask = pc.and_(pc.is_in(batch["pred"],
+                                   value_set=pa.array(sorted(IDENTITY_PREDS))),
+                          pc.equal(batch["obj_kind"], "literal"))
+        idt = batch.filter(id_mask)
+        for subj, value in zip(idt["subj"].to_pylist(),
+                               idt["obj_value"].to_pylist()):
+            if value and not subj.startswith("_:"):
+                aliases.append(value.lower())
+                entities.append(subj)
+        return pa.table({"alias": pa.array(aliases, pa.string()),
+                         "entity": pa.array(entities, pa.string())})
+
+    pairs = triples_ds.map_batches(candidate_pairs, batch_format="pyarrow")
+    # The combiner already shrank each batch to unique (alias, entity)
+    # pairs; the global Min-merge runs driver-side over that combined
+    # stream — the same rows would cross the wire for a groupby, minus the
+    # sort.  (A corpus whose unique-alias set outgrew the driver would
+    # switch to ``pairs.groupby("alias").aggregate(Min("entity"))``.)
     alias: dict[str, str] = {}
-    for iri in sorted(uniq)[:max_entities]:
-        tail = iri.rstrip("/#").rsplit("/", 1)[-1].split("#")[-1]
-        if tail:
-            alias.setdefault(tail.lower(), iri)
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, e in zip(batch["alias"].to_pylist(), batch["entity"].to_pylist()):
+            prev = alias.get(a)
+            if prev is None or e < prev:
+                alias[a] = e
+        if len(alias) > max_entities:
+            break
     return alias
 
 
@@ -105,4 +140,4 @@ def link_entities(mentions_ds, alias_ref, concurrency: int = 4,
         EntityLinker,
         fn_constructor_kwargs={"alias_ref": alias_ref, "min_score": min_score},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=(1, concurrency), num_cpus=num_cpus)

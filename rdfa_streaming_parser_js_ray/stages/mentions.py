@@ -11,6 +11,7 @@ batch in ``__call__`` — the canonical actor-pool shape
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pyarrow as pa
 
@@ -70,15 +71,38 @@ class MentionDetector:
         return pa.table(rows, schema=MENTIONS_SCHEMA)
 
 
-def detect_mentions(triples_ds, concurrency: int = 4, batch_size: int = 8192,
-                    num_cpus: float = 0.5, **detector_kwargs):
-    """triples Dataset → mentions Dataset via an actor pool.
+@lru_cache(maxsize=8)
+def _cached_detector(min_token_len: int, lowercase_terms: bool) -> MentionDetector:
+    return MentionDetector(min_token_len=min_token_len,
+                           lowercase_terms=lowercase_terms)
 
-    Fractional ``num_cpus`` so the pool never reserves every core and
+
+def detect_mentions(triples_ds, concurrency: int | None = None,
+                    batch_size: int = 8192, num_cpus: float = 0.5,
+                    use_actors: bool = False, **detector_kwargs):
+    """triples Dataset → mentions Dataset.
+
+    Default is a *task*-pool ``map_batches`` — the detector holds no
+    broadcast state, so tasks (zero pool spin-up, patterns compiled once
+    per worker process via an ``lru_cache``) beat an actor pool.  Set
+    ``use_actors=True`` for the actor-pool shape (e.g. when swapping in a
+    real NER model whose load cost must be amortized in ``__init__``).
+    Fractional ``num_cpus`` so the stage never reserves every core and
     starves the extract/reduce stages sharing the node (ray_guide:
     actor-pool sizing).
     """
-    return triples_ds.map_batches(
-        MentionDetector, fn_constructor_kwargs=detector_kwargs,
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+    if use_actors:
+        return triples_ds.map_batches(
+            MentionDetector, fn_constructor_kwargs=detector_kwargs,
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, concurrency) if concurrency else None,
+            num_cpus=num_cpus)
+
+    min_token_len = detector_kwargs.get("min_token_len", 3)
+    lowercase_terms = detector_kwargs.get("lowercase_terms", True)
+
+    def detect(batch: pa.Table) -> pa.Table:
+        return _cached_detector(min_token_len, lowercase_terms)(batch)
+
+    return triples_ds.map_batches(detect, batch_format="pyarrow",
+                                  batch_size=batch_size, num_cpus=num_cpus)

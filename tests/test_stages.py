@@ -109,6 +109,29 @@ def test_minhash_finds_planted_near_dups(rd):
     assert (pairs["jaccard"] >= 0.5).all()
 
 
+def test_minhash_joined_verification_matches_broadcast(rd):
+    import ray
+    from rdfa_streaming_parser_js_ray.stages.dedup import (
+        minhash_dedup_pairs, minhash_dedup_pairs_joined,
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 15
+    texts = {
+        1: base,
+        2: base + "slightly longer tail",
+        3: "wholly different subject matter words repeated often " * 15,
+        4: base.replace("gamma", "NU"),
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    bc = minhash_dedup_pairs(ds, ray.put(texts), threshold=0.5,
+                             concurrency=1).to_pandas()
+    jn = minhash_dedup_pairs_joined(ds, threshold=0.5, num_buckets=4,
+                                    concurrency=1).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"],
+                                df["jaccard"].round(9)))
+    assert key(bc) == key(jn)
+    assert len(jn) > 0
+
+
 def test_simhash_near_dup_pairs(rd):
     from rdfa_streaming_parser_js_ray.stages.dedup import simhash_near_dup_pairs
     base = "one two three four five six seven eight nine ten " * 10
@@ -212,6 +235,23 @@ def test_kg_construct_canonicalizes(rd):
     # canonicalization must leave no duplicate triples
     key = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
     assert not df.duplicated(subset=key).any()
+
+
+def test_kg_construct_merges_planted_mirrors(rd):
+    """Docs with doc_id % 50 == 7 carry a mirror section under an alternate
+    IRI sharing the dc:identifier; identifier-based entity resolution must
+    map every mirror subject onto the primary IRI and dedup must collapse
+    the mirror's triples (this is what makes kg_construct SQL-oracleable)."""
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.sources.documents import documents_from_sf_table
+    docs = documents_from_sf_table("/root/testdata/sf0.001")
+    n_docs = docs.count()
+    triples, metrics = construct_kg(docs)
+    df = triples.to_pandas()
+    n_mirrors = len([i for i in range(n_docs) if i % 50 == 7])
+    assert metrics["canonical_map_entries"] == n_mirrors > 0
+    assert not df["subj"].str.contains("mirror.example").any()
+    assert len(df) == 3 * n_docs
 
 
 def test_repartition_weighted_isolates_giants(rd):
