@@ -324,6 +324,66 @@ def q_pricing_summary(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_top_terms(sf_dir: str):
+    """Distributed heavy hitters: per-batch term-count combiner (the only
+    thing crossing the exchange is unique terms per batch) → small global
+    groupby → top-50.  The wordcount shape every corpus-stats job needs."""
+    import re
+    from collections import Counter
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counts.update(token_re.findall((text or "").lower()))
+        return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    totals = _sf_documents(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+    return totals.map_batches(to_int, batch_format="pandas") \
+                 .sort(["n", "term"], descending=[True, False]).limit(50)
+
+
+def q_events_filtered(sf_dir: str):
+    """Prune at the read: column projection + row-filter expression pushed
+    into read_parquet (only matching row groups/columns leave storage),
+    then a pre-aggregated rollup."""
+    import ray.data as rd
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=(pads.field("value") > 50.0))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grouped = batch.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"), sum_value_cents=("value", "sum"))
+        grouped["sum_value_cents"] = (grouped["sum_value_cents"] * 100).round()
+        return grouped
+
+    out = events.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["sum_value_cents"] = batch["sum_value_cents"].round().astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
 def q_span_audit(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.extract import span_audit
     return span_audit(_wrapped_docs(sf_dir))
@@ -359,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "distinct_langs": q_distinct_langs,
         "pricing_summary": q_pricing_summary,
+        "top_terms": q_top_terms,
+        "events_filtered": q_events_filtered,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "span_audit": q_span_audit,
@@ -513,6 +575,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_tokens DESC, doc_id LIMIT 20
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_terms": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "events_filtered": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+            FROM events WHERE value > 50.0 GROUP BY 1
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) AS sum_qty_cents,
