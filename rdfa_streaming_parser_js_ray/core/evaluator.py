@@ -35,6 +35,16 @@ _RDF_NIL = NamedNode(RDF + "nil")
 _RDFA_USES_VOCAB = NamedNode(RDFA + "usesVocabulary")
 _XHV_ROLE = NamedNode(XHTML_VOCAB + "role")
 
+# Attributes that make a tag take the full RDFa processing sequence; a tag
+# carrying none of these (and no xml:*/xmlns*) is pure context inheritance.
+# href/src matter even alone (step 5.2 subject fallback); lang/prefix/vocab
+# mutate inherited context; role (W3C role spec) emits its own triple.
+_RDFA_RELEVANT_ATTRS = frozenset((
+    "about", "resource", "typeof", "property", "rel", "rev", "href", "src",
+    "content", "datatype", "datetime", "vocab", "prefix", "lang", "inlist",
+    "role",
+))
+
 
 class ActiveTag:
     """One evaluation-context frame per open element (IActiveTag.ts:7-30)."""
@@ -272,11 +282,15 @@ class RdfaEvaluator:
         tag.local_base_iri = parent.local_base_iri
         stack.append(tag)
 
-        # Fast path: a bare tag (no attributes) that isn't <base>/<time>,
-        # outside XMLLiteral capture and pattern collection, reduces the
-        # whole processing sequence to pure context inheritance — the
-        # dominant case in real-world markup.
-        if not attributes and not tag.collect_child_tags \
+        # Fast path: a tag with no RDFa-relevant attributes (bare, or only
+        # class/id/style/...) that isn't <base>/<time>, outside XMLLiteral
+        # capture and pattern collection, reduces the whole processing
+        # sequence to pure context inheritance — the dominant case in
+        # real-world markup, where most elements are plain structure.
+        if (not attributes
+            or _RDFA_RELEVANT_ATTRS.isdisjoint(attributes)
+                and not any(k.startswith("xml") for k in attributes)) \
+                and not tag.collect_child_tags \
                 and not (self._copy_patterns_active
                          and parent.collected_pattern_tag is not None) \
                 and name != "base" and name != "time":

@@ -132,11 +132,34 @@ def _synth_html(doc_id: str, rng: random.Random, depth_max: int, scale_chars: in
             return
         choice = rng.random()
         prop = rng.choice(_PROPS)
-        if choice < 0.35:
+        # ~half the elements are plain structure (class/id/nav markup with
+        # no RDFa attributes) — real pages are mostly un-annotated; the
+        # RDFa constructs sit inside that skeleton
+        if choice < 0.25:
+            text = " ".join(rng.choice(_PROPS) for _ in range(rng.randint(2, 10)))
+            parts.append(f'<p class="c{rng.randint(0, 30)}">{text}</p>')
+            budget[0] -= len(text) + 25
+        elif choice < 0.38:
+            parts.append(f'<div class="wrap{rng.randint(0, 9)}" '
+                         f'id="s{rng.randint(0, 999)}">')
+            if depth < depth_max:
+                for _ in range(rng.randint(1, 3)):
+                    emit_node(depth + 1)
+            parts.append("</div>")
+            budget[0] -= 45
+        elif choice < 0.48:
+            # plain nav link: href with no rel/rev/property still walks the
+            # full subject-resolution path (step 5.2) — keep some of each
+            if rng.random() < 0.5:
+                parts.append(f'<a class="nav" href="page{rng.randint(0, 99)}">x</a>')
+            else:
+                parts.append(f'<span class="badge" title="{prop}">x</span>')
+            budget[0] -= 40
+        elif choice < 0.6:
             text = " ".join(rng.choice(_PROPS) for _ in range(rng.randint(1, 8)))
             parts.append(f'<span property="{prop}">{text}</span>')
             budget[0] -= len(text) + 30
-        elif choice < 0.55:
+        elif choice < 0.72:
             eid = rng.randint(0, 199)
             # mention text matches the IRI tail so entity linking has signal
             parts.append(f'<div about="#Entity{eid}" typeof="Thing">'
@@ -146,16 +169,16 @@ def _synth_html(doc_id: str, rng: random.Random, depth_max: int, scale_chars: in
                     emit_node(depth + 1)
             parts.append("</div>")
             budget[0] -= 70
-        elif choice < 0.7:
+        elif choice < 0.8:
             parts.append(f'<a rel="ex:{prop}" href="item{rng.randint(0, 999)}">x</a>')
             budget[0] -= 40
-        elif choice < 0.8:
+        elif choice < 0.87:
             parts.append(f'<ul rel="ex:list{rng.randint(0, 9)}" inlist="">')
             for i in range(rng.randint(0, 3)):
                 parts.append(f'<li about="#i{rng.randint(0, 99)}"></li>')
             parts.append("</ul>")
             budget[0] -= 50
-        elif choice < 0.9:
+        elif choice < 0.94:
             parts.append(f'<time property="dateModified">20{rng.randint(10, 29)}-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}</time>')
             budget[0] -= 45
         else:

@@ -140,6 +140,27 @@ def extract_triples(docs_ds, *, profile: str = "",
     return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def parse_errors(docs_ds, **extract_kwargs):
+    """Per-document error lineage (SURVEY.md §4): one row per document
+    whose parse raised, with the error text — the companion to
+    ``extract_triples``'s best-effort skip, so a run can account for every
+    input row (extracted + errored = total)."""
+
+    def errs(batch: pa.Table) -> pa.Table:
+        doc_ids, errors = [], []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(),
+                                 batch["spans"].to_pylist()):
+            try:
+                triples_for_document(doc_id, spans, **extract_kwargs)
+            except Exception as exc:  # noqa: BLE001 - lineage wants them all
+                doc_ids.append(doc_id)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                         "error": pa.array(errors, pa.string())})
+
+    return docs_ds.map_batches(errs, batch_format="pyarrow")
+
+
 def span_audit(docs_ds):
     """Per-row span-sequence audit record: (doc_id, n_spans, n_text, n_media,
     fingerprint) where fingerprint hashes the ordered (kind, text, media_ref)

@@ -15,6 +15,38 @@ DOC = """<html>
 </html>"""
 
 
+def test_fast_path_equivalent_to_full_sequence():
+    """Tags with only RDFa-irrelevant attributes (class/id/style) take the
+    inheritance fast path; forcing them through the full processing
+    sequence (by making 'class'/'id'/... \"relevant\") must not change any
+    emitted triple on a corpus that mixes plain and annotated markup."""
+    from rdfa_streaming_parser_js_ray.core import evaluator as ev_mod
+    from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+    from rdfa_streaming_parser_js_ray.sources.documents import synthesize_documents
+
+    tbl = synthesize_documents(60, seed=99)
+    docs = ["".join(s["text"] for s in row["spans"] if s["kind"] == "text")
+            for row in tbl.to_pylist()]
+
+    def run():
+        out = []
+        for i, html in enumerate(docs):
+            p = RdfaParser(base_iri=f"http://e.org/d{i}")
+            p.write(html)
+            p.end()
+            out.append(p.triples)
+        return out
+
+    fast = run()
+    saved = ev_mod._RDFA_RELEVANT_ATTRS
+    try:
+        ev_mod._RDFA_RELEVANT_ATTRS = saved | {"class", "id", "style", "title"}
+        full = run()
+    finally:
+        ev_mod._RDFA_RELEVANT_ATTRS = saved
+    assert fast == full
+
+
 def test_chunked_write_equals_single_shot():
     whole = parse_rdfa(DOC, base_iri="http://example.org/")
     for chunk_size in (1, 3, 7, 100):

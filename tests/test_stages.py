@@ -254,6 +254,45 @@ def test_kg_construct_merges_planted_mirrors(rd):
     assert len(df) == 3 * n_docs
 
 
+def test_kg_construct_resume_skips_written_partitions(rd, tmp_path):
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.state import checkpoints
+    docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
+    out = str(tmp_path / "kg")
+    first, m1 = construct_kg(docs, out_dir=out, num_partitions=8,
+                             input_fingerprint="fp-A")
+    df1 = first.to_pandas().sort_values(["subj", "pred", "obj_value"]) \
+               .reset_index(drop=True)
+    assert m1["partitions_written"] > 0
+    # second run, same fingerprint: every finished partition is skipped,
+    # and the returned dataset is identical
+    second, m2 = construct_kg(docs, out_dir=out, num_partitions=8,
+                              input_fingerprint="fp-A")
+    manifest = checkpoints.completed_partitions(out)
+    df2 = second.to_pandas().sort_values(["subj", "pred", "obj_value"]) \
+                .reset_index(drop=True)
+    assert df1[df2.columns].equals(df2[df2.columns])
+    assert m2["partitions_written"] == m1["partitions_written"]
+    assert all(m.get("input_fingerprint") == "fp-A" for m in manifest.values())
+    # a changed fingerprint rewrites (no stale-skip)
+    third, m3 = construct_kg(docs, out_dir=out, num_partitions=8,
+                             input_fingerprint="fp-B")
+    assert {m.get("input_fingerprint")
+            for m in checkpoints.completed_partitions(out).values()} == {"fp-B"}
+
+
+def test_parse_errors_lineage(rd):
+    from rdfa_streaming_parser_js_ray.stages.extract import (
+        extract_triples, parse_errors,
+    )
+    docs = rd.from_arrow(synthesize_documents(20, seed=5))
+    errs = parse_errors(docs).to_pandas()
+    n_ok = extract_triples(docs).to_pandas()["doc_id"].nunique()
+    # well-formed corpus: every row accounted for, none errored
+    assert len(errs) == 0 and n_ok == 20
+    assert set(parse_errors(docs).schema().names) == {"doc_id", "error"}
+
+
 def test_repartition_weighted_isolates_giants(rd):
     from rdfa_streaming_parser_js_ray.stages.skew import repartition_weighted
     from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
