@@ -1,0 +1,119 @@
+"""Property-based robustness tests (hypothesis).
+
+The reference ships no randomized tests (SURVEY.md §5); these pin the
+invariants that matter for a distributed engine, where one malformed
+document must never poison a block:
+
+- the parser never raises on arbitrary text (malformed markup included);
+- chunked writes == single-shot parse for ANY chunking of ANY input;
+- the fast regex tokenizer and the stdlib-based reference tokenizer
+  produce identical triples on arbitrary tag soup.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from rdfa_streaming_parser_js_ray.core.evaluator import RdfaEvaluator
+from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+from rdfa_streaming_parser_js_ray.core.tokenizer import (
+    FastHtmlTokenizer, HtmlTokenizer,
+)
+
+# tag soup: fragments that compose into plausible-to-broken markup
+_FRAGMENTS = st.sampled_from([
+    "<div>", "</div>", "<span property=\"p\">", "</span>", "text ",
+    "<a rel=\"x:y\" href=\"i\">", "</a>", "&amp;", "&am", "<", ">", "\"",
+    "<p property=\"dc:title\" content=\"c\"/>", "<!-- c -->", "<!doctype html>",
+    "<base href=\"http://b.org/\"/>", "<time property=\"t\">2020-01-02</time>",
+    "<ul rel=\"m\" inlist=\"\">", "</ul>", "<li about=\"#i\">", "</li>",
+    "<div about=\"#e\" typeof=\"T\">", "<b class=\"x\">", "</b>",
+    "<span prefix=\"q: http://q/\">", "<x:y>", "</x:y>", "<svg xml:lang=\"fr\">",
+    "< notatag", "<script>var a = '<div>';</script>", "é中 ",
+    "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
+])
+_SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
+
+
+def _parse(html: str, tokenizer_cls=None) -> list:
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out.append((s, p, o)))
+    tk = (tokenizer_cls or FastHtmlTokenizer)(ev)
+    tk.write(html)
+    tk.end()
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(html=st.text(max_size=400))
+def test_never_raises_on_arbitrary_text(html):
+    _parse(html)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html=_SOUP)
+def test_never_raises_on_tag_soup(html):
+    _parse(html)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=_SOUP, data=st.data())
+def test_chunked_equals_single_shot(html, data):
+    full = _parse(html)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=6))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=max(0, len(html))),
+        min_size=n_cuts, max_size=n_cuts)))
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out.append((s, p, o)))
+    tk = FastHtmlTokenizer(ev)
+    prev = 0
+    for c in cuts + [len(html)]:
+        tk.write(html[prev:c])
+        prev = c
+    tk.end()
+    assert out == full
+
+
+@settings(max_examples=200, deadline=None)
+@given(html=_SOUP)
+def test_fast_tokenizer_matches_stdlib(html):
+    assert _parse(html, FastHtmlTokenizer) == _parse(html, HtmlTokenizer)
+
+
+@settings(max_examples=100, deadline=None)
+@given(html=st.text(max_size=300))
+def test_fast_tokenizer_matches_stdlib_on_text(html):
+    assert _parse(html, FastHtmlTokenizer) == _parse(html, HtmlTokenizer)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=_SOUP, data=st.data())
+def test_xml_mode_chunked_equals_single_shot(html, data):
+    def run(chunks):
+        out = []
+        p = RdfaParser(base_iri="http://e.org/", profile="xml",
+                       emit=lambda s, p_, o: out.append((s, p_, o)))
+        for c in chunks:
+            p.write(c)
+        p.end()
+        return out
+
+    full = run([html])
+    n_cuts = data.draw(st.integers(min_value=0, max_value=6))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=max(0, len(html))),
+        min_size=n_cuts, max_size=n_cuts)))
+    bounds = [0] + cuts + [len(html)]
+    assert run([html[a:b] for a, b in zip(bounds, bounds[1:])]) == full
+
+
+@settings(max_examples=100, deadline=None)
+@given(html=_SOUP)
+def test_parser_api_matches_evaluator(html):
+    p = RdfaParser(base_iri="http://e.org/")
+    p.write(html)
+    p.end()
+    assert p.triples == _parse(html)
