@@ -178,7 +178,10 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
                     out["cosine"].append(round(float(sims[i, j]), 6))
         return pd.DataFrame(out)
 
-    found = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    # materialize before the empty-guard count so the groupby below reads
+    # the computed blocks instead of recomputing the lineage
+    found = bucketed.groupby("bucket").map_groups(
+        pairs, batch_format="pandas").materialize()
     if found.count() == 0:
         return found
 

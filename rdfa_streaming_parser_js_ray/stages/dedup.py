@@ -79,7 +79,9 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     for i, s in enumerate(shingles):
         b = s.encode()
         out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
-    return out
+    # Jaccard is set-valued: duplicate shingles never change a min, so
+    # uniquing up front shrinks the minhash matrix for free
+    return np.unique(out)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -118,7 +120,11 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         h = _shingle_hashes(text, self.shingle_k)
-        # (a*h + b) mod p, row-wise min — vectorized over shingles × perms
+        # (a*h + b) in uint64 wraparound arithmetic, then mod p — a
+        # multiply-shift-style universal hash family (the 2^64 wrap is
+        # deliberate; exact mod-p permutations aren't required for
+        # min-wise estimation, deterministic uniformity is), row-wise min
+        # vectorized over shingles × perms
         prod = (self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1)
 
@@ -155,13 +161,19 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
         return pd.DataFrame({"doc_a": joined["doc_id_a"],
                              "doc_b": joined["doc_id_b"]})
 
-    pairs = band_rows.groupby("band").map_groups(band_pairs,
-                                                 batch_format="pandas")
+    # materialize before the empty-guard count: counting a lazy Dataset
+    # executes the whole lineage, and the aggregate below would then
+    # recompute it from scratch (double work)
+    pairs = band_rows.groupby("band").map_groups(
+        band_pairs, batch_format="pandas").materialize()
     if pairs.count() == 0:
         return pairs
-    # de-duplicate pairs found in multiple bands, counting agreements
+    # de-duplicate pairs found in multiple bands, counting agreements;
+    # materialized because every consumer both guards on count() and reads
+    # the rows (candidate sets are tiny relative to the corpus)
     from ray.data.aggregate import Count
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return pairs.groupby(["doc_a", "doc_b"]) \
+                .aggregate(Count(alias_name="n_bands")).materialize()
 
 
 class JaccardVerifier:
@@ -263,13 +275,17 @@ class SimHasher:
         tokens = (text or "").lower().split()
         if not tokens:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
         from collections import Counter
-        for token, count in Counter(tokens).items():
+        counts = Counter(tokens)
+        hashes = np.empty(len(counts), dtype=np.uint64)
+        weights = np.empty(len(counts), dtype=np.int64)
+        for i, (token, count) in enumerate(counts.items()):
             b = token.encode()
-            h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xBEEF)
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            acc += np.where(bits.astype(np.int64) > 0, count, -count)
+            hashes[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xBEEF)
+            weights[i] = count
+        # one vectorized (n_tokens, 64) bit expansion + weighted column sum
+        bits = np.unpackbits(hashes.view(np.uint8)).reshape(-1, 64)
+        acc = ((bits.astype(np.int64) * 2 - 1) * weights[:, None]).sum(axis=0)
         return int(np.packbits(acc > 0).view(">u8")[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -320,7 +336,8 @@ def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4):
                              "hamming": joined["hamming"]})
 
     pairs = sigs.map_batches(to_bands, batch_format="pandas") \
-                .groupby("band").map_groups(band_pairs, batch_format="pandas")
+                .groupby("band").map_groups(band_pairs, batch_format="pandas") \
+                .materialize()
     if pairs.count() == 0:
         return pairs
 
