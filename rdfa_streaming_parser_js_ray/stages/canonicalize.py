@@ -46,11 +46,10 @@ def build_canonical_map(links_ds, *, identity_preds=None,
     dc:identifier / owl:sameAs literal that exact-matches an alias
     (score ≥ ``min_score``) says "this subject IS that entity"; a title
     merely *mentioning* an entity must not collapse the two nodes.
-    Distributed pre-aggregation: per-batch distinct pairs, then a global
-    groupby on subj taking the lexicographically-smallest entity.
+    Distributed pre-aggregation: per-batch distinct pairs, then a
+    driver-side Min-merge (lexicographically-smallest entity wins —
+    deterministic and retry-stable).
     """
-    from ray.data.aggregate import Min
-
     from .linking import IDENTITY_PREDS
     preds = IDENTITY_PREDS if identity_preds is None else frozenset(identity_preds)
 
@@ -63,19 +62,20 @@ def build_canonical_map(links_ds, *, identity_preds=None,
 
     pairs = links_ds.map_batches(distinct_pairs, batch_format="pyarrow")
 
-    # per-subject: lexicographically-smallest entity (deterministic), as a
-    # vectorized grouped aggregate — NOT per-group Python calls
-    chosen = pairs.groupby("subj").aggregate(Min("entity", alias_name="entity"))
-
     # The canonical map is entity-level (orders of magnitude smaller than
-    # the triples), so it collects to the driver for broadcast; a corpus
-    # whose entity set outgrew driver memory would keep this as a Dataset
-    # and bucket-join it instead.
+    # the triples): per-batch distinct pairs stream to a driver-side
+    # Min-merge — the same unique rows a groupby would move, minus the
+    # sort exchange — then broadcast.  A corpus whose identity-evidence
+    # set outgrew driver memory would switch to
+    # ``pairs.groupby("subj").aggregate(Min("entity"))`` + bucket join.
     mapping: dict[str, str] = {}
-    for row in chosen.iter_rows():
-        if row["subj"] != row["entity"]:
-            mapping[row["subj"]] = row["entity"]
-    return mapping
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for subj, entity in zip(batch["subj"].to_pylist(),
+                                batch["entity"].to_pylist()):
+            prev = mapping.get(subj)
+            if prev is None or entity < prev:
+                mapping[subj] = entity
+    return {s: e for s, e in mapping.items() if s != e}
 
 
 class ApplyCanonicalMap:

@@ -12,8 +12,10 @@ scale):
 - n-gram Jaccard: exact verification kernel, also usable standalone.
 
 Scale notes: every groupby here is keyed on a hash (uniform, no skew);
-candidate verification uses a broadcast doc-text lookup at test scale and
-documents the bucket-join path for corpora whose text exceeds node memory.
+candidate verification has both shapes — broadcast doc-text lookup
+(``minhash_dedup_pairs``) for corpora that fit a node, and partitioned
+hash-join verification (``minhash_dedup_pairs_joined``) that never
+materializes texts anywhere for corpora that don't.
 """
 
 from __future__ import annotations
