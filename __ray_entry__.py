@@ -384,6 +384,31 @@ def q_events_filtered(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_degree_histogram(sf_dir: str):
+    """Two-level aggregation over the extracted graph: per-subject
+    out-degree (combiner + grouped Sum), then the degree distribution."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    triples = _extract(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["subj"]).group_by("subj") \
+                    .aggregate([("subj", "count")]) \
+                    .rename_columns(["subj", "out_degree"])
+
+    degrees = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby("subj").aggregate(Sum("out_degree", alias_name="out_degree"))
+    hist = degrees.groupby("out_degree").aggregate(Count(alias_name="n_subjects"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["out_degree"] = batch["out_degree"].astype("int64")
+        batch["n_subjects"] = batch["n_subjects"].astype("int64")
+        return batch
+    return hist.map_batches(to_int, batch_format="pandas")
+
+
 def q_span_audit(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.extract import span_audit
     return span_audit(_wrapped_docs(sf_dir))
@@ -421,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_terms": q_top_terms,
         "events_filtered": q_events_filtered,
+        "degree_histogram": q_degree_histogram,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "span_audit": q_span_audit,
@@ -585,6 +611,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events WHERE value > 50.0 GROUP BY 1
+        """,
+        "degree_histogram": """
+            WITH deg AS (
+              SELECT subj, COUNT(*) AS out_degree FROM (
+                SELECT 'http://data.example/doc/' || CAST(doc_id AS VARCHAR) AS subj
+                FROM documents
+                CROSS JOIN (SELECT unnest([1, 2, 3]) AS arm)
+                UNION ALL
+                SELECT 'http://mirror.example/doc/' || CAST(doc_id AS VARCHAR) AS subj
+                FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS arm)
+                WHERE doc_id % 50 = 7
+              ) GROUP BY subj)
+            SELECT out_degree, COUNT(*) AS n_subjects FROM deg GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
