@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import re
 
-from .iri import resolve_iri
 
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..core.parser import RdfaParser
 from ..core.profiles import RdfaFeatures
-from ..core.terms import BlankNode, Literal, NamedNode
+from ..core.terms import BlankNode, Literal
 from ..sources.documents import TRIPLES_SCHEMA
 
 DEFAULT_PARTITIONS = 64
