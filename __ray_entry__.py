@@ -133,6 +133,19 @@ def q_ann_topk(sf_dir: str):
     return topk.groupby("qid").map_groups(rank, batch_format="pandas")
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (coarse k-means quantizer + nprobe cluster
+    scan) — the inverted-file scale path; approximate, so rows-only."""
+    import ray.data as rd
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.ann import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(emb.take(200), key=lambda r: r["vec_id"])[:5]
+    q = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    return ivf_topk(emb, q, k=10, n_centroids=32, nprobe=8, concurrency=2)
+
+
 def q_embedding_near_dups(sf_dir: str):
     import ray.data as rd
     from rdfa_streaming_parser_js_ray.stages.ann import embedding_near_dup_pairs
@@ -436,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,

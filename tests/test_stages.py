@@ -308,6 +308,27 @@ def test_repartition_weighted_isolates_giants(rd):
     assert a.equals(b)
 
 
+def test_ivf_topk_recall(rd):
+    import ray
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.ann import brute_force_topk, ivf_topk
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((500, 32)).astype(np.float64)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": mat[i].tolist()} for i in range(500)])
+    q = mat[:4]
+    approx = ivf_topk(ds, q, k=5, n_centroids=16, nprobe=4,
+                      sample_size=500).to_pandas()
+    exact = brute_force_topk(ds, ray.put(q), k=5).to_pandas()
+    # each query must at least find itself (it lives in its probed cluster)
+    for qid in range(4):
+        got = set(approx[approx["qid"] == qid]["vec_id"])
+        assert qid in got
+        want = set(exact[exact["qid"] == qid]["vec_id"])
+        # recall@5 with nprobe=4/16 clusters: expect most true neighbors
+        assert len(got & want) >= 2, (qid, got, want)
+
+
 def test_lsh_bucketed_topk_recall(rd):
     import ray
     import numpy as np
