@@ -422,6 +422,25 @@ def q_degree_histogram(sf_dir: str):
     return hist.map_batches(to_int, batch_format="pandas")
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling: each video ref explodes to n evenly-spaced
+    decoded frames (stub codec, real fan-out plumbing); returns the frame
+    index manifest (tensors dropped for the driver compare)."""
+    from rdfa_streaming_parser_js_ray.stages.media import (
+        media_manifest, sample_video_frames,
+    )
+    import pandas as pd
+
+    frames = sample_video_frames(media_manifest(_wrapped_docs(sf_dir)),
+                                 n_frames=3, concurrency=2)
+
+    def meta(batch: dict) -> pd.DataFrame:
+        return pd.DataFrame({"media_ref": batch["media_ref"],
+                             "doc_id": batch["doc_id"],
+                             "frame_index": batch["frame_index"]})
+    return frames.map_batches(meta, batch_format="numpy")
+
+
 def q_span_audit(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.extract import span_audit
     return span_audit(_wrapped_docs(sf_dir))
@@ -463,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q_degree_histogram,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "span_audit": q_span_audit,
     }
 

@@ -67,6 +67,10 @@ def write_table(ds, path: str, **kwargs):
     return ds.write_parquet(path, **kwargs)
 
 
+# deterministic kind mix for the media manifest (image/audio/video/unknown)
+_MEDIA_EXTS = (".png", ".mp3", ".mp4", "")
+
+
 def spans_from_html(doc_id: str, html: str, rng: random.Random,
                     max_text_spans: int = 8, max_media_spans: int = 3) -> list[dict]:
     """Pack one document's markup into an interleaved span sequence.
@@ -94,14 +98,16 @@ def spans_from_html(doc_id: str, html: str, rng: random.Random,
     for i, piece in enumerate(pieces):
         while media_i < len(media_slots) and media_slots[media_i] == i:
             spans.append({"kind": "media", "text": "",
-                          "media_ref": f"media://{doc_id}/m{media_i}", "offset": offset})
+                          "media_ref": f"media://{doc_id}/m{media_i}{_MEDIA_EXTS[media_i % 4]}",
+                          "offset": offset})
             offset += 1
             media_i += 1
         spans.append({"kind": "text", "text": piece, "media_ref": "", "offset": offset})
         offset += 1
     while media_i < len(media_slots):
         spans.append({"kind": "media", "text": "",
-                      "media_ref": f"media://{doc_id}/m{media_i}", "offset": offset})
+                      "media_ref": f"media://{doc_id}/m{media_i}{_MEDIA_EXTS[media_i % 4]}",
+                      "offset": offset})
         offset += 1
         media_i += 1
     return spans

@@ -116,6 +116,77 @@ class MediaFeaturizer:
         })
 
 
+class MediaResizer:
+    """Resize decoded frames to a target (h, w) — strided nearest-neighbor
+    in pure numpy (real resize math; swapping in PIL/cv2 changes only the
+    kernel, not the stage shape).  Runs on the numpy batch format so the
+    (N, H, W, C) tensor stays a single contiguous array end to end."""
+
+    def __init__(self, height: int, width: int):
+        self.h = height
+        self.w = width
+
+    def __call__(self, batch: dict) -> dict:
+        frames = batch["frame"]
+        n, src_h, src_w = frames.shape[:3]
+        ys = (np.arange(self.h) * src_h // self.h)
+        xs = (np.arange(self.w) * src_w // self.w)
+        batch["frame"] = frames[:, ys[:, None], xs[None, :], :]
+        return batch
+
+
+def resize_media(frames_ds, height: int, width: int, concurrency: int = 2,
+                 batch_size: int = 64):
+    return frames_ds.map_batches(
+        MediaResizer, fn_constructor_kwargs=dict(height=height, width=width),
+        batch_format="numpy", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=0.5)
+
+
+class FrameSampler:
+    """Video frame sampling: decode ``n_frames`` evenly-spaced frames per
+    video ref (stub codec — one deterministic fake frame per (ref, index);
+    a real libav reader seeks the same way).  Output explodes one video
+    row into n_frames rows, keyed (media_ref, frame_index)."""
+
+    def __init__(self, n_frames: int = 4, height: int = 32, width: int = 32,
+                 channels: int = 3, total_frames: int = 256):
+        self.n = n_frames
+        self.shape = (height, width, channels)
+        self.total = total_frames
+
+    def __call__(self, batch: pd.DataFrame) -> dict:
+        refs, docs, idxs, tensors = [], [], [], []
+        indices = (np.arange(self.n) * self.total) // self.n
+        for doc_id, ref in zip(batch["doc_id"], batch["media_ref"]):
+            for i in indices:
+                refs.append(ref)
+                docs.append(doc_id)
+                idxs.append(int(i))
+                tensors.append(_fake_decode(f"{ref}#frame={i}", self.shape))
+        return {
+            "media_ref": np.asarray(refs, dtype=object),
+            "doc_id": np.asarray(docs, dtype=object),
+            "frame_index": np.asarray(idxs, dtype=np.int32),
+            "frame": np.stack(tensors) if tensors
+            else np.zeros((0,) + self.shape, dtype=np.uint8),
+        }
+
+
+def sample_video_frames(manifest_ds, n_frames: int = 4, concurrency: int = 2,
+                        batch_size: int = 16, **kwargs):
+    """video rows of the manifest → (media_ref, frame_index, frame) rows.
+
+    Small batch_size: each input row fans out to n_frames decoded tensors
+    (batch bytes = batch_size × n_frames × frame bytes must fit the heap).
+    """
+    videos = manifest_ds.filter(lambda row: row["kind"] == "video")
+    return videos.map_batches(
+        FrameSampler, fn_constructor_kwargs=dict(n_frames=n_frames, **kwargs),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=0.5)
+
+
 def decode_and_featurize(manifest_ds, concurrency: int = 2, batch_size: int = 64,
                          height: int = 32, width: int = 32):
     """media manifest → decoded frames → features (two actor-pool stages,

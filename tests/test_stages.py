@@ -194,6 +194,27 @@ def test_media_stub_decode(rd):
         MediaDecoder(strict=True)(pd.DataFrame({"media_ref": ["x"], "doc_id": ["d"]}))
 
 
+def test_media_frame_sample_and_resize(rd):
+    from rdfa_streaming_parser_js_ray.stages.media import (
+        MediaDecoder, media_manifest, resize_media, sample_video_frames,
+    )
+    docs = rd.from_arrow(synthesize_documents(60, seed=5))
+    manifest = media_manifest(docs).materialize()
+    kinds = set(manifest.to_pandas()["kind"])
+    assert "video" in kinds and "image" in kinds and "audio" in kinds
+    n_videos = manifest.filter(lambda r: r["kind"] == "video").count()
+    frames = sample_video_frames(manifest, n_frames=3, height=16, width=16)
+    fdf = frames.to_pandas()
+    assert len(fdf) == 3 * n_videos
+    assert set(fdf["frame_index"]) == {0, 85, 170}
+    # resize the decoded image frames 32x32 -> 8x8
+    decoded = manifest.map_batches(MediaDecoder, batch_format="pandas",
+                                   batch_size=32, concurrency=1, num_cpus=0.5)
+    small = resize_media(decoded, height=8, width=8, concurrency=1)
+    row = small.take(1)[0]
+    assert row["frame"].shape == (8, 8, 3)
+
+
 def test_tumbling_window_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.windows import tumbling_window_agg
