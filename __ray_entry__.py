@@ -264,6 +264,46 @@ def q_join_hash(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_suppliers_by_region(sf_dir: str):
+    """Chained broadcast joins (supplier ⋈ nation ⋈ region — both small
+    sides ship once via ray.put) + rollup per region."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"]).to_pandas() \
+        .rename(columns={"n_nationkey": "s_nationkey"})
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).to_pandas() \
+        .rename(columns={"r_regionkey": "n_regionkey"})
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    joined = broadcast_join(supplier, ray.put(nation), on="s_nationkey",
+                            concurrency=2)
+    joined = broadcast_join(joined, ray.put(region), on="n_regionkey",
+                            concurrency=2)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grouped = batch.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), acctbal_cents=("s_acctbal", "sum"))
+        grouped["acctbal_cents"] = (grouped["acctbal_cents"] * 100).round()
+        return grouped
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("r_name").aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_suppliers"] = batch["n_suppliers"].astype("int64")
+        batch["acctbal_cents"] = batch["acctbal_cents"].round().astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
 def q_media_manifest(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.media import media_manifest
     return media_manifest(_wrapped_docs(sf_dir))
@@ -480,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "events_filtered": q_events_filtered,
         "degree_histogram": q_degree_histogram,
+        "suppliers_by_region": q_suppliers_by_region,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -645,6 +686,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events WHERE value > 50.0 GROUP BY 1
+        """,
+        "suppliers_by_region": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(ROUND(SUM(s_acctbal) * 100) AS BIGINT) AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
         """,
         "degree_histogram": """
             WITH deg AS (
