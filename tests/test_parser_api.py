@@ -2,6 +2,8 @@
 hook, per-document isolation (reference RdfaParser.ts:68-85, README
 'direct SAX API', IHtmlParseListener)."""
 
+import pytest
+
 from rdfa_streaming_parser_js_ray.core.parser import (
     HtmlParseListener, RdfaParser, parse_rdfa,
 )
@@ -13,6 +15,56 @@ DOC = """<html>
     <h2 about="http://example2.org/" property="http://purl.org/dc/terms/title">The Trouble with Bob</h2>
 </body>
 </html>"""
+
+
+def test_emit_triple_validity_gate():
+    """emitTriple drops triples containing an invalid IRI term
+    (test/RdfParser-test.ts:96-124): valid terms emit, an invalid
+    subject/predicate/object suppresses the whole triple silently."""
+    from rdfa_streaming_parser_js_ray.core.evaluator import RdfaEvaluator
+    from rdfa_streaming_parser_js_ray.core.terms import NamedNode
+
+    ev = RdfaEvaluator(base_iri="http://example.org/")
+    ev.emit_triple(NamedNode("http://s"), NamedNode("http://p"),
+                   NamedNode("http://o"))
+    assert len(ev.triples) == 1
+    for s, p, o in (("s", "http://p", "http://o"),
+                    ("http://s", "p", "http://o"),
+                    ("http://s", "http://p", "o")):
+        ev.emit_triple(NamedNode(s), NamedNode(p), NamedNode(o))
+    assert len(ev.triples) == 1
+
+
+def test_errors_in_sax_callbacks_propagate():
+    """A throwing SAX callback surfaces to the caller instead of being
+    swallowed (test/RdfParser-test.ts:125-173) — per-document isolation
+    (catching per doc) is the extraction stage's job, not the parser's."""
+    from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+
+    html = '<html><body><h2 property="http://purl.org/dc/terms/title">T</h2></body></html>'
+    for method in ("on_tag_open", "on_text", "on_tag_close", "on_end"):
+        p = RdfaParser(base_iri="http://example.org/")
+        def boom(*a, **k):
+            raise RuntimeError("Dummy error")
+        setattr(p.evaluator, method, boom)
+        with pytest.raises(RuntimeError, match="Dummy error"):
+            p.write(html)
+            p.end()
+
+
+def test_base_without_href_keeps_base_iri():
+    """<base /> without href must not clobber the baseIRI
+    (test/RdfParser-test.ts:325-338)."""
+    from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+
+    p = RdfaParser(base_iri="http://example.org/")
+    p.write('<html><head><base /></head>'
+            '<body prefix="dc: http://purl.org/dc/terms/">'
+            '<div property="dc:title" resource="img.jpg"></div></body></html>')
+    p.end()
+    assert p.evaluator.base_iri == "http://example.org/"
+    assert any(o.value == "http://example.org/img.jpg"
+               for _, _, o in p.triples)
 
 
 def test_fast_path_equivalent_to_full_sequence():
