@@ -151,6 +151,10 @@ def q_embedding_near_dups(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.ann import embedding_near_dup_pairs
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
+    # NOTE: the synthetic embeddings table contains no near-duplicates
+    # (max off-diagonal cosine ≈ 0.51), so the correct answer is EMPTY;
+    # tests/test_stages.py::test_embedding_near_dups_planted proves the
+    # operator finds planted near-dups when they exist.
     return embedding_near_dup_pairs(emb, threshold=0.9, concurrency=2)
 
 

@@ -84,6 +84,18 @@ def run_benchmarks() -> dict:
     queries["kg_construct"] = round(dt, 3)
     throughput["kg_docs_per_s"] = round(n_docs / dt, 1)
 
+    # ---- q2b: KG construct on the synthetic corpus (realistic load: ------
+    # ~46 triples/doc, dense mentions) — shows the pipeline beyond the
+    # oracle-sized sf input
+    shutil.rmtree("/tmp/bench_kg_synth", ignore_errors=True)
+    t0 = time.monotonic()
+    construct_kg(docs, out_dir="/tmp/bench_kg_synth",
+                 actor_concurrency=max(2, NUM_CPUS // 4),
+                 input_fingerprint="bench-synth")
+    dt = time.monotonic() - t0
+    queries["kg_construct_synth"] = round(dt, 3)
+    throughput["kg_synth_docs_per_s"] = round(SYNTH_DOCS / dt, 1)
+
     # ---- q3: minhash-LSH near-dup candidates over documents --------------
     from rdfa_streaming_parser_js_ray.stages.dedup import minhash_lsh_candidates
     sf_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",

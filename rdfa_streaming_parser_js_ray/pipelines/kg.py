@@ -55,10 +55,11 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
         raw_dir = os.path.join(out_dir, "triples_raw")
         shutil.rmtree(raw_dir, ignore_errors=True)
         t_x = time.monotonic()
-        # bound the file count: a wide cluster otherwise writes one tiny
-        # file per block and every downstream pass pays per-file/per-block
-        # overhead (64k rows ≈ a few MB of triples per file)
-        triples.write_parquet(raw_dir, min_rows_per_file=65536)
+        # plain write (one file per block): min_rows_per_file would bound
+        # the file count but serializes the fused parse→write pipeline
+        # behind a handful of coalescing writers (measured 12× slower);
+        # the pinned re-read below absorbs the many-small-files cost
+        triples.write_parquet(raw_dir)
         metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
         import ray.data as rd
         # pin the (re-)read once: three downstream passes consume it, and
