@@ -246,6 +246,22 @@ def test_checkpoint_resume(tmp_path):
     assert 7 in checkpoints.completed_partitions(root)
 
 
+def test_hash_join_matches_pandas(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+    left = pd.DataFrame({"k": [1, 2, 3, 3, 5], "a": list("vwxyz")})
+    right = pd.DataFrame({"k": [2, 3, 3, 7], "b": list("pqrs"),
+                          "a": list("PQRS")})  # clashing col -> suffixed
+    lds = rd.from_pandas(left).repartition(2)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("inner", "left"):
+        got = hash_join(lds, rds, on="k", how=how, num_buckets=4).to_pandas()
+        want = left.merge(right.rename(columns={"a": "a_r"}), on="k", how=how)
+        key = lambda df: sorted(map(tuple, df[["k", "a", "b", "a_r"]]
+                                    .astype(str).itertuples(index=False)))
+        assert key(got) == key(want), how
+
+
 def test_kg_construct_canonicalizes(rd):
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
