@@ -86,15 +86,18 @@ def run_benchmarks() -> dict:
 
     # ---- q2b: KG construct on the synthetic corpus (realistic load: ------
     # ~46 triples/doc, dense mentions) — shows the pipeline beyond the
-    # oracle-sized sf input
+    # oracle-sized sf input.  Capped at 12k docs so --scaling's larger
+    # extraction corpus doesn't balloon this stage.
+    kg_docs_n = min(SYNTH_DOCS, 12000)
+    kg_docs = docs.limit(kg_docs_n).materialize() if kg_docs_n < SYNTH_DOCS else docs
     shutil.rmtree("/tmp/bench_kg_synth", ignore_errors=True)
     t0 = time.monotonic()
-    construct_kg(docs, out_dir="/tmp/bench_kg_synth",
+    construct_kg(kg_docs, out_dir="/tmp/bench_kg_synth",
                  actor_concurrency=max(2, NUM_CPUS // 4),
                  input_fingerprint="bench-synth")
     dt = time.monotonic() - t0
     queries["kg_construct_synth"] = round(dt, 3)
-    throughput["kg_synth_docs_per_s"] = round(SYNTH_DOCS / dt, 1)
+    throughput["kg_synth_docs_per_s"] = round(kg_docs_n / dt, 1)
 
     # ---- q3: minhash-LSH near-dup candidates over documents --------------
     from rdfa_streaming_parser_js_ray.stages.dedup import minhash_lsh_candidates

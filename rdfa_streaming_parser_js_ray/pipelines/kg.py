@@ -139,10 +139,15 @@ def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
         group = distinct(group)
         part_key = int(group["part_key"].iloc[0])
         if part_key not in skip:
+            lineage = {}
+            if "doc_id" in group.columns:
+                lineage = {"n_docs": int(group["doc_id"].nunique()),
+                           "doc_id_min": str(group["doc_id"].min()),
+                           "doc_id_max": str(group["doc_id"].max())}
             checkpoints.write_partition(
                 out_dir, part_key,
                 pa.Table.from_pandas(group, preserve_index=False),
-                input_fingerprint)
+                input_fingerprint, extra=lineage)
         return group
 
     deduped = keyed_ds.groupby("part_key").map_groups(
