@@ -246,6 +246,26 @@ def test_checkpoint_resume(tmp_path):
     assert 7 in checkpoints.completed_partitions(root)
 
 
+def test_extract_svg_profile_through_stage(rd):
+    """The xml(SVG) profile flows through the distributed stage: expat-mode
+    tokenizer, case-preserving names, self-closing tags."""
+    import pyarrow as pa
+    from rdfa_streaming_parser_js_ray.sources.documents import SPAN_STRUCT
+    from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
+    svg = ('<svg xmlns="http://www.w3.org/2000/svg" '
+           'prefix="dc: http://purl.org/dc/terms/">'
+           '<metadata property="dc:title" content="A Title"/></svg>')
+    tbl = pa.table({
+        "doc_id": pa.array(["svg-0"], pa.string()),
+        "spans": pa.array([[{"kind": "text", "text": svg, "media_ref": "",
+                             "offset": 0}]], pa.list_(SPAN_STRUCT)),
+    })
+    out = extract_triples(rd.from_arrow(tbl), profile="xml",
+                          base_iri="http://e.org/").to_pandas()
+    assert list(out["pred"]) == ["http://purl.org/dc/terms/title"]
+    assert list(out["obj_value"]) == ["A Title"]
+
+
 def test_hash_join_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.joins import hash_join
