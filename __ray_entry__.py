@@ -268,6 +268,26 @@ def q_join_hash(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic dataset splitting (hash-of-key modulo buckets) — the
+    standard reproducible train/val assignment for a training corpus;
+    vectorized pyarrow, no shuffle, stable under retries."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        bucket = pa.array(batch["doc_id"].to_numpy() % 10)
+        split = pc.if_else(pc.less(bucket, 8),
+                           pa.scalar("train"), pa.scalar("val"))
+        return batch.append_column("split", split)
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def q_suppliers_by_region(sf_dir: str):
     """Chained broadcast joins (supplier ⋈ nation ⋈ region — both small
     sides ship once via ray.put) + rollup per region."""
@@ -525,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered": q_events_filtered,
         "degree_histogram": q_degree_histogram,
         "suppliers_by_region": q_suppliers_by_region,
+        "train_val_split": q_train_val_split,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -690,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events WHERE value > 50.0 GROUP BY 1
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         "suppliers_by_region": """
             SELECT r_name, COUNT(*) AS n_suppliers,
