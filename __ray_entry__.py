@@ -27,9 +27,9 @@ def _wrapped_docs(sf_dir: str):
 
 
 def _sf_documents(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    from rdfa_streaming_parser_js_ray.sources.documents import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
 
 
 def _extract(sf_dir: str):

@@ -52,6 +52,23 @@ except ImportError:
     _HAVE_LANCE = False
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``read_parquet`` with a metadata-free explicit schema.
+
+    Pandas-written parquet carries schema metadata that is unhashable,
+    which defeats Ray's block-schema deduplication (a warning per fused
+    read task and a slower unify path); projecting to bare fields fixes
+    both.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    base = pq.read_schema(path)
+    names = columns if columns is not None else base.names
+    schema = pa.schema([base.field(n) for n in names])
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
 def read_documents(path: str, **kwargs):
     """documents table → ray.data.Dataset (Lance when available, else Parquet)."""
     import ray.data as rd
@@ -248,11 +265,8 @@ def documents_from_sf_table(sf_dir: str) -> "object":
 
     Returns a ray.data.Dataset with DOCS_SCHEMA.
     """
-    import ray.data as rd
-    import pyarrow.compute as pc  # noqa: F401
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang", "source"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "source"])
 
     def to_spans(batch: pa.Table) -> pa.Table:
         doc_ids, spans_col = [], []
