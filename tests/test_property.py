@@ -110,6 +110,20 @@ def test_xml_mode_chunked_equals_single_shot(html, data):
     assert run([html[a:b] for a, b in zip(bounds, bounds[1:])]) == full
 
 
+def test_unterminated_comment_dropped_like_htmlparser2():
+    """htmlparser2 flushes an unterminated ``<!--`` at EOF as a COMMENT
+    (no text events); the fast tokenizer matches that.  (The stdlib-based
+    HtmlTokenizer surfaces it as text — a known stdlib quirk, which is why
+    the differential corpus only contains complete comments.)"""
+    out = _parse('<p property="http://p/x">a<!--never closed')
+    assert [o.value for _, _, o in out] == ["a"]
+
+
+def test_dangling_tag_at_eof_surfaces_as_text():
+    out_frag = _parse('<p property="http://p/x">a<div')
+    assert [o.value for _, _, o in out_frag] == ["a<div"]
+
+
 @settings(max_examples=100, deadline=None)
 @given(html=_SOUP)
 def test_parser_api_matches_evaluator(html):
