@@ -66,6 +66,13 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_sf_documents(sf_dir))
 
 
+def q_dedup_corpus(sf_dir: str):
+    """Exact dedup emitting the surviving rows (the deduped corpus)."""
+    from rdfa_streaming_parser_js_ray.stages.dedup import exact_dedup_rows
+    return exact_dedup_rows(_sf_documents(sf_dir)) \
+        .select_columns(["doc_id", "text"])
+
+
 def q_token_counts(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.text import token_counts
     return token_counts(_sf_documents(sf_dir))
@@ -524,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfa_triple_counts": q_rdfa_triple_counts,
         "kg_construct": q_kg_construct,
         "exact_dedup": q_exact_dedup,
+        "dedup_corpus": q_dedup_corpus,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,
@@ -616,6 +624,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_corpus": """
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
         """,
         "token_counts": """
             SELECT doc_id,

@@ -67,6 +67,32 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 256):
+    """Emit the surviving full rows (smallest id per distinct text) — the
+    deduped corpus itself, which is what a training pipeline writes out.
+
+    Per-batch combiner keeps one candidate row per (hash) per batch, then
+    ONE hash-bucketed groupby picks the global winner per hash with a
+    vectorized sort + drop_duplicates per bucket (uniform buckets — the
+    key is a hash).
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_h"] = [_md5_hex(t or "") for t in batch[text_col]]
+        batch = batch.sort_values(id_col).drop_duplicates("_h", keep="first")
+        batch["_bucket"] = [int(h[:8], 16) % num_buckets for h in batch["_h"]]
+        return batch
+
+    def bucket_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col) \
+                    .drop_duplicates("_h", keep="first") \
+                    .drop(columns=["_h", "_bucket"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("_bucket").map_groups(bucket_first, batch_format="pandas")
+
+
 # ------------------------------------------------------------- shingles --
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
