@@ -110,6 +110,39 @@ def test_xml_mode_chunked_equals_single_shot(html, data):
     assert run([html[a:b] for a, b in zip(bounds, bounds[1:])]) == full
 
 
+_NASTY = st.sampled_from([
+    "<![CDATA[x<y]]>", "<?pi ?>", "<!--", "-->", "<div", "=", "'", "\x00",
+    "<meta charset=\"utf-8\">", "&#x41;", "&#65;", "&unknown;", "\\",
+    "<a href=\"x>y\">", "</p>", "</br>", "<br/>", "<p>", "<!doctype",
+])
+_NASTY_SOUP = st.lists(st.one_of(_FRAGMENTS, _NASTY),
+                       min_size=0, max_size=30).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html=_NASTY_SOUP, data=st.data())
+def test_nasty_soup_never_raises_and_chunk_invariant(html, data):
+    """Harsher fragment pool (unterminated constructs, null bytes, quoted
+    '>' in attributes, bare comment closers): must never raise and any
+    chunking must equal the single-shot parse.  (stdlib equality is NOT
+    asserted here — see the pinned EOF edge cases below.)"""
+    full = _parse(html)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=6))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=max(0, len(html))),
+        min_size=n_cuts, max_size=n_cuts)))
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out.append((s, p, o)))
+    tk = FastHtmlTokenizer(ev)
+    prev = 0
+    for c in cuts + [len(html)]:
+        tk.write(html[prev:c])
+        prev = c
+    tk.end()
+    assert out == full
+
+
 def test_unterminated_comment_dropped_like_htmlparser2():
     """htmlparser2 flushes an unterminated ``<!--`` at EOF as a COMMENT
     (no text events); the fast tokenizer matches that.  (The stdlib-based
