@@ -99,6 +99,38 @@ def test_fast_path_equivalent_to_full_sequence():
     assert fast == full
 
 
+def test_fast_path_completes_incomplete_triples_via_head_body_inherit():
+    """A bare <head>/<body> under an element with a pending @rel completes
+    the incomplete triple through the fast path (head/body subject
+    inheritance), identically to the full processing sequence — each child
+    that establishes a subject completes the parent's incompletes."""
+    from rdfa_streaming_parser_js_ray.core import evaluator as ev_mod
+    from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+
+    html = ('<html rel="http://ex.org/p"><head class="c"><title>t</title>'
+            '</head><body class="c" about="http://ex.org/me"><p>x</p>'
+            '</body></html>')
+
+    def run():
+        p = RdfaParser(base_iri="http://e.org/", profile="html")
+        p.write(html)
+        p.end()
+        return p.triples
+
+    fast = run()
+    saved = ev_mod._RDFA_RELEVANT_ATTRS
+    try:
+        ev_mod._RDFA_RELEVANT_ATTRS = saved | {"class"}
+        full = run()
+    finally:
+        ev_mod._RDFA_RELEVANT_ATTRS = saved
+    assert fast == full
+    # both head (inherited bnode object) and body (about) complete the rel
+    assert [(s.value, p.value) for s, p, _ in fast] == \
+        [("http://e.org/", "http://ex.org/p")] * 2
+    assert fast[1][2].value == "http://ex.org/me"
+
+
 def test_chunked_write_equals_single_shot():
     whole = parse_rdfa(DOC, base_iri="http://example.org/")
     for chunk_size in (1, 3, 7, 100):
