@@ -73,6 +73,15 @@ def q_dedup_corpus(sf_dir: str):
         .select_columns(["doc_id", "text"])
 
 
+def q_corpus_prep(sf_dir: str):
+    """Second flagship: full training-data prep (exact dedup → MinHash
+    near-dup removal → quality filter → deterministic split).  LSH makes
+    it non-SQL-expressible → rows-only."""
+    from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
+    final, _metrics = prepare_corpus(_sf_documents(sf_dir))
+    return final.select_columns(["doc_id", "split"])
+
+
 def q_token_counts(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.text import token_counts
     return token_counts(_sf_documents(sf_dir))
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": q_kg_construct,
         "exact_dedup": q_exact_dedup,
         "dedup_corpus": q_dedup_corpus,
+        "corpus_prep": q_corpus_prep,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,

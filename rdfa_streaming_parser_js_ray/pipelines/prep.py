@@ -1,0 +1,105 @@
+"""Training-data corpus preparation: the second flagship pipeline.
+
+Chains the training-data operators end to end over a raw documents table
+(doc_id, text):
+
+    exact dedup (surviving rows)          one hash-bucketed exchange
+    → MinHash-LSH near-dup removal        band groupby + joined verify
+    → quality filter                      vectorized map, no shuffle
+    → deterministic train/val split       hash-modulo map, no shuffle
+    → partitioned write by split          resumable parquet layout
+
+Everything before the near-dup candidate groupby is map-only; the kept
+corpus streams through — nothing is materialized on the driver except the
+(tiny) near-dup id set.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def prepare_corpus(docs_ds, out_dir: str | None = None, *,
+                   near_dup_threshold: float = 0.8,
+                   min_words: int = 5, max_stop_ratio: float = 0.9,
+                   train_mod: int = 10, train_buckets: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Returns (prepared Dataset, metrics dict).
+
+    Near-dup policy: within each verified near-dup pair the larger id is
+    dropped (the smaller survives) — deterministic and order-free.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..stages.dedup import exact_dedup_rows, minhash_dedup_pairs_joined
+
+    metrics: dict = {"stages": {}}
+    t0 = time.monotonic()
+
+    # 1. exact dedup, keeping full rows
+    t_s = time.monotonic()
+    unique_docs = exact_dedup_rows(docs_ds, text_col=text_col,
+                                   id_col=id_col).materialize()
+    metrics["stages"]["exact_dedup_sec"] = round(time.monotonic() - t_s, 3)
+    metrics["docs_after_exact"] = unique_docs.count()
+
+    # 2. near-dup removal: verified pairs → drop the larger id of each
+    t_s = time.monotonic()
+    pairs = minhash_dedup_pairs_joined(unique_docs,
+                                       threshold=near_dup_threshold,
+                                       text_col=text_col, id_col=id_col)
+    drop = {row["doc_b"] for row in pairs.iter_rows()}
+    metrics["near_dups_dropped"] = len(drop)
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        dropped = ray.get(drop_ref) if not isinstance(drop_ref, set) else drop_ref
+        return batch[~batch[id_col].isin(dropped)]
+
+    kept = unique_docs.map_batches(keep, batch_format="pandas")
+    metrics["stages"]["near_dup_sec"] = round(time.monotonic() - t_s, 3)
+
+    # 3. quality filter — features computed inline per batch (no driver
+    # round-trip; the scored columns are dropped after thresholding)
+    t_s = time.monotonic()
+    from ..stages.text import _STOPWORDS
+
+    def filter_quality(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        n_words = s.str.count(r"\S+")
+        words = s.str.lower().str.findall(r"[a-z]+")
+        sw = _STOPWORDS["en"]
+        n_stop = words.map(lambda w: sum(t in sw for t in w))
+        n_letter = words.map(len).replace(0, 1)
+        return batch[(n_words >= min_words)
+                     & ((n_stop / n_letter) <= max_stop_ratio)]
+
+    final = kept.map_batches(filter_quality, batch_format="pandas")
+    metrics["stages"]["quality_sec"] = round(time.monotonic() - t_s, 3)
+
+    # 4. deterministic split (hash-modulo; retry-stable, no shuffle)
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col]
+        if ids.dtype.kind in "iu":
+            bucket = ids.to_numpy() % train_mod
+        else:
+            import zlib
+            bucket = np.fromiter(
+                (zlib.crc32(str(v).encode()) % train_mod for v in ids),
+                dtype=np.int64, count=len(ids))
+        batch = batch.copy()
+        batch["split"] = np.where(bucket < train_buckets, "train", "val")
+        return batch
+
+    final = final.map_batches(assign, batch_format="pandas")
+
+    if out_dir is not None:
+        t_s = time.monotonic()
+        final.write_parquet(out_dir, partition_cols=["split"])
+        metrics["stages"]["write_sec"] = round(time.monotonic() - t_s, 3)
+
+    metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+    return final, metrics

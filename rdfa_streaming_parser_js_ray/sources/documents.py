@@ -130,6 +130,41 @@ def spans_from_html(doc_id: str, html: str, rng: random.Random,
     return spans
 
 
+def documents_from_files(paths: str | list[str], chunk_bytes: int = 0):
+    """HTML files on disk → interleaved-documents Dataset (one row per
+    file; doc_id = file path).
+
+    Mirrors the reference's file-stream entrypoint
+    (/root/reference/perf/RdfaParser-perf.ts:11-29: createReadStream →
+    parser).  ``chunk_bytes`` > 0 splits each file into fixed-size text
+    spans (stream chunking); 0 keeps one span per file.
+    """
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    def to_rows(batch: "pa.Table") -> pa.Table:
+        doc_ids, spans_col = [], []
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            text = data.decode("utf-8", errors="replace")
+            if chunk_bytes > 0:
+                pieces = [text[i:i + chunk_bytes]
+                          for i in range(0, max(1, len(text)), chunk_bytes)]
+            else:
+                pieces = [text]
+            doc_ids.append(path)
+            spans_col.append([
+                {"kind": "text", "text": piece, "media_ref": "", "offset": i}
+                for i, piece in enumerate(pieces)])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+        })
+
+    return files.map_batches(to_rows, batch_format="pyarrow")
+
+
 # --- deterministic synthetic corpora ---------------------------------------
 
 _VOCABS = [

@@ -246,6 +246,48 @@ def test_checkpoint_resume(tmp_path):
     assert 7 in checkpoints.completed_partitions(root)
 
 
+def test_documents_from_files(rd, tmp_path):
+    from rdfa_streaming_parser_js_ray.sources.documents import documents_from_files
+    from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
+    html = ('<html prefix="dc: http://purl.org/dc/terms/"><body '
+            'about="http://e.org/d"><h1 property="dc:title">T</h1></body></html>')
+    for i in range(3):
+        (tmp_path / f"doc{i}.html").write_text(html)
+    docs = documents_from_files(str(tmp_path), chunk_bytes=17)
+    df = docs.to_pandas()
+    assert len(df) == 3 and all(len(s) > 1 for s in df["spans"])
+    out = extract_triples(docs).to_pandas()
+    assert len(out) == 3
+    assert set(out["obj_value"]) == {"T"}
+
+
+def test_prepare_corpus_pipeline(rd, tmp_path):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup of 1
+        {"doc_id": 3, "text": base + "tiny tail"},        # near-dup of 1
+        {"doc_id": 4, "text": "the the the the the the"},  # stopword spam
+        {"doc_id": 5, "text": "word"},                     # too short
+        {"doc_id": 6, "text": "completely different substantive content "
+                              "about unrelated topics repeated here " * 10},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    out_dir = str(tmp_path / "prep")
+    final, metrics = prepare_corpus(ds, out_dir=out_dir, min_words=3,
+                                    max_stop_ratio=0.8)
+    df = final.to_pandas().sort_values("doc_id")
+    # 2 exact-dropped, 3 near-dropped, 4 stopword-dropped, 5 too short
+    assert list(df["doc_id"]) == [1, 6]
+    assert set(df["split"]) <= {"train", "val"}
+    assert metrics["docs_after_exact"] == 5
+    assert metrics["near_dups_dropped"] == 1
+    import os
+    assert any(name.startswith("split=") for name in os.listdir(out_dir))
+
+
 def test_extract_svg_profile_through_stage(rd):
     """The xml(SVG) profile flows through the distributed stage: expat-mode
     tokenizer, case-preserving names, self-closing tags."""
