@@ -17,6 +17,24 @@ DOC = """<html>
 </html>"""
 
 
+def test_content_type_selects_profile():
+    """Constructor contentType → profile (RdfaParser.ts:944-958 via
+    Util.ts:137-139): XML content types get the expat tokenizer and
+    case-preserving behavior."""
+    from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+    from rdfa_streaming_parser_js_ray.core.tokenizer import (
+        FastHtmlTokenizer, XmlTokenizer,
+    )
+
+    p_xml = RdfaParser(base_iri="http://e.org/",
+                       content_type="application/xml")
+    assert isinstance(p_xml._tokenizer, XmlTokenizer)
+    assert p_xml.evaluator.profile == "xml"
+    p_html = RdfaParser(base_iri="http://e.org/", content_type="text/html")
+    assert isinstance(p_html._tokenizer, FastHtmlTokenizer)
+    assert p_html.evaluator.profile == "html"
+
+
 def test_emit_triple_validity_gate():
     """emitTriple drops triples containing an invalid IRI term
     (test/RdfParser-test.ts:96-124): valid terms emit, an invalid
