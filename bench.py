@@ -37,6 +37,7 @@ def run_benchmarks() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.use_push_based_shuffle = True
 
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     from rdfa_streaming_parser_js_ray.sources.documents import (
