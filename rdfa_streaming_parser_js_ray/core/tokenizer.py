@@ -151,6 +151,12 @@ _HTML_ATTR_RE = re.compile(
 # htmlparser2/stdlib raw-text elements: content is plain text (no entity
 # decoding, no nested tags) until the matching end tag
 _RAWTEXT_ELEMENTS = frozenset(("script", "style"))
+# a trailing '/' that terminates an unquoted attribute value
+# (`<a href=http://e.org/dir/>`) is part of the value, not a self-closing
+# marker: matches an '='-introduced unquoted run extending to the slash
+_UNQUOTED_VALUE_SLASH_RE = re.compile(r"=\s*(?:[^\s>\"'][^\s>]*)?/$")
+# characters that may follow a raw-text end-tag name (whitespace, '/', '>')
+_RAWTEXT_BOUNDARY = " \t\n\r\f/>"
 
 
 class FastHtmlTokenizer:
@@ -231,12 +237,24 @@ class FastHtmlTokenizer:
         sink = self.sink
         while pos < n:
             if self._rawtext is not None:
-                # inside <script>/<style>: scan for the matching end tag
+                # inside <script>/<style>: scan for the matching end tag;
+                # the name must be followed by whitespace, '/', or '>'
+                # ('</scripty>' does NOT close a <script> — htmlparser2
+                # and stdlib both require a name boundary)
                 closer = "</" + self._rawtext
-                idx = buf.find(closer, pos)
-                if idx < 0:
-                    lower = buf.lower()
-                    idx = lower.find(closer, pos)
+                clen = len(closer)
+                lower = buf.lower()
+                idx = lower.find(closer, pos)
+                while (idx >= 0 and idx + clen < n
+                       and buf[idx + clen] not in _RAWTEXT_BOUNDARY):
+                    idx = lower.find(closer, idx + 1)
+                if idx >= 0 and idx + clen >= n and not final:
+                    # closer found flush at buffer end: the boundary char
+                    # is not visible yet — hold from here
+                    if idx > pos:
+                        sink.on_text(buf[pos:idx])
+                    pos = idx
+                    break
                 if idx < 0:
                     if final:
                         if pos < n:
@@ -244,7 +262,7 @@ class FastHtmlTokenizer:
                         pos = n
                         break
                     # hold back a possible split '</scrip' tail
-                    keep = max(pos, n - len(closer))
+                    keep = max(pos, n - clen)
                     if pos < keep:
                         sink.on_text(buf[pos:keep])
                     pos = keep
@@ -330,7 +348,11 @@ class FastHtmlTokenizer:
                     break
                 end = m.end()  # index just past '>'
                 inner = buf[pos + 1:end - 1]
-                self_closing = inner.endswith("/")
+                # '/' before '>' is self-closing only when it is NOT part
+                # of an unquoted attribute value (htmlparser2 tokenizer
+                # states: '/' is literal inside quoted and unquoted values)
+                self_closing = (inner.endswith("/")
+                                and not _UNQUOTED_VALUE_SLASH_RE.search(inner))
                 if self_closing:
                     inner = inner[:-1]
                 nm = _HTML_NAME_RE.match(inner)

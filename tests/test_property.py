@@ -30,6 +30,11 @@ _FRAGMENTS = st.sampled_from([
     "<div about=\"#e\" typeof=\"T\">", "<b class=\"x\">", "</b>",
     "<span prefix=\"q: http://q/\">", "<x:y>", "</x:y>", "<svg xml:lang=\"fr\">",
     "< notatag", "<script>var a = '<div>';</script>", "é中 ",
+    # ADVICE.md round-1: unquoted attr values ending in '/' are not
+    # self-closing; raw-text closers need a name boundary
+    "<a rel=\"x:y\" href=http://e.org/dir/>i</a>", "<a href=/>j</a>",
+    "<span property=\"p\" content=c/>", "<span data-x/>",
+    "<script>a</scripty>b</script>", "<style>p{}</styles></style>",
     "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
 ])
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
@@ -150,6 +155,46 @@ def test_unterminated_comment_dropped_like_htmlparser2():
     the differential corpus only contains complete comments.)"""
     out = _parse('<p property="http://p/x">a<!--never closed')
     assert [o.value for _, _, o in out] == ["a"]
+
+
+def test_unquoted_attr_trailing_slash_is_not_self_closing():
+    """'<a href=http://e.org/dir/>' keeps the trailing slash in the value
+    and does not self-close (htmlparser2 tokenizer states)."""
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out.append((s, p, o)))
+    tk = FastHtmlTokenizer(ev)
+    tk.write('<a rel="http://p/r" href=http://e.org/dir/>in</a>')
+    tk.end()
+    assert [(s.value, o.value) for s, _, o in out] == \
+        [("http://e.org/", "http://e.org/dir/")]
+    # ...and the element's text stays inside it (no early close)
+    out2 = _parse('<span property="http://p/x" datatype="" id=a/>t</span>')
+    assert [o.value for _, _, o in out2] == ["t"]
+
+
+def test_rawtext_closer_requires_name_boundary():
+    """'</scripty>' does not close a <script>: all raw content up to the
+    real '</script>' stays inside the script element (name boundary rule;
+    text inside the element still bubbles per htmlparser2)."""
+    events = []
+
+    class Sink:
+        def on_tag_open(self, n, a): events.append(("open", n))
+        def on_text(self, d):
+            if events and events[-1][0] == "text":
+                events[-1] = ("text", events[-1][1] + d)
+            else:
+                events.append(("text", d))
+        def on_tag_close(self): events.append(("close",))
+        def on_end(self): events.append(("end",))
+
+    tk = FastHtmlTokenizer(Sink())
+    tk.write('a<script>b</scripty>c</script>d')
+    tk.end()
+    assert events == [("text", "a"), ("open", "script"),
+                      ("text", "b</scripty>c"), ("close",),
+                      ("text", "d"), ("end",)]
 
 
 def test_dangling_tag_at_eof_surfaces_as_text():
