@@ -6,12 +6,14 @@ scale):
 - exact:        vectorized content-hash per batch (combiner) → one
                 hash-partitioned groupby → first-per-group.
 - MinHash+LSH:  shingle → K minhashes (numpy-vectorized) → band rows →
-                groupby(band) → candidate pairs → Jaccard verify.
+                groupby(bucket of (band, band_hash)) → candidate pairs →
+                Jaccard verify.
 - SimHash:      64-bit weighted token fingerprint; near-dups = equal
                 fingerprints on rotated bands (Hamming ≤ k by pigeonhole).
 - n-gram Jaccard: exact verification kernel, also usable standalone.
 
-Scale notes: every groupby here is keyed on a hash (uniform, no skew);
+Scale notes: every groupby here is keyed on a hash (uniform, no skew) with
+group size bounded by num_buckets (never corpus-sized per group);
 candidate verification has both shapes — broadcast doc-text lookup
 (``minhash_dedup_pairs``) for corpora that fit a node, and partitioned
 hash-join verification (``minhash_dedup_pairs_joined``) that never
@@ -168,10 +170,39 @@ class MinHasher:
         return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": band_hashes})
 
 
+_BUCKET_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_BUCKET_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _lsh_bucket(band: np.ndarray, band_key: np.ndarray,
+                num_buckets: int) -> np.ndarray:
+    """Uniform bucket id for (band, key) LSH rows — the groupby key.
+
+    Grouping on the *bucket of the full (band, key) pair* keeps every
+    co-candidate set intact inside one group while bounding the group size
+    at ~corpus×bands/num_buckets rows, instead of corpus rows per band
+    (the round-1 scale-killer: ``groupby("band")`` has only `bands`
+    distinct keys, so one worker had to hold corpus/1 rows per band)."""
+    h = (band.astype(np.uint64) * _BUCKET_MIX_A
+         ^ band_key.astype(np.uint64) * _BUCKET_MIX_B)
+    # xorshift-mix so low bits depend on high bits before the modulo
+    h ^= h >> np.uint64(29)
+    h *= _BUCKET_MIX_B
+    h ^= h >> np.uint64(32)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                            shingle_k: int = 3, concurrency: int = 4,
-                           text_col: str = "text", id_col: str = "doc_id"):
-    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands agreeing)."""
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_buckets: int = 256):
+    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands agreeing).
+
+    Candidate generation groups on a hash bucket of the full
+    ``(band, band_hash)`` pair (`num_buckets` groups, uniform), so the
+    per-group working set is bucket-bounded — at 100 TB raise
+    ``num_buckets`` so corpus×bands/num_buckets rows fit a worker.
+    """
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -179,11 +210,18 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                                    id_col=id_col),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-join on band_hash within one band — one pandas
-        # merge per band instead of a Python call per (band, hash) bucket
-        g = group[["doc_id", "band_hash"]].drop_duplicates()
-        joined = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_bucket"] = _lsh_bucket(batch["band"].to_numpy(),
+                                       batch["band_hash"].to_numpy(),
+                                       num_buckets)
+        return batch
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-join on (band, band_hash) within one bucket —
+        # one pandas merge per bucket; all rows sharing a (band, hash)
+        # co-candidate set are co-located by construction of _bucket
+        g = group[["doc_id", "band", "band_hash"]].drop_duplicates()
+        joined = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
         joined = joined[joined["doc_id_a"] < joined["doc_id_b"]]
         return pd.DataFrame({"doc_a": joined["doc_id_a"],
                              "doc_b": joined["doc_id_b"]})
@@ -191,8 +229,9 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
     # materialize before the empty-guard count: counting a lazy Dataset
     # executes the whole lineage, and the aggregate below would then
     # recompute it from scratch (double work)
-    pairs = band_rows.groupby("band").map_groups(
-        band_pairs, batch_format="pandas").materialize()
+    pairs = band_rows.map_batches(add_bucket, batch_format="pandas") \
+                     .groupby("_bucket").map_groups(
+        bucket_pairs, batch_format="pandas").materialize()
     if pairs.count() == 0:
         return pairs
     # de-duplicate pairs found in multiple bands, counting agreements;
@@ -328,29 +367,38 @@ def simhash_documents(ds, concurrency: int = 4, num_cpus: float = 0.5, **kwargs)
                           num_cpus=num_cpus)
 
 
-def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4):
+def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4,
+                           num_buckets: int = 256):
     """Near-dup pairs with Hamming distance ≤ k via the pigeonhole trick:
     split 64 bits into k+1 bands; any pair within k differing bits agrees
-    exactly on ≥1 band → groupby(band, band_bits) buckets candidates."""
+    exactly on ≥1 band.  Candidates are grouped on a hash bucket of the
+    full ``(band, band_bits)`` pair (`num_buckets` uniform groups — group
+    size is bucket-bounded, not corpus-bounded)."""
     sigs = simhash_documents(ds, concurrency=concurrency, num_cpus=0.5)
     n_bands = hamming_k + 1
     width = 64 // n_bands
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "band_bits": [], "simhash": []}
-        for doc_id, sig in zip(batch["doc_id"], batch["simhash"]):
-            for band in range(n_bands):
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(band)
-                rows["band_bits"].append((int(sig) >> (band * width)) & ((1 << width) - 1))
-                rows["simhash"].append(int(sig))
-        return pd.DataFrame(rows)
+        # vectorized (doc × band) expansion: repeat/tile + shift/mask
+        sig = batch["simhash"].to_numpy(dtype=np.uint64)
+        band = np.tile(np.arange(n_bands, dtype=np.int64), len(sig))
+        sig_rep = np.repeat(sig, n_bands)
+        bits = (sig_rep >> (band * width).astype(np.uint64)) \
+            & np.uint64((1 << width) - 1)
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_bands),
+            "band": band,
+            "band_bits": bits,
+            "simhash": sig_rep,
+            "_bucket": _lsh_bucket(band, bits, num_buckets),
+        })
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-join on band_bits within one band, then a
-        # vectorized popcount over the xor of the full signatures
-        g = group[["doc_id", "band_bits", "simhash"]].drop_duplicates("doc_id")
-        joined = g.merge(g, on="band_bits", suffixes=("_a", "_b"))
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-join on (band, band_bits) within one bucket,
+        # then a vectorized popcount over the xor of the full signatures
+        g = group[["doc_id", "band", "band_bits", "simhash"]] \
+            .drop_duplicates(["doc_id", "band"])
+        joined = g.merge(g, on=["band", "band_bits"], suffixes=("_a", "_b"))
         joined = joined[joined["doc_id_a"] < joined["doc_id_b"]]
         if joined.empty:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
@@ -363,7 +411,8 @@ def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4):
                              "hamming": joined["hamming"]})
 
     pairs = sigs.map_batches(to_bands, batch_format="pandas") \
-                .groupby("band").map_groups(band_pairs, batch_format="pandas") \
+                .groupby("_bucket") \
+                .map_groups(bucket_pairs, batch_format="pandas") \
                 .materialize()
     if pairs.count() == 0:
         return pairs

@@ -145,6 +145,28 @@ def test_simhash_near_dup_pairs(rd):
     assert (1, 3) not in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_lsh_candidate_groups_are_bucket_bounded():
+    """The candidate-generation groupby key is a hash bucket of the full
+    (band, band_hash) pair — NOT the band alone — so the max rows a single
+    group worker holds is ~n_docs*bands/num_buckets, not n_docs (the
+    round-1 scale-killer).  Checked directly on the bucket assignment."""
+    from collections import Counter
+    from rdfa_streaming_parser_js_ray.stages.dedup import _lsh_bucket
+    n_docs, bands, num_buckets = 2000, 32, 256
+    rng = np.random.RandomState(7)
+    band = np.tile(np.arange(bands), n_docs)
+    # distinct docs → distinct band hashes (the non-dup common case)
+    band_hash = rng.randint(0, 2**31, size=n_docs * bands)
+    buckets = _lsh_bucket(band, band_hash, num_buckets)
+    counts = Counter(buckets.tolist())
+    assert len(counts) == num_buckets           # all buckets used
+    mean = n_docs * bands / num_buckets
+    assert max(counts.values()) < 2 * mean      # uniform, no corpus-sized group
+    # identical (band, hash) pairs co-locate (candidate sets stay intact)
+    assert (_lsh_bucket(np.array([3, 3]), np.array([99, 99]), 64)
+            == _lsh_bucket(np.array([3]), np.array([99]), 64)[0]).all()
+
+
 def test_ngram_jaccard_kernel():
     from rdfa_streaming_parser_js_ray.stages.dedup import ngram_jaccard
     assert ngram_jaccard("a b c d", "a b c d") == 1.0
