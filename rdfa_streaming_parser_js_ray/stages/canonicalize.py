@@ -2,12 +2,15 @@
 
 The only all-to-all exchanges in the KG pipeline (SURVEY.md §2.6):
 
-- ``build_canonical_map``: groupby over entity-link evidence → one canonical
-  IRI per equivalence group (smallest lexicographic member wins, so the
-  choice is deterministic and retry-stable).
+- ``canonical_pairs`` / ``build_canonical_map``: distributed distinct over
+  entity-link evidence (combiner + one grouped exchange), then union-find
+  with min-root over the entity-level pairs → one canonical IRI per
+  connected component, transitively closed (a→b→c chains collapse;
+  smallest lexicographic member wins, deterministic and retry-stable).
 - ``apply_canonical_map``: rewrites triples via the (small) canonical map
   broadcast into a stateless ``map_batches`` — a broadcast join, NOT a
-  second shuffle.
+  second shuffle.  ``apply_canonical_map_joined`` is the no-broadcast
+  fallback (two partitioned left hash joins) for maps beyond node memory.
 - ``dedup_triples``: exact duplicate elimination, pre-reduced per batch
   (combiner) before the hash-partitioned global pass, so the shuffle moves
   unique triples only.
@@ -38,18 +41,19 @@ def with_part_key(triples_ds, num_partitions: int = 64):
     return triples_ds.map_batches(add, batch_format="pyarrow")
 
 
-def build_canonical_map(links_ds, *, identity_preds=None,
-                        min_score: float = 1.0) -> dict[str, str]:
-    """links (subj ↔ entity evidence) → {term → canonical IRI}.
+def canonical_pairs(links_ds, *, identity_preds=None, min_score: float = 1.0):
+    """links (subj ↔ entity evidence) → globally-distinct identity pairs.
 
     Only *identity-bearing* evidence merges nodes: a mention in a
     dc:identifier / owl:sameAs literal that exact-matches an alias
     (score ≥ ``min_score``) says "this subject IS that entity"; a title
     merely *mentioning* an entity must not collapse the two nodes.
-    Distributed pre-aggregation: per-batch distinct pairs, then a
-    driver-side Min-merge (lexicographically-smallest entity wins —
-    deterministic and retry-stable).
+    Per-batch distinct (combiner) then ONE grouped exchange — the result
+    Dataset has one (subj, entity) row per distinct evidence pair and is
+    entity-level small (orders of magnitude below the triples).
     """
+    from ray.data.aggregate import Count
+
     from .linking import IDENTITY_PREDS
     preds = IDENTITY_PREDS if identity_preds is None else frozenset(identity_preds)
 
@@ -61,21 +65,58 @@ def build_canonical_map(links_ds, *, identity_preds=None,
         return tbl.group_by(["subj", "entity"]).aggregate([])
 
     pairs = links_ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    return pairs.groupby(["subj", "entity"]) \
+                .aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
-    # The canonical map is entity-level (orders of magnitude smaller than
-    # the triples): per-batch distinct pairs stream to a driver-side
-    # Min-merge — the same unique rows a groupby would move, minus the
-    # sort exchange — then broadcast.  A corpus whose identity-evidence
-    # set outgrew driver memory would switch to
-    # ``pairs.groupby("subj").aggregate(Min("entity"))`` + bucket join.
-    mapping: dict[str, str] = {}
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
+
+def build_canonical_map(links_ds, *, identity_preds=None,
+                        min_score: float = 1.0,
+                        max_entities: int = 2_000_000) -> dict[str, str]:
+    """links evidence → {term → canonical IRI}, transitively closed.
+
+    The distinct-pair reduction runs distributed (:func:`canonical_pairs`
+    — per-batch combiner + one grouped exchange); the driver receives only
+    the entity-level distinct pairs and runs union-find with min-root over
+    them, so owl:sameAs chains (a→b→c) and diamond/mirror shapes all
+    collapse to the lexicographically-smallest member of each equivalence
+    class — deterministic, order-independent, retry-stable.
+
+    An evidence set larger than ``max_entities`` pairs must not be
+    broadcast at all: raise and direct callers to
+    :func:`apply_canonical_map_joined` (at that scale the closure itself
+    runs as O(log chain) rounds of grouped min-propagation on the pair
+    Dataset — hash-to-min — instead of driver union-find).
+    """
+    reduced = canonical_pairs(links_ds, identity_preds=identity_preds,
+                              min_score=min_score).materialize()
+    n = reduced.count()
+    if n > max_entities:
+        raise ValueError(
+            f"identity-evidence set has {n} pairs (> max_entities="
+            f"{max_entities}); use apply_canonical_map_joined with a "
+            "distributed hash-to-min closure instead of a broadcast map")
+
+    # union-find, min root: the canonical IRI of every node is the
+    # smallest member of its connected component
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in reduced.iter_batches(batch_format="pyarrow"):
         for subj, entity in zip(batch["subj"].to_pylist(),
                                 batch["entity"].to_pylist()):
-            prev = mapping.get(subj)
-            if prev is None or entity < prev:
-                mapping[subj] = entity
-    return {s: e for s, e in mapping.items() if s != e}
+            ra, rb = find(subj), find(entity)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    return {x: r for x in list(parent) if (r := find(x)) != x}
 
 
 class ApplyCanonicalMap:
@@ -104,6 +145,56 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
     return triples_ds.map_batches(
         ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+
+
+def apply_canonical_map_joined(triples_ds, mapping_ds, num_buckets: int = 64):
+    """Rewrite subj / IRI-objects via partitioned left hash joins — the
+    no-broadcast path for canonical maps beyond node memory.
+
+    ``mapping_ds``: Dataset with columns (term, canonical), already
+    transitively closed.  Two left joins (one exchange each): triples ⟕
+    map on subj, then on obj_value; unmatched rows keep their original
+    term (coalesce), IRI-kind objects only.
+    """
+    import pandas as pd
+
+    from .joins import hash_join
+
+    def prep(side_col: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"term": side_col,
+                                         "canonical": f"_c_{side_col}"})
+        return f
+
+    sub_map = mapping_ds.map_batches(prep("subj"), batch_format="pandas")
+    obj_map = mapping_ds.map_batches(prep("obj_value"), batch_format="pandas")
+
+    j1 = hash_join(triples_ds, sub_map, on="subj", how="left",
+                   num_buckets=num_buckets)
+
+    def coalesce_subj(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch["_c_subj"].notna()
+        batch.loc[hit, "subj"] = batch.loc[hit, "_c_subj"]
+        return batch.drop(columns=["_c_subj"])
+
+    j2 = hash_join(j1.map_batches(coalesce_subj, batch_format="pandas"),
+                   obj_map, on="obj_value", how="left",
+                   num_buckets=num_buckets)
+
+    def coalesce_obj(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch["_c_obj_value"].notna() & (batch["obj_kind"] == "iri")
+        batch.loc[hit, "obj_value"] = batch.loc[hit, "_c_obj_value"]
+        return batch.drop(columns=["_c_obj_value"])
+
+    return j2.map_batches(coalesce_obj, batch_format="pandas")
+
+
+def mapping_to_dataset(mapping: dict[str, str]):
+    """{term → canonical} dict → (term, canonical) Dataset (test shim for
+    the joined apply path)."""
+    import ray.data as rd
+    items = [{"term": t, "canonical": c} for t, c in sorted(mapping.items())]
+    return rd.from_items(items)
 
 
 def combine_distinct(triples_ds, keep_doc_id: bool = False):

@@ -29,18 +29,24 @@ IDENTITY_PREDS = frozenset((
 ))
 
 
-def build_alias_dict(triples_ds, max_entities: int = 1_000_000) -> dict[str, str]:
-    """Derive a deterministic alias dictionary from the corpus.
+def alias_pairs(triples_ds):
+    """Distributed (alias → lexicographically-min entity) reduction.
 
-    Two evidence sources, both computed distributed (per-batch candidate
-    pairs → one grouped Min → only unique aliases reach the driver):
+    Two evidence sources, combined per batch then reduced by ONE grouped
+    ``Min`` exchange (the shuffle moves per-batch-distinct pairs; the
+    output is one row per unique alias):
 
     - lowercased last path segment of every subject IRI → that IRI;
     - every identity-predicate literal (dc:identifier, owl:sameAs) →
       lexicographically-smallest subject bearing it (ties between mirrors
       of the same entity resolve to one canonical IRI deterministically).
+
+    Returns a ``Dataset`` with columns (alias, entity) — feed it to
+    :func:`build_alias_dict` (broadcast path) or keep it as the join side
+    of :func:`link_entities_joined` (alias table beyond node memory).
     """
     import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
     def candidate_pairs(batch: pa.Table) -> pa.Table:
         aliases: list[str] = []
@@ -64,19 +70,30 @@ def build_alias_dict(triples_ds, max_entities: int = 1_000_000) -> dict[str, str
                          "entity": pa.array(entities, pa.string())})
 
     pairs = triples_ds.map_batches(candidate_pairs, batch_format="pyarrow")
-    # The combiner already shrank each batch to unique (alias, entity)
-    # pairs; the global Min-merge runs driver-side over that combined
-    # stream — the same rows would cross the wire for a groupby, minus the
-    # sort.  (A corpus whose unique-alias set outgrew the driver would
-    # switch to ``pairs.groupby("alias").aggregate(Min("entity"))``.)
+    return pairs.groupby("alias").aggregate(Min("entity", alias_name="entity"))
+
+
+def build_alias_dict(triples_ds, max_entities: int = 1_000_000) -> dict[str, str]:
+    """Alias dictionary for the broadcast linker, built distributed.
+
+    The alias→entity merge runs as a grouped ``Min`` exchange on the
+    cluster (:func:`alias_pairs`); the driver only collects the already
+    globally-reduced result — one row per unique alias — to ``ray.put``
+    it.  A corpus whose unique-alias set exceeds ``max_entities`` must
+    use :func:`link_entities_joined` on the ``alias_pairs`` Dataset
+    instead of broadcasting (this raises rather than truncating).
+    """
+    reduced = alias_pairs(triples_ds).materialize()
+    n = reduced.count()
+    if n > max_entities:
+        raise ValueError(
+            f"alias table has {n} entries (> max_entities={max_entities}); "
+            "broadcast would not fit — use link_entities_joined(mentions, "
+            "alias_pairs(triples)) instead")
     alias: dict[str, str] = {}
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        for a, e in zip(batch["alias"].to_pylist(), batch["entity"].to_pylist()):
-            prev = alias.get(a)
-            if prev is None or e < prev:
-                alias[a] = e
-        if len(alias) > max_entities:
-            break
+    for batch in reduced.iter_batches(batch_format="pyarrow"):
+        alias.update(zip(batch["alias"].to_pylist(),
+                         batch["entity"].to_pylist()))
     return alias
 
 
@@ -141,3 +158,34 @@ def link_entities(mentions_ds, alias_ref, concurrency: int = 4,
         fn_constructor_kwargs={"alias_ref": alias_ref, "min_score": min_score},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency), num_cpus=num_cpus)
+
+
+def link_entities_joined(mentions_ds, alias_pairs_ds, num_buckets: int = 64):
+    """Entity linking when the alias table is too large to broadcast.
+
+    Partitioned hash join of exact mention norms against the distributed
+    (alias, entity) table — one all-to-all exchange, no driver dict, no
+    per-node copy of the table.  Exact-norm matches only (score 1.0): the
+    token-containment fallback of :class:`EntityLinker` is a
+    broadcast-dict heuristic; at alias-table scales that force this path,
+    exploding every mention into per-token probe rows would multiply the
+    probe side ~|tokens|× — callers needing it should pre-explode
+    explicitly.
+    """
+    import pandas as pd
+
+    from .joins import hash_join
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "subj", "pred", "surface", "norm"]].copy()
+        return out.rename(columns={"norm": "alias"})
+
+    joined = hash_join(mentions_ds.map_batches(probe, batch_format="pandas"),
+                       alias_pairs_ds, on="alias", num_buckets=num_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "subj", "pred", "surface", "entity"]].copy()
+        out["score"] = pd.Series([1.0] * len(out), dtype="float32")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -375,6 +375,75 @@ def test_kg_construct_merges_planted_mirrors(rd):
     assert len(df) == 3 * n_docs
 
 
+def test_canonical_map_transitive_chain(rd):
+    """An owl:sameAs chain z→y→x collapses fully: every member of the
+    equivalence class maps to the lexicographically-smallest IRI, not just
+    one hop (round-1 gap: single-hop rewrites left z→y)."""
+    from rdfa_streaming_parser_js_ray.stages.canonicalize import build_canonical_map
+    SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+    mk = lambda s, e: {"doc_id": "d", "subj": s, "pred": SAME_AS,
+                       "surface": e, "entity": e, "score": 1.0}
+    links = rd.from_items([
+        mk("http://x/z", "http://x/y"),
+        mk("http://x/y", "http://x/x"),
+        # second component, evidence pointing at the larger member
+        mk("http://x/a", "http://x/b"),
+    ]).repartition(2)
+    mapping = build_canonical_map(links)
+    assert mapping == {
+        "http://x/z": "http://x/x",
+        "http://x/y": "http://x/x",
+        "http://x/b": "http://x/a",
+    }
+
+
+def test_apply_canonical_map_joined_matches_broadcast(rd):
+    from rdfa_streaming_parser_js_ray.stages.canonicalize import (
+        apply_canonical_map, apply_canonical_map_joined, mapping_to_dataset,
+    )
+    mapping = {"http://x/b": "http://x/a", "http://x/z": "http://x/a"}
+    rows = [
+        {"doc_id": "d1", "subj": "http://x/b", "pred": "http://p/q",
+         "obj_kind": "iri", "obj_value": "http://x/z",
+         "obj_lang": "", "obj_datatype": "", "graph": ""},
+        {"doc_id": "d2", "subj": "http://x/c", "pred": "http://p/q",
+         "obj_kind": "literal", "obj_value": "http://x/b",  # literal: no rewrite
+         "obj_lang": "en", "obj_datatype": "", "graph": ""},
+    ]
+    triples = rd.from_items(rows).repartition(2)
+    bc = apply_canonical_map(triples, mapping).to_pandas()
+    jn = apply_canonical_map_joined(triples, mapping_to_dataset(mapping),
+                                    num_buckets=4).to_pandas()
+    cols = ["doc_id", "subj", "pred", "obj_kind", "obj_value"]
+    key = lambda df: sorted(map(tuple, df[cols].itertuples(index=False)))
+    assert key(bc) == key(jn)
+    assert ("d1", "http://x/a", "http://p/q", "iri", "http://x/a") in key(jn)
+
+
+def test_link_entities_joined_matches_broadcast_exact(rd):
+    from rdfa_streaming_parser_js_ray.stages.linking import (
+        link_entities, link_entities_joined,
+    )
+    alias = {"alpha": "http://e/alpha", "beta": "http://e/beta"}
+    mentions = rd.from_items([
+        {"doc_id": "d1", "subj": "http://s/1", "pred": "http://p/t",
+         "surface": "Alpha", "norm": "alpha"},
+        {"doc_id": "d2", "subj": "http://s/2", "pred": "http://p/t",
+         "surface": "nope", "norm": "unknown thing"},
+        {"doc_id": "d3", "subj": "http://s/3", "pred": "http://p/t",
+         "surface": "Beta", "norm": "beta"},
+    ]).repartition(2)
+    bc = link_entities(mentions, alias, min_score=1.0,
+                       concurrency=1).to_pandas()
+    alias_ds = rd.from_items([{"alias": a, "entity": e}
+                              for a, e in alias.items()])
+    jn = link_entities_joined(mentions, alias_ds, num_buckets=4).to_pandas()
+    cols = ["doc_id", "subj", "entity", "score"]
+    key = lambda df: sorted(map(tuple, df[cols].itertuples(index=False)))
+    assert key(bc) == key(jn)
+    assert len(jn) == 2
+
+
 def test_kg_construct_resume_skips_written_partitions(rd, tmp_path):
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     from rdfa_streaming_parser_js_ray.state import checkpoints
