@@ -10,8 +10,8 @@ Chains the training-data operators end to end over a raw documents table
     → partitioned write by split          resumable parquet layout
 
 Everything before the near-dup candidate groupby is map-only; the kept
-corpus streams through — nothing is materialized on the driver except the
-(tiny) near-dup id set.
+corpus streams through — near-dup victims are removed by a partitioned
+anti-join, so nothing row-shaped ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -31,8 +31,6 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
     """
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import ray
 
     from ..stages.dedup import exact_dedup_rows, minhash_dedup_pairs_joined
 
@@ -47,19 +45,18 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
     metrics["docs_after_exact"] = unique_docs.count()
 
     # 2. near-dup removal: verified pairs → drop the larger id of each
+    # via a partitioned anti-join (no driver materialization of the pair
+    # set — at 100 TB the drop set is not guaranteed to fit anywhere)
     t_s = time.monotonic()
+    from ..stages.joins import anti_join
     pairs = minhash_dedup_pairs_joined(unique_docs,
                                        threshold=near_dup_threshold,
-                                       text_col=text_col, id_col=id_col)
-    drop = {row["doc_b"] for row in pairs.iter_rows()}
-    metrics["near_dups_dropped"] = len(drop)
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        dropped = ray.get(drop_ref) if not isinstance(drop_ref, set) else drop_ref
-        return batch[~batch[id_col].isin(dropped)]
-
-    kept = unique_docs.map_batches(keep, batch_format="pandas")
+                                       text_col=text_col,
+                                       id_col=id_col).materialize()
+    metrics["near_dups_dropped"] = len(pairs.unique("doc_b")) \
+        if pairs.count() else 0
+    kept = anti_join(unique_docs, pairs, on=id_col, right_on="doc_b") \
+        if pairs.count() else unique_docs
     metrics["stages"]["near_dup_sec"] = round(time.monotonic() - t_s, 3)
 
     # 3. quality filter — features computed inline per batch (no driver

@@ -17,6 +17,16 @@ def _to_matrix(column) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float32) for v in column])
 
 
+def _keep_in_set(col: str, wanted) -> "callable":
+    """Vectorized membership filter for ``map_batches`` (``np.isin`` mask)
+    — replaces per-row ``ds.filter(lambda row: ...)`` on the hot path."""
+    w = np.asarray(sorted(wanted), dtype=np.int64)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[np.isin(batch[col].to_numpy(dtype=np.int64), w)]
+    return f
+
+
 class BruteForceScorer:
     """Per-batch cosine scores vs the broadcast query matrix; emits each
     batch's local top-k per query (the combiner) — the global merge only
@@ -110,7 +120,8 @@ def lsh_bucketed_topk(ds, query_vecs: np.ndarray, dim: int, k: int = 10,
 
     bucketed = ds.map_batches(bucketer, batch_format="pandas",
                               concurrency=concurrency, num_cpus=0.5)
-    candidates = bucketed.filter(lambda row: row["bucket"] in wanted)
+    candidates = bucketed.map_batches(_keep_in_set("bucket", wanted),
+                                      batch_format="pandas")
 
     # per-bucket queries only
     by_bucket: dict[int, list[int]] = {}
@@ -216,7 +227,8 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, n_centroids: int = 64,
         IvfAssigner, fn_constructor_kwargs=dict(centroids_ref=ray.put(cents),
                                                 vec_col=vec_col),
         batch_format="pandas", concurrency=(1, concurrency), num_cpus=0.5)
-    candidates = assigned.filter(lambda row: row["cluster"] in wanted)
+    candidates = assigned.map_batches(_keep_in_set("cluster", wanted),
+                                      batch_format="pandas")
 
     queries_ref = ray.put(q)
 
@@ -264,20 +276,20 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
                               concurrency=concurrency, num_cpus=0.5)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        mat = _to_matrix(group[vec_col])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = mat @ mat.T
+        # sort by id first so emitted pairs satisfy id_a < id_b, then take
+        # the upper triangle of the similarity matrix in one vectorized
+        # mask (no per-pair Python loop)
         ids = np.asarray(group[id_col])
         order = np.argsort(ids)
-        out = {"id_a": [], "id_b": [], "cosine": []}
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if sims[i, j] >= threshold:
-                    out["id_a"].append(ids[i])
-                    out["id_b"].append(ids[j])
-                    out["cosine"].append(round(float(sims[i, j]), 6))
-        return pd.DataFrame(out)
+        ids = ids[order]
+        mat = _to_matrix(group[vec_col])[order]
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = (mat @ mat.T).astype(np.float64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[hit]],
+                             "id_b": ids[ib[hit]],
+                             "cosine": sims[ia[hit], ib[hit]].round(6)})
 
     # materialize before the empty-guard count so the groupby below reads
     # the computed blocks instead of recomputing the lineage

@@ -114,3 +114,43 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
         return left.merge(right, on=on, how=how)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_buckets: int = 64):
+    """left rows with NO key match in right — partitioned hash anti-join.
+
+    Same single-exchange shape as :func:`hash_join` (bucket both sides on
+    hash(key), co-group, filter per bucket); the right side is projected
+    to its distinct keys before the exchange, so the shuffle moves
+    left + unique-right-keys only.  This is the scale path for "drop this
+    id set" when the set is not guaranteed to fit a broadcast.
+    """
+    right_on = right_on or on
+    left_cols = list(left_ds.schema().names)
+
+    def align_l(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = _bucket_of(batch[on], num_buckets)
+        batch["_side"] = "l"
+        return batch[left_cols + ["_bucket", "_side"]]
+
+    def align_r(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: batch[right_on].drop_duplicates()})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["_bucket"] = _bucket_of(out[on], num_buckets)
+        out["_side"] = "r"
+        return out[left_cols + ["_bucket", "_side"]]
+
+    both = left_ds.map_batches(align_l, batch_format="pandas").union(
+        right_ds.map_batches(align_r, batch_format="pandas"))
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group.loc[group["_side"] == "r", on]
+        left = group.loc[group["_side"] == "l", left_cols]
+        return left[~left[on].isin(set(keys))].infer_objects()
+
+    return both.groupby("_bucket").map_groups(filter_bucket,
+                                              batch_format="pandas")

@@ -180,7 +180,12 @@ def sample_video_frames(manifest_ds, n_frames: int = 4, concurrency: int = 2,
     Small batch_size: each input row fans out to n_frames decoded tensors
     (batch bytes = batch_size × n_frames × frame bytes must fit the heap).
     """
-    videos = manifest_ds.filter(lambda row: row["kind"] == "video")
+    import pandas as pd
+
+    def keep_videos(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["kind"].to_numpy() == "video"]
+
+    videos = manifest_ds.map_batches(keep_videos, batch_format="pandas")
     return videos.map_batches(
         FrameSampler, fn_constructor_kwargs=dict(n_frames=n_frames, **kwargs),
         batch_format="pandas", batch_size=batch_size,

@@ -346,6 +346,18 @@ def test_hash_join_matches_pandas(rd):
         assert key(got) == key(want), how
 
 
+def test_anti_join_matches_pandas(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import anti_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "a": list("vwxyz")})
+    right = pd.DataFrame({"drop_k": [2, 4, 4, 9]})
+    got = anti_join(rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", right_on="drop_k", num_buckets=4).to_pandas()
+    assert sorted(map(tuple, got[["k", "a"]].itertuples(index=False))) == \
+        [(1, "v"), (3, "x"), (5, "z")]
+
+
 def test_kg_construct_canonicalizes(rd):
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
