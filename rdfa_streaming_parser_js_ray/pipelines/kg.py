@@ -38,12 +38,13 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
     per-partition lineage manifests and resumability.
     """
     import ray
-    from ray.data import DataContext
 
-    # push-based shuffle: ~3× faster than the sort-based default on the
-    # tail's part_key exchange (measured 15.1s → 5.1s on 7.5M triples);
-    # session-sticky by design — every shuffle in this engine benefits
-    DataContext.get_current().use_push_based_shuffle = True
+    # NOTE on shuffle strategy: the part_key exchange below is ~3× faster
+    # under push-based shuffle (measured 15.1s → 5.1s on 7.5M triples),
+    # but that is a session-global DataContext setting — configure
+    # ``DataContext.get_current().shuffle_strategy =
+    # ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED`` at the session entrypoint
+    # (bench.py does); a library call must not flip global flags.
 
     metrics: dict = {"stages": {}}
     t0 = time.monotonic()
@@ -158,10 +159,25 @@ def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
 
     deduped = keyed_ds.groupby("part_key").map_groups(
         write_group, batch_format="pandas").materialize()
-    written = len(checkpoints.completed_partitions(out_dir))
+    # Count only partitions belonging to THIS run (its key set + matching
+    # fingerprint); prune anything else left on disk by earlier runs with
+    # a different fingerprint or partition count, so out_dir holds exactly
+    # the current run's output for downstream readers.
+    run_keys = {int(k) for k in deduped.unique("part_key")} \
+        if deduped.count() else set()
+    done_now = checkpoints.completed_partitions(out_dir)
+    stale = sorted(k for k, m in done_now.items()
+                   if k not in run_keys
+                   or m.get("input_fingerprint") != input_fingerprint)
+    for k in stale:
+        checkpoints.remove_partition(out_dir, k)
+    written = sum(1 for k, m in done_now.items()
+                  if k in run_keys
+                  and m.get("input_fingerprint") == input_fingerprint)
     checkpoints.write_run_manifest(out_dir, {
         "input_fingerprint": input_fingerprint,
         "partitions": written,
-        "resumed_skipped": sorted(skip),
+        "resumed_skipped": sorted(skip & run_keys),
+        "stale_pruned": stale,
     })
     return deduped, written

@@ -57,6 +57,11 @@ def write_partition(root: str, part_key: int, table, input_fingerprint: str,
     return manifest
 
 
+def remove_partition(root: str, part_key: int) -> None:
+    """Prune one partition directory (stale fingerprint / key cleanup)."""
+    shutil.rmtree(partition_dir(root, part_key), ignore_errors=True)
+
+
 def completed_partitions(root: str) -> dict[int, dict]:
     out = {}
     if not os.path.isdir(root):

@@ -483,6 +483,24 @@ def test_kg_construct_resume_skips_written_partitions(rd, tmp_path):
             for m in checkpoints.completed_partitions(out).values()} == {"fp-B"}
 
 
+def test_kg_construct_prunes_stale_partitions(rd, tmp_path):
+    """Rerunning with a smaller partition count (or different fingerprint)
+    must not leave the earlier run's extra part_key dirs mixed into
+    out_dir, and partitions_written counts only the current run's keys."""
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.state import checkpoints
+    docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
+    out = str(tmp_path / "kg")
+    _, m1 = construct_kg(docs, out_dir=out, num_partitions=8,
+                         input_fingerprint="fp-A")
+    _, m2 = construct_kg(docs, out_dir=out, num_partitions=2,
+                         input_fingerprint="fp-B")
+    done = checkpoints.completed_partitions(out)
+    assert set(done) == set(range(2)) or set(done) <= set(range(2))
+    assert m2["partitions_written"] == len(done)
+    assert all(m.get("input_fingerprint") == "fp-B" for m in done.values())
+
+
 def test_parse_errors_lineage(rd):
     from rdfa_streaming_parser_js_ray.stages.extract import (
         extract_triples, parse_errors,
