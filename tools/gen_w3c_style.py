@@ -1,0 +1,362 @@
+"""Generate tests/fixtures/w3c_style.json — a spec-derived RDFa 1.1
+conformance corpus in the shape of the W3C test suite's HTML5 / XHTML5 /
+SVG profile manifests.
+
+The real W3C manifests are fetched over the network by the reference's
+conformance harness (/root/reference/package.json:51-79); this sandbox has
+no network access, so the manifests cannot be vendored here.  These cases
+are hand-derived from the public RDFa Core 1.1 / HTML+RDFa 1.1 processing
+sequence (the same rules the reference implements at
+/root/reference/lib/RdfaParser.ts:87-755) and mirror the behaviors the
+classic suite exercises per profile: CURIE/safe-CURIE expansion, @vocab,
+term resolution, initial contexts, @about/@resource/@href/@src chaining,
+@typeof, @rel/@rev (incl. incomplete-triple completion), @content,
+@datatype, language inheritance, @inlist lists, <base>, <time>/@datetime,
+rdfa:Pattern copies, xmlns: mappings, xml:base, and XML-mode case
+sensitivity.
+
+Expectations use the same compact term syntax as corpus.json; the
+companion test (tests/test_w3c_style.py) computes per-profile pass counts
+and corpus-level triple precision/recall against the BASELINE.json gate
+(P/R >= 0.95).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+B = "http://rdfa.example.org/doc"          # baseIRI used by every case
+DC = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+SCHEMA = "http://schema.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFA = "http://www.w3.org/ns/rdfa#"
+XHV = "http://www.w3.org/1999/xhtml/vocab#"
+
+PREFIXES = f"dc: {DC} foaf: {FOAF} ex: http://example.org/vocab#"
+EX = "http://example.org/vocab#"
+
+CASES: list[dict] = []
+
+
+def case(name: str, profile: str, html: str, expected: list[list[str]],
+         **opts):
+    options = {"baseIRI": B}
+    if profile:
+        options["profile"] = profile
+    options.update(opts)
+    CASES.append({"name": name, "source": "spec-derived (W3C-suite style)",
+                  "profile_label": {"html": "html5", "xhtml": "xhtml5",
+                                    "xml": "svg"}.get(profile, profile or "html5"),
+                  "options": options, "html": html, "expected": expected})
+
+
+# ----------------------------------------------------------- html5 cases --
+
+case("predicate establishment with @property", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<h1 property="dc:title">The Title</h1></body></html>',
+     [[B, DC + "title", '"The Title"']])
+
+case("@about sets a resolved subject", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me"><span property="foaf:name">Alice</span></div>'
+     '</body></html>',
+     [[B + "#me", FOAF + "name", '"Alice"']])
+
+case("@rel with @href emits an object triple", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#me" rel="foaf:homepage" href="http://example.net/home">h</a>'
+     '</body></html>',
+     [[B + "#me", FOAF + "homepage", "http://example.net/home"]])
+
+case("@rev reverses subject and object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#me" rev="foaf:knows" href="#bob">b</a>'
+     '</body></html>',
+     [[B + "#bob", FOAF + "knows", B + "#me"]])
+
+case("@typeof with @about emits rdf:type", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me" typeof="foaf:Person"></div></body></html>',
+     [[B + "#me", RDF + "type", FOAF + "Person"]])
+
+case("@typeof without @about types a blank node shared by children", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="foaf:Person"><span property="foaf:name">Alice</span></div>'
+     '</body></html>',
+     [["_:b0", RDF + "type", FOAF + "Person"],
+      ["_:b0", FOAF + "name", '"Alice"']])
+
+case("@content overrides element text", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="dc:title" content="Real Title">ignored text</span>'
+     '</body></html>',
+     [[B, DC + "title", '"Real Title"']])
+
+case("@datatype types the literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:count" datatype="http://www.w3.org/2001/XMLSchema#integer">3</span>'
+     '</body></html>',
+     [[B, EX + "count", f'"3"^^{XSD}integer']])
+
+case("@lang is inherited onto literals", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div lang="en"><span property="dc:title">Title</span></div>'
+     '</body></html>',
+     [[B, DC + "title", '"Title"@en']])
+
+case("inner @lang overrides outer", "html",
+     f'<html><body prefix="{PREFIXES}" lang="en">'
+     '<span property="dc:title" lang="fr">Titre</span>'
+     '</body></html>',
+     [[B, DC + "title", '"Titre"@fr']])
+
+case("@vocab sets term resolution and emits usesVocabulary", "html",
+     f'<html><body vocab="{SCHEMA}">'
+     '<span property="name">Alice</span></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, SCHEMA + "name", '"Alice"']])
+
+case("empty @vocab has no effect without a root vocab", "html",
+     f'<html><body vocab="{SCHEMA}">'
+     '<div vocab=""><span property="name">x</span></div></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA]]),
+
+case("safe CURIE in @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="[ex:thing]" property="dc:title">T</div></body></html>',
+     [[EX + "thing", DC + "title", '"T"']])
+
+case("initial-context prefix (schema) needs no declaration", "html",
+     '<html><body><span property="schema:name">Alice</span></body></html>',
+     [[B, SCHEMA + "name", '"Alice"']])
+
+case("@resource supplies the object for @rel", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="dc:source" resource="#b"></div></body></html>',
+     [[B + "#a", DC + "source", B + "#b"]])
+
+case("@src supplies the object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<img about="#a" rel="foaf:img" src="photo.jpg">'
+     '</body></html>',
+     [[B + "#a", FOAF + "img", "http://rdfa.example.org/photo.jpg"]])
+
+case("incomplete forward triple completed by child @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="foaf:knows"><div about="#b">x</div></div>'
+     '</body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"]])
+
+case("incomplete reverse triple completed by child @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rev="foaf:knows"><div about="#b">x</div></div>'
+     '</body></html>',
+     [[B + "#b", FOAF + "knows", B + "#a"]])
+
+case("two children complete the same hanging @rel", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="foaf:knows">'
+     '<div about="#b">x</div><div about="#c">y</div></div>'
+     '</body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"],
+      [B + "#a", FOAF + "knows", B + "#c"]])
+
+case("@inlist with @property builds an rdf list of literals", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span inlist="" property="ex:p">one</span>'
+     '<span inlist="" property="ex:p">two</span>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", '"one"'],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", '"two"'],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "p", "_:l0"]])
+
+case("@inlist with @rel + @resource builds a one-member list", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" inlist="" rel="ex:p" resource="#x"></div></body></html>',
+     [[B + "#a", EX + "p", "_:l0"],
+      ["_:l0", RDF + "first", B + "#x"],
+      ["_:l0", RDF + "rest", RDF + "nil"]])
+
+case("<base> changes the document base", "html",
+     '<html><head><base href="http://other.example.com/"></head>'
+     '<body><span property="schema:name">A</span></body></html>',
+     [["http://other.example.com/", SCHEMA + "name", '"A"']])
+
+case("<time> content is datatype-sniffed to xsd:date", "html",
+     '<html><body><time property="schema:startDate">2020-01-02</time>'
+     '</body></html>',
+     [[B, SCHEMA + "startDate", f'"2020-01-02"^^{XSD}date']])
+
+case("@datetime wins over <time> text", "html",
+     '<html><body><time property="schema:startDate" '
+     'datetime="2020-01-02T03:04:05">January</time></body></html>',
+     [[B, SCHEMA + "startDate", f'"2020-01-02T03:04:05"^^{XSD}dateTime']])
+
+case("<time> sniffs xsd:gYear", "html",
+     '<html><body><time property="schema:startDate">2020</time></body></html>',
+     [[B, SCHEMA + "startDate", f'"2020"^^{XSD}gYear']])
+
+case("head inherits the subject of <html about>", "html",
+     '<html about="#top"><head>'
+     '<title property="dc11:title">T</title></head><body></body></html>'
+     .replace("dc11:", "dcterms:"),
+     [[B + "#top", DC + "title", '"T"']])
+
+case("rdfa:Pattern content copied onto the referencing subject", "html",
+     '<html><body>'
+     '<div resource="#pat" typeof="rdfa:Pattern">'
+     '<span property="schema:name">Amy</span></div>'
+     '<div about="#x"><link property="rdfa:copy" href="#pat"/></div>'
+     '</body></html>',
+     [[B + "#x", SCHEMA + "name", '"Amy"']])
+
+case("unreferenced rdfa:Pattern replays as plain content", "html",
+     '<html><body>'
+     '<div resource="#pat" typeof="rdfa:Pattern">'
+     '<span property="schema:name">Amy</span></div>'
+     '</body></html>',
+     [[B + "#pat", RDF + "type", RDFA + "Pattern"],
+      [B + "#pat", SCHEMA + "name", '"Amy"']])
+
+case("multiple values in @rel", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="foaf:knows foaf:member" href="#b">x</a>'
+     '</body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"],
+      [B + "#a", FOAF + "member", B + "#b"]])
+
+case("multiple values in @property", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="dc:title dc:description">T</span></body></html>',
+     [[B, DC + "title", '"T"'],
+      [B, DC + "description", '"T"']])
+
+case("explicit blank node in @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="_:x" property="dc:title">T</div></body></html>',
+     [["_:x", DC + "title", '"T"']])
+
+case("@typeof + @property types the resource, literal on parent subject",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#a" property="dc:title" typeof="foaf:Document">T</span>'
+     '</body></html>',
+     [[B + "#a", RDF + "type", FOAF + "Document"],
+      [B + "#a", DC + "title", '"T"']])
+
+case("chaining: typed bnode object via @rel + @typeof child", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="foaf:knows">'
+     '<div typeof="foaf:Person"><span property="foaf:name">Bob</span></div>'
+     '</div></body></html>',
+     [[B + "#a", FOAF + "knows", "_:p"],
+      ["_:p", RDF + "type", FOAF + "Person"],
+      ["_:p", FOAF + "name", '"Bob"']])
+
+case("undeclared-prefix CURIE passes through as a valid IRI", "html",
+     # 'nosuch:thing' is scheme:path — a syntactically valid IRI, so the
+     # processing rules keep it (reference Util.ts:288-296 semantics)
+     '<html><body><span property="nosuch:thing">x</span></body></html>',
+     [[B, "nosuch:thing", '"x"']])
+
+case("plain term without vocab yields no triple in html", "html",
+     '<html><body><span property="frobnicate">x</span></body></html>',
+     [])
+
+# ---------------------------------------------------------- xhtml5 cases --
+
+case("xhtml initial-context term in @rel", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<a about="#a" rel="next" href="#b">n</a></body></html>',
+     [[B + "#a", XHV + "next", B + "#b"]])
+
+case("xhtml initial-context term license", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<a about="" rel="license" href="http://example.net/lic">l</a>'
+     '</body></html>',
+     [[B, XHV + "license", "http://example.net/lic"]])
+
+case("xmlns: prefix mapping declares a CURIE prefix", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml" '
+     'xmlns:ex="http://example.org/vocab#"><body>'
+     '<span property="ex:p">v</span></body></html>',
+     [[B, EX + "p", '"v"']])
+
+case("@prefix wins over xmlns: for the same prefix", "xhtml",
+     '<html xmlns:ex="http://wrong.example.com/#"><body '
+     'prefix="ex: http://example.org/vocab#">'
+     '<span property="ex:p">v</span></body></html>',
+     [[B, EX + "p", '"v"']])
+
+case("xhtml property literal with xml:lang", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body xml:lang="de">'
+     '<span property="schema:name">Ada</span></body></html>',
+     [[B, SCHEMA + "name", '"Ada"@de']])
+
+case("body inherits subject of <html about> (xhtml)", "xhtml",
+     '<html about="#top" xmlns="http://www.w3.org/1999/xhtml">'
+     '<body><span property="schema:name">A</span></body></html>',
+     [[B + "#top", SCHEMA + "name", '"A"']])
+
+# ------------------------------------------------------------- svg cases --
+
+case("xml:base rebases IRIs in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xml:base="http://svgbase.example.com/">'
+     '<metadata about="#x" property="schema:name">N</metadata></svg>',
+     [["http://svgbase.example.com/#x", SCHEMA + "name", '"N"']])
+
+case("scoped xml:base only affects its subtree", "xml",
+     # the xml:base carrier gets @about so it is not a skipElement (the
+     # reference drops localBaseIRI across skipped frames,
+     # RdfaParser.ts:95-114 — parity preserved here)
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<g xml:base="http://scoped.example.com/" about="#g">'
+     '<metadata property="schema:name">N</metadata></g>'
+     '<metadata about="#out" property="schema:description">M</metadata></svg>',
+     [["http://scoped.example.com/#g", SCHEMA + "name", '"N"'],
+      [B + "#out", SCHEMA + "description", '"M"']])
+
+case("xml:lang on svg literal", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" xml:lang="fr">'
+     '<metadata property="schema:name">Nom</metadata></svg>',
+     [[B, SCHEMA + "name", '"Nom"@fr']])
+
+case("self-closing element with @content (svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata property="schema:name" content="N"/></svg>',
+     [[B, SCHEMA + "name", '"N"']])
+
+case("attribute names are case-sensitive in xml mode", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata PROPERTY="schema:name">N</metadata></svg>',
+     [])
+
+case("CDATA section contributes literal text (svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata property="schema:name"><![CDATA[A & B]]></metadata></svg>',
+     [[B, SCHEMA + "name", '"A & B"']])
+
+case("@rel chaining in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xmlns:foaf="http://xmlns.com/foaf/0.1/">'
+     '<g about="#a" rel="foaf:maker"><g about="#b"><metadata '
+     'property="foaf:name">B</metadata></g></g></svg>',
+     [[B + "#a", FOAF + "maker", B + "#b"],
+      [B + "#b", FOAF + "name", '"B"']])
+
+
+def main() -> None:
+    out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
+    out.write_text(json.dumps(CASES, indent=1))
+    print(f"wrote {len(CASES)} cases -> {out}")
+
+
+if __name__ == "__main__":
+    main()
