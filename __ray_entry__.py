@@ -18,6 +18,14 @@ from typing import Any
 _STOP_SQL = "['the','and','of','to','a','in','is','it','that','for','with','on','as','at','by','this','from','or','an','be']"
 
 
+def _sw_sql(lang: str) -> str:
+    from rdfa_streaming_parser_js_ray.stages.text import _STOPWORDS
+    return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+
+_SW_EN, _SW_ES, _SW_FR, _SW_DE = (_sw_sql(s) for s in ("en", "es", "fr", "de"))
+
+
 # --------------------------------------------------------------------- #
 # helpers
 
@@ -99,11 +107,24 @@ def q_quality(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    """Stopword-ratio language ID.  The prediction is SQL-expressible
+    (deterministic argmax over stopword-hit ratios), so the oracle covers
+    lang_pred; the float confidence stays out of the compare (Python
+    banker's rounding vs SQL half-away rounding can differ in the last
+    decimal)."""
     from rdfa_streaming_parser_js_ray.stages.text import lang_id
     import ray.data as rd
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return lang_id(docs, concurrency=2)
+    return lang_id(docs, concurrency=2).select_columns(["doc_id", "lang_pred"])
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprint machinery with an md5 hash so DuckDB can
+    replay it (the production ``fingerprints`` uses crc32 + xor-fold,
+    which SQL cannot express)."""
+    from rdfa_streaming_parser_js_ray.stages.text import winnow_profile
+    return winnow_profile(_sf_documents(sf_dir))
 
 
 def q_fingerprints(sf_dir: str):
@@ -547,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnow": q_winnow,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -772,8 +794,65 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY 1, 2
         """,
-        # lang_id, fingerprints, minhash_near_dups, simhash,
-        # embedding_near_dups, media_*, span_audit: non-SQL-expressible
-        # (model-/hash-parameterized or defined over the synthesized span
-        # wrapping) → rows-only check.
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_slice(regexp_extract_all(
+                         text, '[a-zA-Zàâçéèêëîïôûùüÿñäöüß]+'), 1, 2000),
+                       x -> lower(x)) AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                  len(list_filter(toks, x -> list_contains({_SW_EN}, x)))::DOUBLE / len(toks) END AS s_en,
+                CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                  len(list_filter(toks, x -> list_contains({_SW_ES}, x)))::DOUBLE / len(toks) END AS s_es,
+                CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                  len(list_filter(toks, x -> list_contains({_SW_FR}, x)))::DOUBLE / len(toks) END AS s_fr,
+                CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                  len(list_filter(toks, x -> list_contains({_SW_DE}, x)))::DOUBLE / len(toks) END AS s_de
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN n = 0 OR greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                   -- argmax with ties to the lexicographically larger code
+                   WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                   WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                   WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                   ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                END AS grams
+              FROM t),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams, x -> md5(x)) AS hashes
+              FROM g),
+            w AS (
+              SELECT doc_id, len(hashes) AS n_grams,
+                CASE WHEN len(hashes) >= 8 THEN
+                  list_distinct(list_transform(range(1, len(hashes) - 6),
+                    i -> list_aggregate(list_slice(hashes, i, i + 7), 'min')))
+                ELSE list_distinct(hashes) END AS mins
+              FROM h)
+            SELECT doc_id, n_grams,
+                   CAST(len(mins) AS BIGINT) AS n_winnow,
+                   list_aggregate(mins, 'min') AS min_gram_hash
+            FROM w
+        """,
+        # fingerprints, minhash_near_dups, simhash, embedding_near_dups,
+        # media_*, span_audit: non-SQL-expressible (crc32-/model-
+        # parameterized or defined over the synthesized span wrapping) →
+        # rows-only check.  The winnow/lang_id entries above oracle the
+        # same machinery in SQL-computable form.
     }

@@ -112,6 +112,41 @@ def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
+                   window: int = 8):
+    """SQL-oracleable winnowing profile: md5 over word 4-grams, sliding
+    ``window`` minima → (id, n_grams, n_winnow, min_gram_hash).
+
+    Same selection logic as :func:`fingerprints` but with md5 (available
+    in DuckDB) instead of crc32 and summary columns instead of the
+    xor-fold, so the driver can verify the winnowing machinery against a
+    pure-SQL reformulation.  Lexicographic min over hex digests ==
+    numeric min over the digests' big-endian value, so the two agree.
+    """
+    import hashlib
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        n_grams, n_winnow, min_hash = [], [], []
+        for text in batch[text_col]:
+            tokens = (text or "").lower().split()
+            grams = [" ".join(tokens[i:i + 4])
+                     for i in range(max(1, len(tokens) - 3))]
+            hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            if len(hashes) >= window:
+                mins = {min(hashes[i:i + window])
+                        for i in range(len(hashes) - window + 1)}
+            else:
+                mins = set(hashes)
+            n_grams.append(len(hashes))
+            n_winnow.append(len(mins))
+            min_hash.append(min(mins))
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_grams": pd.Series(n_grams, dtype="int64"),
+                             "n_winnow": pd.Series(n_winnow, dtype="int64"),
+                             "min_gram_hash": min_hash})
+    return ds.map_batches(fp, batch_format="pandas")
+
+
 def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text",
                  window: int = 8):
     """Winnowing-style rolling-hash fingerprint: min crc32 over each

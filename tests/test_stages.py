@@ -167,6 +167,25 @@ def test_lsh_candidate_groups_are_bucket_bounded():
             == _lsh_bucket(np.array([3]), np.array([99]), 64)[0]).all()
 
 
+def test_winnow_profile_kernel(rd):
+    import hashlib
+    from rdfa_streaming_parser_js_ray.stages.text import winnow_profile
+    toks = [f"w{i}" for i in range(12)]          # 9 grams, window 8 → 2 windows
+    text = " ".join(toks)
+    out = winnow_profile(rd.from_items([
+        {"doc_id": 1, "text": "a b"},            # short doc: 1 gram
+        {"doc_id": 2, "text": text},
+    ])).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 1
+    assert out.loc[1, "min_gram_hash"] == hashlib.md5(b"a b").hexdigest()
+    grams = [" ".join(toks[i:i + 4]) for i in range(9)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    mins = {min(hs[i:i + 8]) for i in range(2)}
+    assert out.loc[2, "n_grams"] == 9
+    assert out.loc[2, "n_winnow"] == len(mins)
+    assert out.loc[2, "min_gram_hash"] == min(mins)
+
+
 def test_ngram_jaccard_kernel():
     from rdfa_streaming_parser_js_ray.stages.dedup import ngram_jaccard
     assert ngram_jaccard("a b c d", "a b c d") == 1.0
