@@ -43,24 +43,39 @@ def tumbling_window_agg(events_ds, window: str = "1h",
 
 
 def sessionize(events_ds, gap_minutes: float = 30.0,
-               key_col: str = "user_id", ts_col: str = "ts"):
-    """Session windows per key: sort within group, split on gaps > gap.
+               key_col: str = "user_id", ts_col: str = "ts",
+               num_buckets: int = 256):
+    """Session windows per key: sort within partition + vectorized
+    gap-split across ALL keys of the partition at once.
 
-    Partitioning assumption: all events of one key land in one group
-    (hash-partitioned groupby guarantees it).
+    Keys are hash-bucketed into ``num_buckets`` uniform groups (so the
+    exchange has a bounded number of groups and one vectorized pandas
+    pass handles thousands of users — no Python call per key, the
+    round-1 shape).  Partitioning assumption: all events of one key land
+    in one bucket (hash of the key guarantees it).
     Returns (user_id, session_id, session_start, session_end, n_events).
     """
+    from .joins import _bucket_of
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(ts_col)
-        new_session = (group[ts_col].diff() > gap).cumsum()
-        agg = group.groupby(new_session).agg(
-            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"))
-        agg = agg.reset_index(drop=True)
-        agg.insert(0, key_col, group[key_col].iloc[0])
-        agg.insert(1, "session_id", range(len(agg)))
-        return agg
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key_col, ts_col]].copy()
+        batch["_bucket"] = _bucket_of(batch[key_col], num_buckets)
+        return batch
 
-    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col])
+        # a session break is a key change OR a gap beyond the threshold
+        brk = (g[key_col] != g[key_col].shift()) | (g[ts_col].diff() > gap)
+        sess = brk.cumsum()
+        agg = g.groupby(sess).agg(
+            **{key_col: (key_col, "first")},
+            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
+            n_events=(ts_col, "size")).reset_index(drop=True)
+        agg["session_id"] = agg.groupby(key_col).cumcount()
+        return agg[[key_col, "session_id", "session_start", "session_end",
+                    "n_events"]]
+
+    return events_ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(bucket_sessions, batch_format="pandas")
