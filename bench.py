@@ -25,6 +25,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "12000"))
+# which suite stages to run ("all", or a comma list of
+# extract,kg,kg_synth,minhash,ann,windows) — the scaling runs restrict to
+# the headline extract+kg stages so four subprocess runs stay affordable
+STAGES = frozenset(os.environ.get("GRAFT_BENCH_STAGES", "all").split(","))
+
+
+def _want(stage: str) -> bool:
+    return "all" in STAGES or stage in STAGES
 
 
 def run_benchmarks() -> dict:
@@ -75,66 +83,72 @@ def run_benchmarks() -> dict:
     throughput["extract_triples_per_s"] = round(n_triples / dt, 1)
     throughput["extract_mb_per_s"] = round(n_bytes / dt / 1e6, 2)
 
-    # ---- q2: full KG construction over the wrapped sf documents table ----
-    wrapped = documents_from_sf_table(SF_DIR).materialize()
-    n_docs = wrapped.count()
-    t0 = time.monotonic()
-    out_dir = "/tmp/bench_kg"
     import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
-    triples, _metrics = construct_kg(wrapped, out_dir=out_dir,
-                                     actor_concurrency=max(2, NUM_CPUS // 4),
-                                     input_fingerprint=f"bench-{SF_DIR}")
-    dt = time.monotonic() - t0
-    queries["kg_construct"] = round(dt, 3)
-    throughput["kg_docs_per_s"] = round(n_docs / dt, 1)
+
+    # ---- q2: full KG construction over the wrapped sf documents table ----
+    if _want("kg"):
+        wrapped = documents_from_sf_table(SF_DIR).materialize()
+        n_docs = wrapped.count()
+        t0 = time.monotonic()
+        out_dir = "/tmp/bench_kg"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        triples, _metrics = construct_kg(wrapped, out_dir=out_dir,
+                                         actor_concurrency=max(2, NUM_CPUS // 4),
+                                         input_fingerprint=f"bench-{SF_DIR}")
+        dt = time.monotonic() - t0
+        queries["kg_construct"] = round(dt, 3)
+        throughput["kg_docs_per_s"] = round(n_docs / dt, 1)
 
     # ---- q2b: KG construct on the synthetic corpus (realistic load: ------
     # ~46 triples/doc, dense mentions) — shows the pipeline beyond the
     # oracle-sized sf input.  Capped at 12k docs so --scaling's larger
     # extraction corpus doesn't balloon this stage.
-    kg_docs_n = min(SYNTH_DOCS, 12000)
-    kg_docs = docs.limit(kg_docs_n).materialize() if kg_docs_n < SYNTH_DOCS else docs
-    shutil.rmtree("/tmp/bench_kg_synth", ignore_errors=True)
-    t0 = time.monotonic()
-    construct_kg(kg_docs, out_dir="/tmp/bench_kg_synth",
-                 actor_concurrency=max(2, NUM_CPUS // 4),
-                 input_fingerprint="bench-synth")
-    dt = time.monotonic() - t0
-    queries["kg_construct_synth"] = round(dt, 3)
-    throughput["kg_synth_docs_per_s"] = round(kg_docs_n / dt, 1)
+    if _want("kg_synth"):
+        kg_docs_n = min(SYNTH_DOCS, 12000)
+        kg_docs = docs.limit(kg_docs_n).materialize() if kg_docs_n < SYNTH_DOCS else docs
+        shutil.rmtree("/tmp/bench_kg_synth", ignore_errors=True)
+        t0 = time.monotonic()
+        construct_kg(kg_docs, out_dir="/tmp/bench_kg_synth",
+                     actor_concurrency=max(2, NUM_CPUS // 4),
+                     input_fingerprint="bench-synth")
+        dt = time.monotonic() - t0
+        queries["kg_construct_synth"] = round(dt, 3)
+        throughput["kg_synth_docs_per_s"] = round(kg_docs_n / dt, 1)
 
     # ---- q3: minhash-LSH near-dup candidates over documents --------------
-    from rdfa_streaming_parser_js_ray.stages.dedup import minhash_lsh_candidates
-    sf_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                              columns=["doc_id", "text"]).materialize()
-    t0 = time.monotonic()
-    minhash_lsh_candidates(sf_docs, concurrency=max(2, NUM_CPUS // 4)).count()
-    queries["minhash_lsh"] = round(time.monotonic() - t0, 3)
+    if _want("minhash"):
+        from rdfa_streaming_parser_js_ray.stages.dedup import minhash_lsh_candidates
+        sf_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"]).materialize()
+        t0 = time.monotonic()
+        minhash_lsh_candidates(sf_docs, concurrency=max(2, NUM_CPUS // 4)).count()
+        queries["minhash_lsh"] = round(time.monotonic() - t0, 3)
 
     # ---- q4: ANN brute-force top-k over embeddings -----------------------
-    import numpy as np
-    from rdfa_streaming_parser_js_ray.stages.ann import brute_force_topk
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                          columns=["vec_id", "embedding"]).materialize()
-    qrows = sorted(emb.take(64), key=lambda r: r["vec_id"])[:32]
-    qmat = np.asarray([np.asarray(r["embedding"]) for r in qrows])
-    t0 = time.monotonic()
-    brute_force_topk(emb, ray.put(qmat), k=10,
-                     concurrency=max(2, NUM_CPUS // 4)).count()
-    queries["ann_topk"] = round(time.monotonic() - t0, 3)
+    if _want("ann"):
+        import numpy as np
+        from rdfa_streaming_parser_js_ray.stages.ann import brute_force_topk
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]).materialize()
+        qrows = sorted(emb.take(64), key=lambda r: r["vec_id"])[:32]
+        qmat = np.asarray([np.asarray(r["embedding"]) for r in qrows])
+        t0 = time.monotonic()
+        brute_force_topk(emb, ray.put(qmat), k=10,
+                         concurrency=max(2, NUM_CPUS // 4)).count()
+        queries["ann_topk"] = round(time.monotonic() - t0, 3)
 
     # ---- q5: windowed aggregation + sessionization over events -----------
-    from rdfa_streaming_parser_js_ray.stages.windows import (
-        sessionize, tumbling_window_agg,
-    )
-    events = rd.read_parquet(f"{SF_DIR}/events.parquet").materialize()
-    t0 = time.monotonic()
-    tumbling_window_agg(events).count()
-    queries["window_agg"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    sessionize(events).count()
-    queries["sessionize"] = round(time.monotonic() - t0, 3)
+    if _want("windows"):
+        from rdfa_streaming_parser_js_ray.stages.windows import (
+            sessionize, tumbling_window_agg,
+        )
+        events = rd.read_parquet(f"{SF_DIR}/events.parquet").materialize()
+        t0 = time.monotonic()
+        tumbling_window_agg(events).count()
+        queries["window_agg"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        sessionize(events).count()
+        queries["sessionize"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -151,9 +165,52 @@ def run_benchmarks() -> dict:
     return result
 
 
+def _mp_parse_chunk(rows) -> int:
+    """Multiprocessing-control worker: the identical extraction kernel,
+    no Ray, no object store — bounds the shared-node hardware ceiling."""
+    from rdfa_streaming_parser_js_ray.stages.extract import triples_for_document
+    n = 0
+    for doc_id, spans in rows:
+        n += len(triples_for_document(doc_id, spans))
+    return n
+
+
+def run_mp_control(lo: int, hi: int, n_docs: int = 24000) -> dict:
+    """Same parse kernel under plain multiprocessing at lo vs hi procs —
+    any efficiency loss here is the silicon (frequency/membw), not Ray."""
+    import multiprocessing as mp
+
+    from rdfa_streaming_parser_js_ray.sources.documents import synthesize_documents
+    tbl = synthesize_documents(n_docs, seed=42)
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["spans"].to_pylist()))
+
+    def run(nproc: int) -> float:
+        chunks = [rows[i::nproc * 4] for i in range(nproc * 4)]
+        t0 = time.monotonic()
+        with mp.get_context("fork").Pool(nproc) as pool:
+            pool.map(_mp_parse_chunk, chunks)
+        return n_docs / (time.monotonic() - t0)
+
+    d_lo, d_hi = run(lo), run(hi)
+    return {"docs_per_s": [round(d_lo, 1), round(d_hi, 1)],
+            "efficiency": round((d_hi / d_lo) / (hi / lo), 3)}
+
+
 def run_scaling() -> None:
+    """Two N→4N pairs (4→16 and 8→32 CPUs), each: the headline
+    extract+KG stages in fresh Ray sessions on the same input, plus the
+    no-Ray multiprocessing control on the same kernel.
+
+    4→16 is the primary criterion pair: this sandbox's full socket drops
+    per-core throughput ~20-25% under 32-way load for ANY Python workload
+    (the control quantifies it per round), a frequency/memory-bandwidth
+    artifact of sharing one node — a real N→4N adds nodes.  8→32 is
+    recorded alongside so round-over-round efficiency is trendable with
+    the hardware ceiling measured next to it.
+    """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_STAGES="extract,kg_synth")
         # larger corpus for the scaling runs so per-stage fixed overhead
         # (~1.5 s of scheduling/pool spin-up) is small vs compute: at
         # ~10.5k docs/s on 32 CPUs, 160k docs ≈ 15 s of real parse work
@@ -163,29 +220,32 @@ def run_scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N CPUs (driver instructions).  4 vs 16 rather than 8 vs 32:
-    # this sandbox's full socket drops per-core throughput ~23% under
-    # 32-way load for ANY Python workload (measured with plain
-    # multiprocessing, no Ray — see BASELINE.md "hardware ceiling"), which
-    # is a frequency/memory-bandwidth artifact of sharing one node, not a
-    # property of the engine.  Real N→4N adds nodes, not SMT pressure.
-    lo, hi = 4, 16
-    r_lo = run(lo)
-    r_hi = run(hi)
-    # scaling on the parse-bound headline stage (docs/s), plus total
-    d_lo = r_lo["throughput"]["extract_docs_per_s"]
-    d_hi = r_hi["throughput"]["extract_docs_per_s"]
-    eff_extract = (d_hi / d_lo) / (hi / lo)
-    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    pairs = {}
+    for lo, hi in ((4, 16), (8, 32)):
+        r_lo, r_hi = run(lo), run(hi)
+        d_lo = r_lo["throughput"]["extract_docs_per_s"]
+        d_hi = r_hi["throughput"]["extract_docs_per_s"]
+        pairs[f"{lo}->{hi}"] = {
+            "cpus": [lo, hi],
+            "extract_docs_per_s": [d_lo, d_hi],
+            "total_sec": [r_lo["value"], r_hi["value"]],
+            "efficiency_extract": round((d_hi / d_lo) / (hi / lo), 3),
+            "efficiency_total": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
+            "queries_lo": r_lo["queries"],
+            "queries_hi": r_hi["queries"],
+            "mp_control": run_mp_control(lo, hi),
+        }
+
+    primary = pairs["4->16"]
     print(json.dumps({
-        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input)",
-        "cpus": [lo, hi],
-        "extract_docs_per_s": [d_lo, d_hi],
-        "total_sec": [r_lo["value"], r_hi["value"]],
-        "scaling_efficiency_extract": round(eff_extract, 3),
-        "scaling_efficiency_total": round(eff_total, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        "metric": "scaling efficiency (N -> 4N CPUs, same input; "
+                  "primary pair 4->16, 8->32 recorded for trend)",
+        "cpus": primary["cpus"],
+        "extract_docs_per_s": primary["extract_docs_per_s"],
+        "total_sec": primary["total_sec"],
+        "scaling_efficiency_extract": primary["efficiency_extract"],
+        "scaling_efficiency_total": primary["efficiency_total"],
+        "pairs": pairs,
     }))
 
 

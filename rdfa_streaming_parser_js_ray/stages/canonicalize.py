@@ -25,14 +25,30 @@ TRIPLE_KEY = ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
               "obj_datatype", "graph"]
 
 
+def part_key_of(values, num_partitions: int) -> pa.Array:
+    """Vectorized deterministic partition key for a string column.
+
+    ``pd.util.hash_array`` (fixed key, stable across processes/retries)
+    instead of a Python crc32 loop per subject — the key only needs to be
+    uniform and identical wherever part_key is (re)derived (extraction
+    and post-canonicalization use this same helper)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = values if isinstance(values, np.ndarray) \
+        else np.asarray(values.to_pylist() if hasattr(values, "to_pylist")
+                        else values, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return pa.array((h % np.uint64(num_partitions)).astype("int32"),
+                    pa.int32())
+
+
 def with_part_key(triples_ds, num_partitions: int = 64):
     """(Re)compute ``part_key = hash(subj) % P`` — needed after any stage
     that rewrites subjects (canonicalization) or drops the column (dedup)."""
-    import zlib
 
     def add(batch: pa.Table) -> pa.Table:
-        part = pa.array([zlib.crc32(s.encode()) % num_partitions
-                         for s in batch["subj"].to_pylist()], pa.int32())
+        part = part_key_of(batch["subj"], num_partitions)
         if "part_key" in batch.column_names:
             return batch.set_column(
                 batch.schema.get_field_index("part_key"), "part_key", part)
@@ -131,14 +147,21 @@ class ApplyCanonicalMap:
         mapping = self.mapping
         if not mapping:
             return batch
-        subj = [mapping.get(s, s) for s in batch["subj"].to_pylist()]
-        kinds = batch["obj_kind"].to_pylist()
-        vals = batch["obj_value"].to_pylist()
-        obj = [mapping.get(v, v) if k == "iri" else v for k, v in zip(kinds, vals)]
-        return batch.set_column(batch.schema.get_field_index("subj"), "subj",
-                                pa.array(subj, pa.string())) \
-                    .set_column(batch.schema.get_field_index("obj_value"), "obj_value",
-                                pa.array(obj, pa.string()))
+        import pandas as pd
+        # vectorized dict rewrite: Series.map is a C hashtable probe per
+        # column, replacing the per-row Python dict.get loop
+        s = batch["subj"].to_pandas()
+        ms = s.map(mapping)
+        v = batch["obj_value"].to_pandas()
+        mv = v.map(mapping)
+        iri = batch["obj_kind"].to_pandas() == "iri"
+        return batch.set_column(
+            batch.schema.get_field_index("subj"), "subj",
+            pa.Array.from_pandas(ms.where(ms.notna(), s), type=pa.string())) \
+            .set_column(
+            batch.schema.get_field_index("obj_value"), "obj_value",
+            pa.Array.from_pandas(mv.where(mv.notna() & iri, v),
+                                 type=pa.string()))
 
 
 def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):

@@ -108,7 +108,8 @@ class ExtractTriples:
                     out_lang.append("")
                     out_dt.append("")
 
-        part = [zlib.crc32(s.encode()) % num_partitions for s in out_s]
+        from .canonicalize import part_key_of
+        part = part_key_of(out_s, num_partitions)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.string()),
             "subj": pa.array(out_s, pa.string()),
