@@ -127,21 +127,34 @@ class EntityLinker:
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {k.name: [] for k in LINKS_SCHEMA}
-        for doc_id, subj, pred, surface, norm in zip(
-                batch["doc_id"].to_pylist(), batch["subj"].to_pylist(),
-                batch["pred"].to_pylist(), batch["surface"].to_pylist(),
-                batch["norm"].to_pylist()):
-            hit = self._score(norm)
-            if hit is None:
-                continue
-            rows["doc_id"].append(doc_id)
-            rows["subj"].append(subj)
-            rows["pred"].append(pred)
-            rows["surface"].append(surface)
-            rows["entity"].append(hit[0])
-            rows["score"].append(hit[1])
-        return pa.table(rows, schema=LINKS_SCHEMA)
+        import numpy as np
+        import pandas as pd
+
+        # vectorized exact-match pass (Series.map = C hashtable probe);
+        # the token-containment fallback only runs on the misses
+        norm = batch["norm"].to_pandas()
+        entity = norm.map(self.alias)
+        score = np.where(entity.notna(), np.float32(1.0), np.float32(0.0))
+        miss = entity.isna().to_numpy()
+        if miss.any():
+            ents = entity.to_numpy(dtype=object)
+            for i in np.flatnonzero(miss):
+                hit = self._score(norm.iat[i])
+                if hit is not None:
+                    ents[i] = hit[0]
+                    score[i] = hit[1]
+            entity = pd.Series(ents, index=norm.index)
+        keep = entity.notna().to_numpy()
+        idx = np.flatnonzero(keep)
+        taken = batch.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "doc_id": taken["doc_id"],
+            "subj": taken["subj"],
+            "pred": taken["pred"],
+            "surface": taken["surface"],
+            "entity": pa.array(entity.to_numpy(dtype=object)[idx], pa.string()),
+            "score": pa.array(score[idx], pa.float32()),
+        }, schema=LINKS_SCHEMA)
 
 
 def link_entities(mentions_ds, alias_ref, concurrency: int = 4,
