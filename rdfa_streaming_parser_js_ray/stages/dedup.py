@@ -97,20 +97,34 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------------- shingles --
 
+_TOK_MIX = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles → uint64 hash array (crc32 pairs, deterministic)."""
+    """k-word shingles → uint64 hash array, vectorized.
+
+    One crc32 per TOKEN (not per shingle string), then a numpy rolling
+    polynomial combine over each k-window — no per-shingle ``" ".join``
+    allocations; identical token sequences hash identically, so set
+    Jaccard over these hashes is k-gram Jaccard (up to hash collisions,
+    as before).  Deterministic.
+    """
     tokens = text.lower().split()
-    if len(tokens) < k:
-        shingles = [" ".join(tokens)] if tokens else [""]
-    else:
-        shingles = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        b = s.encode()
-        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+    n = len(tokens)
+    if n == 0:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    tok = np.fromiter(
+        (zlib.crc32(t.encode()) for t in tokens), dtype=np.uint64, count=n)
+    tok = (tok << np.uint64(32)) | (tok * _TOK_MIX >> np.uint64(32))
+    if n < k:
+        k = n
+    m = n - k + 1
+    acc = tok[0:m].copy()
+    for j in range(1, k):                    # k-1 vectorized passes
+        acc = acc * _TOK_MIX ^ tok[j:j + m]
     # Jaccard is set-valued: duplicate shingles never change a min, so
     # uniquing up front shrinks the minhash matrix for free
-    return np.unique(out)
+    return np.unique(acc)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
