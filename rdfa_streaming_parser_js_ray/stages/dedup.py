@@ -172,16 +172,23 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, band_hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text or "")
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                digest = zlib.crc32(chunk.tobytes())
-                ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(digest)
-        return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": band_hashes})
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"doc_id": [], "band": [], "band_hash": []})
+        # (n, bands, rows_per_band) signature cube, folded to one digest
+        # per (doc, band) with a vectorized polynomial combine — no
+        # per-doc/per-band Python loop or crc32 call
+        sigs = np.stack([self.signature(t or "")
+                         for t in batch[self.text_col]])
+        cube = sigs.reshape(n, self.bands, self.rows_per_band)
+        acc = cube[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            acc = acc * _TOK_MIX ^ cube[:, :, j]
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch[self.id_col].to_numpy(), self.bands),
+            "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "band_hash": acc.reshape(-1),
+        })
 
 
 _BUCKET_MIX_A = np.uint64(0x9E3779B97F4A7C15)
