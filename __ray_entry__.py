@@ -184,15 +184,26 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """The synthetic embeddings table has no natural near-dups (max
+    off-diagonal cosine ≈ 0.51), so the query plants exact duplicates of
+    the first 20 vectors under shifted ids: the expected answer is
+    exactly those 20 pairs, which makes the whole LSH-co-bucket +
+    in-bucket pair-scan path DuckDB-oracleable (ids only — the float32
+    cosine of an exact dup is 1.0 ± fp error, not SQL-reproducible)."""
+    import pandas as pd
     import ray.data as rd
     from rdfa_streaming_parser_js_ray.stages.ann import embedding_near_dup_pairs
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    # NOTE: the synthetic embeddings table contains no near-duplicates
-    # (max off-diagonal cosine ≈ 0.51), so the correct answer is EMPTY;
-    # tests/test_stages.py::test_embedding_near_dups_planted proves the
-    # operator finds planted near-dups when they exist.
-    return embedding_near_dup_pairs(emb, threshold=0.9, concurrency=2)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch[batch["vec_id"] < 20].copy()
+        dup["vec_id"] = dup["vec_id"] + 100_000
+        return pd.concat([batch, dup], ignore_index=True)
+
+    pairs = embedding_near_dup_pairs(emb.map_batches(plant, batch_format="pandas"),
+                                     threshold=0.9, concurrency=2)
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 def q_window_agg(sf_dir: str):
@@ -793,6 +804,10 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_disc_price_e4,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        "embedding_near_dups": """
+            SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+            FROM embeddings WHERE vec_id < 20
         """,
         "lang_id": f"""
             WITH t AS (
