@@ -31,11 +31,21 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                  num_partitions: int = 64,
                  input_fingerprint: str = "",
                  resume: bool = True,
-                 skip_linking: bool = False):
+                 skip_linking: bool = False,
+                 broadcast_max_entities: int = 1_000_000):
     """Run the full pipeline; returns (canonical_triples_ds, metrics dict).
 
     When ``out_dir`` is given, materializes partitioned parquet with
     per-partition lineage manifests and resumability.
+
+    ``broadcast_max_entities`` is the size threshold between the two
+    linking/canonicalization modes: below it, the alias dict and the
+    (union-find-closed) canonical map broadcast via ``ray.put``; above
+    it, the pipeline switches to the fully distributed path — hash-join
+    linking against the alias Dataset, grouped min-propagation for the
+    transitive closure, and join-based triple rewriting — with nothing
+    map-shaped ever held on one node (``metrics["linking_mode"]``
+    records which path ran).
     """
     import ray
 
@@ -80,26 +90,62 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
 
     if skip_linking:
         canonical = triples
-        mapping = {}
+        metrics["linking_mode"] = "skipped"
     else:
         t_s = time.monotonic()
-        alias = build_alias_dict(triples)
-        metrics["alias_entries"] = len(alias)
-        metrics["stages"]["alias_sec"] = round(time.monotonic() - t_s, 3)
-        alias_ref = ray.put(alias)
+        try:
+            alias = build_alias_dict(triples,
+                                     max_entities=broadcast_max_entities)
+        except ValueError:
+            alias = None  # alias table beyond broadcast → joined mode
+        if alias is not None:
+            metrics["linking_mode"] = "broadcast"
+            metrics["alias_entries"] = len(alias)
+            metrics["stages"]["alias_sec"] = round(time.monotonic() - t_s, 3)
+            alias_ref = ray.put(alias)
 
-        t_s = time.monotonic()
-        mentions = detect_mentions(triples, concurrency=actor_concurrency)
-        links = link_entities(mentions, alias_ref, concurrency=actor_concurrency)
-        mapping = build_canonical_map(links)
-        metrics["canonical_map_entries"] = len(mapping)
-        metrics["stages"]["link_sec"] = round(time.monotonic() - t_s, 3)
+            t_s = time.monotonic()
+            mentions = detect_mentions(triples, concurrency=actor_concurrency)
+            links = link_entities(mentions, alias_ref,
+                                  concurrency=actor_concurrency)
+            mapping = build_canonical_map(links)
+            metrics["canonical_map_entries"] = len(mapping)
+            metrics["stages"]["link_sec"] = round(time.monotonic() - t_s, 3)
 
-    mapping_ref = ray.put(mapping)
-    canonical = triples.map_batches(
-        ApplyCanonicalMap, fn_constructor_kwargs={"mapping_ref": mapping_ref},
-        batch_format="pyarrow", concurrency=(1, actor_concurrency),
-        num_cpus=0.5)
+            mapping_ref = ray.put(mapping)
+            canonical = triples.map_batches(
+                ApplyCanonicalMap,
+                fn_constructor_kwargs={"mapping_ref": mapping_ref},
+                batch_format="pyarrow", concurrency=(1, actor_concurrency),
+                num_cpus=0.5)
+        else:
+            # Fully distributed mode: the alias/canonical maps never land
+            # on one node.  Hash-join linking (exact norms), grouped
+            # min-propagation closure, join-based rewrite.
+            from ..stages.canonicalize import (
+                apply_canonical_map_joined, canonical_pairs,
+                transitive_closure_joined,
+            )
+            from ..stages.linking import alias_pairs, link_entities_joined
+
+            metrics["linking_mode"] = "joined"
+            alias_ds = alias_pairs(triples).materialize()
+            metrics["alias_entries"] = alias_ds.count()
+            metrics["stages"]["alias_sec"] = round(time.monotonic() - t_s, 3)
+
+            t_s = time.monotonic()
+            mentions = detect_mentions(triples, concurrency=actor_concurrency)
+            links = link_entities_joined(mentions, alias_ds)
+            mapping_ds = transitive_closure_joined(
+                canonical_pairs(links)).materialize()
+            n_map = mapping_ds.count()
+            metrics["canonical_map_entries"] = n_map
+            metrics["stages"]["link_sec"] = round(time.monotonic() - t_s, 3)
+
+            # an empty mapping Dataset has no schema to join against —
+            # and nothing to rewrite
+            canonical = apply_canonical_map_joined(triples, mapping_ds) \
+                if n_map else triples
 
     # Tail = ONE all-to-all: per-batch distinct combiner (shuffle-free) →
     # part_key groupby whose per-group pass does the global distinct AND

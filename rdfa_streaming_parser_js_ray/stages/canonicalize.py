@@ -170,6 +170,81 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
+                              max_rounds: int = 32):
+    """Distributed transitive closure of identity-evidence pairs — the
+    no-driver path for evidence sets beyond node memory.
+
+    Grouped min-propagation over the symmetrized evidence graph: each
+    round joins the edge list against the current (term → canonical)
+    mapping and folds with a grouped ``Min``, so every node adopts the
+    smallest canonical reachable one hop further; iterate to fixpoint
+    (O(diameter) rounds — identity chains are short in practice; a
+    pointer-jumping/hash-to-min rewiring variant would cut this to
+    O(log diameter) at the cost of an extra edge-dedup exchange per
+    round).  Returns a Dataset (term, canonical), identity rows dropped
+    — feed to :func:`apply_canonical_map_joined`.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    def symmetrize(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch.rename(columns={"subj": "node", "entity": "nbr"})
+        rev = batch.rename(columns={"subj": "nbr", "entity": "node"})
+        both = pd.concat([fwd[["node", "nbr"]], rev[["node", "nbr"]]],
+                         ignore_index=True)
+        # self-edge seeds min(N(u) ∪ {u})
+        self_rows = pd.DataFrame({"node": both["node"],
+                                  "nbr": both["node"]})
+        return pd.concat([both, self_rows], ignore_index=True) \
+                 .drop_duplicates()
+
+    edges = pairs_ds.map_batches(symmetrize,
+                                 batch_format="pandas").materialize()
+    if edges.count() == 0:
+        # no identity evidence: empty mapping (an empty Dataset has no
+        # schema to join against — callers guard on count())
+        import ray.data as rd
+        return rd.from_items([])
+    mapping = edges.groupby("node") \
+                   .aggregate(Min("nbr", alias_name="canonical")) \
+                   .map_batches(lambda b: b.rename(columns={"node": "term"}),
+                                batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # candidates one hop further: (node, m[nbr])
+        probe = edges.map_batches(
+            lambda b: b.rename(columns={"nbr": "term"}),
+            batch_format="pandas")
+        cand = hash_join(probe, mapping, on="term",
+                         num_buckets=num_buckets) \
+            .map_batches(lambda b: b[["node", "canonical"]]
+                         .rename(columns={"node": "term"}),
+                         batch_format="pandas")
+        new_mapping = cand.union(mapping).groupby("term") \
+            .aggregate(Min("canonical", alias_name="canonical")).materialize()
+        # converged when no term's canonical changed
+        check = hash_join(
+            new_mapping,
+            mapping.map_batches(
+                lambda b: b.rename(columns={"canonical": "prev"}),
+                batch_format="pandas"),
+            on="term", num_buckets=num_buckets)
+        changed = check.map_batches(
+            lambda b: b[b["canonical"] != b["prev"]][["term"]],
+            batch_format="pandas").count()
+        mapping = new_mapping
+        if changed == 0:
+            break
+
+    def drop_identity(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["term"] != batch["canonical"]]
+
+    return mapping.map_batches(drop_identity, batch_format="pandas")
+
+
 def apply_canonical_map_joined(triples_ds, mapping_ds, num_buckets: int = 64):
     """Rewrite subj / IRI-objects via partitioned left hash joins — the
     no-broadcast path for canonical maps beyond node memory.

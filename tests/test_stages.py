@@ -475,6 +475,31 @@ def test_link_entities_joined_matches_broadcast_exact(rd):
     assert len(jn) == 2
 
 
+def test_kg_construct_joined_mode_matches_broadcast(rd):
+    """Forcing the alias table past the broadcast threshold must switch
+    the flagship to the fully distributed path (hash-join linking,
+    grouped min-propagation closure, join-based rewrite) and produce
+    byte-identical triples."""
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.sources.documents import documents_from_sf_table
+    docs = documents_from_sf_table("/root/testdata/sf0.001")
+    bc, m_bc = construct_kg(docs)
+    jn, m_jn = construct_kg(docs, broadcast_max_entities=1)
+    assert m_bc["linking_mode"] == "broadcast"
+    assert m_jn["linking_mode"] == "joined"
+    assert m_jn["canonical_map_entries"] == m_bc["canonical_map_entries"] > 0
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    key = lambda ds: sorted(map(tuple, ds.to_pandas()[cols]
+                                .itertuples(index=False)))
+    assert key(bc) == key(jn)
+    # empty-evidence corpus (no mirrors) through the joined path
+    synth = rd.from_arrow(synthesize_documents(30, seed=3)).repartition(2)
+    jn2, m2 = construct_kg(synth, broadcast_max_entities=1)
+    assert m2["linking_mode"] == "joined"
+    assert m2["canonical_map_entries"] == 0
+    assert jn2.count() > 0
+
+
 def test_kg_construct_resume_skips_written_partitions(rd, tmp_path):
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     from rdfa_streaming_parser_js_ray.state import checkpoints
