@@ -269,6 +269,49 @@ case("plain term without vocab yields no triple in html", "html",
      '<html><body><span property="frobnicate">x</span></body></html>',
      [])
 
+case("@property with @href and no @rel: href becomes the object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" property="dc:source" href="http://example.net/s">x</a>'
+     '</body></html>',
+     [[B + "#a", DC + "source", "http://example.net/s"]])
+
+case("non-CURIE @rel dropped when @property present "
+     "(onlyAllowUriRelRevIfProperty)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" property="dc:title" rel="nofollow" '
+     'href="http://example.net/s">T</a></body></html>',
+     # rel='nofollow' is a term, not a CURIE → dropped entirely; property
+     # then takes href as its resource object
+     [[B + "#a", DC + "title", "http://example.net/s"]])
+
+case("CURIE @rel kept alongside @property", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" property="dc:title" rel="dc:source" '
+     'href="http://example.net/s">T</a></body></html>',
+     [[B + "#a", DC + "source", "http://example.net/s"],
+      [B + "#a", DC + "title", '"T"']])
+
+case("xml:lang wins over lang", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="dc:title" xml:lang="de" lang="fr">T</span>'
+     '</body></html>',
+     [[B, DC + "title", '"T"@de']])
+
+case("@role with @id emits xhv:role", "html",
+     '<html><body><div id="b" role="button">x</div></body></html>',
+     [[B + "#b", XHV + "role", XHV + "button"]])
+
+case("empty @about refers to the base", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about=""><span property="dc:title">T</span></div></body></html>',
+     [[B, DC + "title", '"T"']])
+
+case("@vocab applies to @typeof terms", "html",
+     f'<html><body vocab="{SCHEMA}">'
+     '<div about="#e" typeof="Event"></div></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B + "#e", RDF + "type", SCHEMA + "Event"]])
+
 # ---------------------------------------------------------- xhtml5 cases --
 
 case("xhtml initial-context term in @rel", "xhtml",
@@ -303,6 +346,50 @@ case("body inherits subject of <html about> (xhtml)", "xhtml",
      '<html about="#top" xmlns="http://www.w3.org/1999/xhtml">'
      '<body><span property="schema:name">A</span></body></html>',
      [[B + "#top", SCHEMA + "name", '"A"']])
+
+case("safe CURIE in @resource (xhtml)", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body '
+     'prefix="ex: http://example.org/vocab#">'
+     '<div about="#a" rel="ex:r" resource="[ex:target]"></div></body></html>',
+     [[B + "#a", EX + "r", EX + "target"]])
+
+case("blank node safe CURIE in @about (xhtml)", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body '
+     'prefix="ex: http://example.org/vocab#">'
+     '<div about="[_:n]" property="ex:p">v</div></body></html>',
+     [["_:n", EX + "p", '"v"']])
+
+case("initial-context dcterms prefix (xhtml)", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<span property="dcterms:title">T</span></body></html>',
+     [[B, DC + "title", '"T"']])
+
+case("@inlist resources in xhtml", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body '
+     'prefix="ex: http://example.org/vocab#"><div about="#a">'
+     '<link inlist="" rel="ex:l" href="#m1"/>'
+     '<link inlist="" rel="ex:l" href="#m2"/>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", B + "#m1"],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", B + "#m2"],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "l", "_:l0"]])
+
+case("@content with xml:lang (xhtml)", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body xml:lang="it">'
+     '<meta about="#a" property="schema:name" content="Nome"/>'
+     '</body></html>',
+     [[B + "#a", SCHEMA + "name", '"Nome"@it']])
+
+case("nested xmlns: redeclaration overrides for the subtree", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml" '
+     'xmlns:ex="http://outer.example.com/#"><body>'
+     '<div xmlns:ex="http://example.org/vocab#">'
+     '<span property="ex:p">in</span></div>'
+     '<span property="ex:q">out</span></body></html>',
+     [[B, EX + "p", '"in"'],
+      [B, "http://outer.example.com/#q", '"out"']])
 
 # ------------------------------------------------------------- svg cases --
 
@@ -350,6 +437,45 @@ case("@rel chaining in svg", "xml",
      'property="foaf:name">B</metadata></g></g></svg>',
      [[B + "#a", FOAF + "maker", B + "#b"],
       [B + "#b", FOAF + "name", '"B"']])
+
+
+case("typed bnode chain in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xmlns:foaf="http://xmlns.com/foaf/0.1/">'
+     '<g about="#a" rel="foaf:maker"><g typeof="foaf:Person">'
+     '<metadata property="foaf:name">Ann</metadata></g></g></svg>',
+     [[B + "#a", FOAF + "maker", "_:p"],
+      ["_:p", RDF + "type", FOAF + "Person"],
+      ["_:p", FOAF + "name", '"Ann"']])
+
+case("typed literal in svg (xsd:decimal)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xmlns:ex="http://example.org/vocab#">'
+     '<metadata property="ex:score" '
+     'datatype="http://www.w3.org/2001/XMLSchema#decimal">1.5</metadata>'
+     '</svg>',
+     [[B, EX + "score", f'"1.5"^^{XSD}decimal']])
+
+case("@datetime attribute works in svg profile", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<time property="schema:startDate" datetime="2021-07-01">x</time></svg>',
+     [[B, SCHEMA + "startDate", f'"2021-07-01"^^{XSD}date']])
+
+case("numeric character entity in svg text", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata property="schema:name">A&#65;&amp;B</metadata></svg>',
+     [[B, SCHEMA + "name", '"AA&B"']])
+
+case("entities decoded in svg attribute values", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata property="schema:name" content="A&amp;B"/></svg>',
+     [[B, SCHEMA + "name", '"A&B"']])
+
+case("full-IRI @rev in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<g about="#a" rev="http://example.org/vocab#of" resource="#b"></g>'
+     '</svg>',
+     [[B + "#b", EX + "of", B + "#a"]])
 
 
 def main() -> None:
