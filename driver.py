@@ -48,6 +48,13 @@ def main() -> None:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
 
+    # session entrypoint owns the DataContext (library code never flips
+    # global flags): push-based shuffle is ~3x faster on the part_key
+    # exchange (BENCH/BASELINE.md)
+    from ray.data.context import DataContext, ShuffleStrategy
+    DataContext.get_current().shuffle_strategy = \
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
     from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
     from rdfa_streaming_parser_js_ray.sources.documents import (
         documents_from_sf_table, read_documents,
