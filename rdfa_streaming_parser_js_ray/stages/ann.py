@@ -97,6 +97,19 @@ class LshBucketer:
         signs = (mat @ self.planes) > 0
         return signs @ self._weights
 
+    def probe_buckets(self, mat: np.ndarray, n_probes: int) -> np.ndarray:
+        """Multi-probe bucket ids per row: the home bucket plus the
+        buckets reached by flipping the lowest-|margin| hyperplane bits
+        one at a time — the standard multi-probe LSH extension (a point
+        near a hyperplane is likely hashed across it).  Returns
+        (rows, n_probes) int64."""
+        scores = mat @ self.planes                       # (rows, n_bits)
+        home = ((scores > 0) @ self._weights)[:, None]   # (rows, 1)
+        order = np.argsort(np.abs(scores), axis=1)       # ascending margin
+        extra = min(max(n_probes - 1, 0), self.planes.shape[1])
+        flips = home ^ self._weights[order[:, :extra]]   # (rows, extra)
+        return np.concatenate([home, flips], axis=1)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         mat = _to_matrix(batch[self.vec_col])
         batch = batch.assign(bucket=self.bucket_of(mat))
@@ -105,28 +118,31 @@ class LshBucketer:
 
 def lsh_bucketed_topk(ds, query_vecs: np.ndarray, dim: int, k: int = 10,
                       n_bits: int = 8, seed: int = 42, id_col: str = "vec_id",
-                      vec_col: str = "embedding", concurrency: int = 4):
-    """ANN top-k scanning only the query's LSH bucket (approximate).
+                      vec_col: str = "embedding", concurrency: int = 4,
+                      n_probes: int = 1):
+    """ANN top-k scanning only the query's probe buckets (approximate).
 
-    Recall < 1 by construction; multi-probe (flipping low-margin bits) is
-    the standard extension — single-probe keeps this operator simple.
+    ``n_probes=1`` scans each query's home bucket; higher values add the
+    buckets across the query's lowest-margin hyperplanes (multi-probe
+    LSH), trading scan cost for recall without re-bucketing the corpus.
     """
     import ray
 
     bucketer = LshBucketer(dim=dim, n_bits=n_bits, seed=seed, vec_col=vec_col)
     q = np.asarray(query_vecs, dtype=np.float32)
-    q_buckets = bucketer.bucket_of(q)
-    wanted = set(int(b) for b in q_buckets)
+    q_buckets = bucketer.probe_buckets(q, n_probes)      # (n_q, n_probes)
+    wanted = set(int(b) for b in q_buckets.ravel())
 
     bucketed = ds.map_batches(bucketer, batch_format="pandas",
                               concurrency=concurrency, num_cpus=0.5)
     candidates = bucketed.map_batches(_keep_in_set("bucket", wanted),
                                       batch_format="pandas")
 
-    # per-bucket queries only
+    # per-bucket queries only (a query probes all its buckets)
     by_bucket: dict[int, list[int]] = {}
-    for qid, b in enumerate(q_buckets):
-        by_bucket.setdefault(int(b), []).append(qid)
+    for qid, row in enumerate(q_buckets):
+        for b in dict.fromkeys(int(x) for x in row):
+            by_bucket.setdefault(b, []).append(qid)
 
     queries_ref = ray.put(q)
 

@@ -613,3 +613,18 @@ def test_lsh_bucketed_topk_recall(rd):
         assert len(got) <= 5
         assert qid in set(got["vec_id"])
     assert len(exact) == 20
+    # multi-probe scans a superset of buckets → recall vs exact top-k is
+    # monotonically non-decreasing in n_probes
+    multi = lsh_bucketed_topk(ds, q, dim=32, k=5, n_bits=4,
+                              n_probes=4).to_pandas()
+
+    def recall(df):
+        hits = 0
+        for qid in range(4):
+            want = set(exact[exact["qid"] == qid]["vec_id"])
+            hits += len(want & set(df[df["qid"] == qid]["vec_id"]))
+        return hits
+    assert recall(multi) >= recall(approx)
+    for qid in range(4):
+        got = multi[multi["qid"] == qid]
+        assert len(got) <= 5 and qid in set(got["vec_id"])
