@@ -202,6 +202,20 @@ def test_dangling_tag_at_eof_surfaces_as_text():
     assert [o.value for _, _, o in out_frag] == ["a<div"]
 
 
+def test_xml_mode_keeps_raw_attribute_whitespace():
+    """htmlparser2's xmlMode (the reference's XML path) does NOT apply
+    XML attribute-value normalization — newlines in attribute values stay
+    raw (a conformant parser like expat would fold them to spaces).
+    Pinned as deliberate reference parity; verified differentially
+    against expat."""
+    out = []
+    p = RdfaParser(base_iri="http://e.org/", profile="xml",
+                   emit=lambda s, p_, o: out.append((s, p_, o)))
+    p.write('<svg><metadata property="http://p/x" content="a\nb"/></svg>')
+    p.end()
+    assert [o.value for _, _, o in out] == ["a\nb"]
+
+
 @settings(max_examples=100, deadline=None)
 @given(html=_SOUP)
 def test_parser_api_matches_evaluator(html):
