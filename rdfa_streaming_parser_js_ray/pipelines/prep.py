@@ -65,14 +65,16 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
     from ..stages.text import _STOPWORDS
 
     def filter_quality(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("")
-        n_words = s.str.count(r"\S+")
+        s = batch[text_col].fillna("").reset_index(drop=True)
+        n_words = s.str.count(r"\S+").to_numpy()
         words = s.str.lower().str.findall(r"[a-z]+")
-        sw = _STOPWORDS["en"]
-        n_stop = words.map(lambda w: sum(t in sw for t in w))
-        n_letter = words.map(len).replace(0, 1)
-        return batch[(n_words >= min_words)
-                     & ((n_stop / n_letter) <= max_stop_ratio)]
+        # one explode + grouped isin-sum across the batch (no per-doc scan)
+        n_stop = words.explode().dropna().isin(_STOPWORDS["en"]) \
+            .groupby(level=0).sum() \
+            .reindex(np.arange(len(s)), fill_value=0).to_numpy()
+        n_letter = np.maximum(words.str.len().to_numpy(), 1)
+        keep = (n_words >= min_words) & ((n_stop / n_letter) <= max_stop_ratio)
+        return batch[keep]
 
     final = kept.map_batches(filter_quality, batch_format="pandas")
     metrics["stages"]["quality_sec"] = round(time.monotonic() - t_s, 3)

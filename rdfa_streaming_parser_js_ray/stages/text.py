@@ -36,20 +36,30 @@ class LangId:
         self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñäöüß]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, confs = [], []
-        for text in batch[self.text_col]:
-            tokens = [t.lower() for t in self.word.findall(text or "")][:2000]
-            if not tokens:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            scores = {lang: sum(t in sw for t in tokens) / len(tokens)
-                      for lang, sw in _STOPWORDS.items()}
-            best = max(scores, key=lambda k: (scores[k], k))
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(round(scores[best], 4))
-        return pd.DataFrame({self.id_col: batch[self.id_col],
-                             "lang_pred": preds, "lang_conf": confs})
+        # vectorized: findall per row (C regex loop), then ONE explode +
+        # isin per language over the whole batch instead of a Python
+        # token scan per document
+        s = batch[self.text_col].fillna("").reset_index(drop=True)
+        tokens = s.str.findall(self.word).str[:2000] \
+                  .map(lambda ts: [t.lower() for t in ts])
+        n_tok = tokens.str.len().to_numpy()
+        ex = tokens.explode().dropna()
+        scores = np.zeros((len(s), len(_STOPWORDS)))
+        langs = sorted(_STOPWORDS)  # de, en, es, fr — ascending
+        for j, lang in enumerate(langs):
+            hits = ex.isin(_STOPWORDS[lang]).groupby(level=0).sum()
+            scores[hits.index.to_numpy(), j] = hits.to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratios = scores / np.maximum(n_tok, 1)[:, None]
+        # argmax with ties to the lexicographically LARGER code: scan the
+        # reversed-sorted lang list and keep the first maximal column
+        best_j = (len(langs) - 1) - np.argmax(ratios[:, ::-1], axis=1)
+        best = ratios[np.arange(len(s)), best_j]
+        preds = np.where((n_tok == 0) | (best == 0), "und",
+                         np.asarray(langs, dtype=object)[best_j])
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "lang_pred": preds,
+                             "lang_conf": np.round(best, 4)})
 
 
 def lang_id(ds, concurrency: int = 4, **kwargs):
@@ -78,7 +88,10 @@ def bpe_ish_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
     def count(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             id_col: batch[id_col],
-            "n_bpe_tokens": [len(_BPE_ISH.findall(t or "")) for t in batch[text_col]],
+            # Series.str.count == len(findall) for non-overlapping matches,
+            # but the row loop runs in C
+            "n_bpe_tokens": batch[text_col].fillna("")
+                            .str.count(_BPE_ISH).astype("int64"),
         })
     return ds.map_batches(count, batch_format="pandas")
 
@@ -87,27 +100,34 @@ def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc quality features (vectorized): char/word counts, mean word
     length, punctuation ratio, distinct-word ratio, stopword(en) ratio."""
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("")
+        s = batch[text_col].fillna("").reset_index(drop=True)
         n_chars = s.str.len().astype("int64")
         n_words = s.str.count(r"\S+").astype("int64")
         # ASCII classes ([A-Za-z0-9_]) so the integer features are exactly
         # reproducible by an RE2-based SQL oracle
         n_punct = s.str.count(r"[^A-Za-z0-9_ \t\n\r]").astype("int64")
         words = s.str.lower().str.findall(r"[a-z]+")
-        n_distinct = words.map(lambda w: len(set(w))).astype("int64")
-        sw = _STOPWORDS["en"]
-        n_stop = words.map(lambda w: sum(t in sw for t in w)).astype("int64")
-        n_letter_words = words.map(len).astype("int64")
+        # one explode + grouped nunique/isin-sum over the whole batch
+        # instead of a Python set/scan per document
+        ex = words.explode().dropna()
+        idx = np.arange(len(s))
+        n_distinct = ex.groupby(level=0).nunique() \
+            .reindex(idx, fill_value=0).astype("int64")
+        n_stop = ex.isin(_STOPWORDS["en"]).groupby(level=0).sum() \
+            .reindex(idx, fill_value=0).astype("int64")
+        n_letter_words = words.str.len().astype("int64")
         return pd.DataFrame({
-            id_col: batch[id_col],
-            "n_chars": n_chars,
-            "n_words": n_words,
-            "n_punct": n_punct,
-            "n_distinct": n_distinct,
-            "n_stop": n_stop,
-            "punct_ratio": (n_punct / n_chars.replace(0, 1)).round(6),
-            "distinct_ratio": (n_distinct / n_letter_words.replace(0, 1)).round(6),
-            "stopword_ratio": (n_stop / n_letter_words.replace(0, 1)).round(6),
+            # arrays, not Series: s was index-reset, batch[id_col] wasn't —
+            # constructing from Series would realign on mismatched indices
+            id_col: batch[id_col].to_numpy(),
+            "n_chars": n_chars.to_numpy(),
+            "n_words": n_words.to_numpy(),
+            "n_punct": n_punct.to_numpy(),
+            "n_distinct": n_distinct.to_numpy(),
+            "n_stop": n_stop.to_numpy(),
+            "punct_ratio": (n_punct / n_chars.replace(0, 1)).round(6).to_numpy(),
+            "distinct_ratio": (n_distinct / n_letter_words.replace(0, 1)).round(6).to_numpy(),
+            "stopword_ratio": (n_stop / n_letter_words.replace(0, 1)).round(6).to_numpy(),
         })
     return ds.map_batches(score, batch_format="pandas")
 
