@@ -59,6 +59,37 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
     metrics: dict = {"stages": {}}
     t0 = time.monotonic()
 
+    # Full-resume fast path: a COMPLETED run (run manifest + every
+    # partition manifest matching the input fingerprint) restarts by
+    # reading its own partitioned output — no re-extract, no re-link,
+    # no shuffle.  This is what "resumable from checkpoint" means for a
+    # finished multi-day run; partially-finished runs fall through to
+    # the per-stage skips below.
+    if out_dir is not None and resume and input_fingerprint:
+        import json
+        import os
+        done = checkpoints.completed_partitions(out_dir)
+        run_path = os.path.join(out_dir, "_RUN.json")
+        run = None
+        if done and os.path.exists(run_path):
+            try:
+                with open(run_path) as f:
+                    run = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                run = None
+        if run and run.get("input_fingerprint") == input_fingerprint \
+                and run.get("partitions") == len(done) \
+                and all(m.get("input_fingerprint") == input_fingerprint
+                        for m in done.values()):
+            import ray.data as rd
+            ds = rd.read_parquet(
+                [checkpoints.partition_dir(out_dir, k) for k in sorted(done)],
+                file_extensions=["parquet"])
+            metrics["fully_resumed"] = True
+            metrics["partitions_written"] = len(done)
+            metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+            return ds, metrics
+
     triples = extract_triples(docs_ds, num_partitions=num_partitions)
 
     # Checkpointed stage boundary: extraction output is consumed by three
@@ -67,18 +98,43 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
     # as a resumable checkpoint), else into the object store (spills to
     # disk under pressure; fine for the block-sized intermediates here).
     if out_dir is not None:
+        import json
         import os
         import shutil
-        raw_dir = os.path.join(out_dir, "triples_raw")
-        shutil.rmtree(raw_dir, ignore_errors=True)
-        t_x = time.monotonic()
-        # plain write (one file per block): min_rows_per_file would bound
-        # the file count but serializes the fused parse→write pipeline
-        # behind a handful of coalescing writers (measured 12× slower);
-        # the pinned re-read below absorbs the many-small-files cost
-        triples.write_parquet(raw_dir)
-        metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
+
         import ray.data as rd
+        raw_dir = os.path.join(out_dir, "triples_raw")
+        # the extraction checkpoint is itself resumable: when a prior
+        # run's triples_raw carries the same input fingerprint, skip the
+        # whole re-parse (at real scale extraction dominates a resumed
+        # run's cost; the partition-write skip alone is not enough)
+        raw_manifest = os.path.join(out_dir, "triples_raw._EXTRACT.json")
+        reuse = False
+        if resume and input_fingerprint and os.path.exists(raw_manifest):
+            try:
+                with open(raw_manifest) as f:
+                    reuse = json.load(f).get("input_fingerprint") \
+                        == input_fingerprint
+            except (OSError, json.JSONDecodeError):
+                reuse = False
+        t_x = time.monotonic()
+        if not reuse:
+            shutil.rmtree(raw_dir, ignore_errors=True)
+            try:
+                os.remove(raw_manifest)
+            except OSError:
+                pass
+            # plain write (one file per block): min_rows_per_file would
+            # bound the file count but serializes the fused parse→write
+            # pipeline behind a handful of coalescing writers (measured
+            # 12× slower); the pinned re-read below absorbs the
+            # many-small-files cost
+            triples.write_parquet(raw_dir)
+            if input_fingerprint:
+                with open(raw_manifest, "w") as f:
+                    json.dump({"input_fingerprint": input_fingerprint}, f)
+        metrics["extract_resumed"] = reuse
+        metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
         # pin the (re-)read once: three downstream passes consume it, and
         # object-store blocks (spillable) beat re-reading the many small
         # files a wide write_parquet produces
