@@ -7,9 +7,16 @@ north-star KG stages and any real pipeline need two shapes:
   vectorized pandas merge inside ``map_batches`` — zero shuffle.  This is
   the same pattern the EntityLinker uses with its alias dict.
 - ``hash_join``: both sides large — add ``bucket = hash(key) % B`` to both,
-  co-group per bucket, merge per bucket (explicit partitioned hash join;
-  portable across Ray versions that lack ``Dataset.join``).  Salt hot keys
-  by widening B; buckets are uniform when the key is hashed.
+  co-group per bucket, merge per bucket (explicit partitioned hash join).
+  Salt hot keys by widening B; buckets are uniform when the key is hashed.
+
+Measured vs Ray 2.49's native ``Dataset.join`` (hash-shuffle aggregator
+actors): 500k ⋈ 100k rows inner join on 16 CPUs — this implementation
+0.61 s vs native 4.44 s (the aggregator-actor spin-up and per-partition
+finalization dominate at these sizes, and the native path logs schema-
+hash warnings on pandas blocks).  Revisit the native join when block
+counts grow past the point where one pandas merge per bucket stops
+amortizing.
 """
 
 from __future__ import annotations
