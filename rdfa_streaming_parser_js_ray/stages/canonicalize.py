@@ -336,17 +336,20 @@ def dedup_triples(triples_ds, keep_doc_id: bool = False, num_buckets: int = 256)
     ``keep_doc_id=False`` drops provenance (the graph-level view);
     otherwise the smallest doc_id is kept as the representative witness.
     """
-    import zlib
-
     def local_distinct(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
         agg = [("doc_id", "min")] if keep_doc_id else []
         cols = TRIPLE_KEY + (["doc_id"] if keep_doc_id else [])
         out = batch.select(cols).group_by(TRIPLE_KEY).aggregate(agg)
         if keep_doc_id:
             out = out.rename_columns(TRIPLE_KEY + ["doc_id"])
-        key = [zlib.crc32("\x1f".join(vals).encode()) % num_buckets
-               for vals in zip(*(out[c].to_pylist() for c in TRIPLE_KEY))]
-        return out.append_column("_bucket", pa.array(key, pa.int32()))
+        # vectorized row hash over the triple-key columns (deterministic
+        # fixed-key pandas hash) instead of a join+crc32 Python loop
+        h = pd.util.hash_pandas_object(
+            out.select(TRIPLE_KEY).to_pandas(), index=False).to_numpy()
+        bucket = (h % np.uint64(num_buckets)).astype("int32")
+        return out.append_column("_bucket", pa.array(bucket, pa.int32()))
 
     local = triples_ds.map_batches(local_distinct, batch_format="pyarrow")
 

@@ -83,7 +83,10 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
         batch = batch.copy()
         batch["_h"] = [_md5_hex(t or "") for t in batch[text_col]]
         batch = batch.sort_values(id_col).drop_duplicates("_h", keep="first")
-        batch["_bucket"] = [int(h[:8], 16) % num_buckets for h in batch["_h"]]
+        # vectorized bucket from the content hash (any deterministic
+        # function of _h co-locates equal texts)
+        batch["_bucket"] = (pd.util.hash_array(batch["_h"].to_numpy(object))
+                            % np.uint64(num_buckets)).astype("int32")
         return batch
 
     def bucket_first(group: pd.DataFrame) -> pd.DataFrame:
