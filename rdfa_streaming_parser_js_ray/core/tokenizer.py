@@ -143,8 +143,17 @@ class HtmlTokenizer(HTMLParser):
 
 
 # body of a start tag: everything up to the first '>' that is not inside
-# a quoted attribute value (handles href="a>b")
-_HTML_TAG_BODY_RE = re.compile(r'(?:"[^"]*"|\'[^\']*\'|[^>"\'])*>')
+# a quoted attribute VALUE (handles href="a>b").  Quotes are significant
+# only right after '=' — a stray quote elsewhere in the tag is a plain
+# character (htmlparser2 attribute-name state; differential-fuzz case
+# '<t" property=":">' where the old any-position quoting swallowed the
+# real tag end)
+# the '=(?!\s*["\'])' alternative keeps an '=' that introduces a quoted
+# value out of the plain-char path: a buffer ending inside an
+# unterminated quoted value must FAIL to match (and be held for more
+# data) rather than close the tag at a '>' inside the value
+_HTML_TAG_BODY_RE = re.compile(
+    r"(?:=\s*\"[^\"]*\"|=\s*'[^']*'|=(?!\s*[\"'])|[^>=])*>")
 _HTML_NAME_RE = re.compile(r"[a-zA-Z][^\s/>]*")
 _HTML_ATTR_RE = re.compile(
     r"""([^\s=/>]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?""")

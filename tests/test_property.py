@@ -35,6 +35,9 @@ _FRAGMENTS = st.sampled_from([
     "<a rel=\"x:y\" href=http://e.org/dir/>i</a>", "<a href=/>j</a>",
     "<span property=\"p\" content=c/>", "<span data-x/>",
     "<script>a</scripty>b</script>", "<style>p{}</styles></style>",
+    # round-2 differential-fuzz finds: stray quotes in a tag body are
+    # plain chars (quotes only quote values, i.e. right after '=')
+    '<t" property=":">', "<a b='c>d'>", "=\"",
     "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
 ])
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
@@ -119,6 +122,10 @@ _NASTY = st.sampled_from([
     "<![CDATA[x<y]]>", "<?pi ?>", "<!--", "-->", "<div", "=", "'", "\x00",
     "<meta charset=\"utf-8\">", "&#x41;", "&#65;", "&unknown;", "\\",
     "<a href=\"x>y\">", "</p>", "</br>", "<br/>", "<p>", "<!doctype",
+    # an '=' with no attribute name before it still introduces a quoted
+    # value in htmlparser2's state machine (Eq → BeforeAttributeValue);
+    # stdlib requires a name, so this lives in the non-differential pool
+    "<t property=\":\"='>'>",
 ])
 _NASTY_SOUP = st.lists(st.one_of(_FRAGMENTS, _NASTY),
                        min_size=0, max_size=30).map("".join)
@@ -155,6 +162,33 @@ def test_unterminated_comment_dropped_like_htmlparser2():
     the differential corpus only contains complete comments.)"""
     out = _parse('<p property="http://p/x">a<!--never closed')
     assert [o.value for _, _, o in out] == ["a"]
+
+
+def test_stray_quote_in_tag_body_is_plain_char():
+    """'<t" property=":">' — the stray '"' is part of the (junk) tag name,
+    not a value delimiter, so the property attribute parses and the tag
+    ends at the first '>' (htmlparser2/stdlib parity; round-2 fuzz find:
+    the old tokenizer treated any quote as value-quoting and swallowed
+    the real tag end)."""
+    out = _parse('<t" property=":">v</t">')
+    assert [(p.value, o.value) for _, p, o in out] == \
+        [("http://www.w3.org/1999/xhtml/vocab#", "v")]
+
+
+def test_quoted_value_split_across_chunks_is_held():
+    """A buffer ending inside an unterminated quoted value must be held
+    for more data — not closed at a '>' inside the value."""
+    html = "<t property=\":\"='>'>x"
+    full = _parse(html)
+    for cut in range(len(html) + 1):
+        out = []
+        ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                           emit=lambda s, p, o: out.append((s, p, o)))
+        tk = FastHtmlTokenizer(ev)
+        tk.write(html[:cut])
+        tk.write(html[cut:])
+        tk.end()
+        assert out == full, cut
 
 
 def test_unquoted_attr_trailing_slash_is_not_self_closing():
