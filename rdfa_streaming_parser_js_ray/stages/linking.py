@@ -49,25 +49,33 @@ def alias_pairs(triples_ds):
     from ray.data.aggregate import Min
 
     def candidate_pairs(batch: pa.Table) -> pa.Table:
-        aliases: list[str] = []
-        entities: list[str] = []
+        # IRI-tail aliases, fully vectorized: unique non-bnode subjects →
+        # one extract_regex for the last non-empty /#-segment (equivalent
+        # to rstrip('/#') + rsplit) → lowercase
         mask = pc.invert(pc.starts_with(batch["subj"], pattern="_:"))
-        for iri in pc.unique(batch.filter(mask)["subj"]).to_pylist():
-            tail = iri.rstrip("/#").rsplit("/", 1)[-1].split("#")[-1]
-            if tail:
-                aliases.append(tail.lower())
-                entities.append(iri)
-        id_mask = pc.and_(pc.is_in(batch["pred"],
-                                   value_set=pa.array(sorted(IDENTITY_PREDS))),
-                          pc.equal(batch["obj_kind"], "literal"))
+        subjects = pc.unique(batch.filter(mask)["subj"])
+        ext = pc.extract_regex(subjects, pattern=r"(?P<tail>[^/#]+)[/#]*$")
+        tails = pc.utf8_lower(pc.struct_field(ext, "tail"))
+        valid = pc.is_valid(tails)
+        aliases = tails.filter(valid)
+        entities = subjects.filter(valid)
+
+        # identity-predicate literals (tiny fraction of a batch)
+        id_mask = pc.and_(
+            pc.and_(pc.is_in(batch["pred"],
+                             value_set=pa.array(sorted(IDENTITY_PREDS))),
+                    pc.equal(batch["obj_kind"], "literal")),
+            pc.and_(pc.invert(pc.starts_with(batch["subj"], pattern="_:")),
+                    pc.not_equal(batch["obj_value"], "")))
         idt = batch.filter(id_mask)
-        for subj, value in zip(idt["subj"].to_pylist(),
-                               idt["obj_value"].to_pylist()):
-            if value and not subj.startswith("_:"):
-                aliases.append(value.lower())
-                entities.append(subj)
-        return pa.table({"alias": pa.array(aliases, pa.string()),
-                         "entity": pa.array(entities, pa.string())})
+        return pa.table({
+            "alias": pa.concat_arrays([
+                aliases.combine_chunks() if isinstance(aliases, pa.ChunkedArray) else aliases,
+                pc.utf8_lower(idt["obj_value"]).combine_chunks()]),
+            "entity": pa.concat_arrays([
+                entities.combine_chunks() if isinstance(entities, pa.ChunkedArray) else entities,
+                idt["subj"].combine_chunks()]),
+        })
 
     pairs = triples_ds.map_batches(candidate_pairs, batch_format="pyarrow")
     return pairs.groupby("alias").aggregate(Min("entity", alias_name="entity"))
