@@ -478,6 +478,85 @@ case("full-IRI @rev in svg", "xml",
      [[B + "#b", EX + "of", B + "#a"]])
 
 
+case("@rev with xhtml term", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<a about="#a" rev="next" href="#b">n</a></body></html>',
+     [[B + "#b", XHV + "next", B + "#a"]])
+
+case("multiple xhtml terms in one @rel", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<a about="" rel="next prev" href="#b">n</a></body></html>',
+     [[B, XHV + "next", B + "#b"],
+      [B, XHV + "prev", B + "#b"]])
+
+case("xhtml term lookup is case-insensitive", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<a about="" rel="NEXT" href="#b">n</a></body></html>',
+     [[B, XHV + "next", B + "#b"]])
+
+case("typed bnode via @typeof on body descendant (xhtml)", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<div typeof="schema:Person"><span property="schema:name">P</span>'
+     '</div></body></html>',
+     [["_:b", RDF + "type", SCHEMA + "Person"],
+      ["_:b", SCHEMA + "name", '"P"']])
+
+case("<base> works in xhtml too", "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml">'
+     '<head><base href="http://xb.example.com/"/></head>'
+     '<body><span property="schema:name">A</span></body></html>',
+     [["http://xb.example.com/", SCHEMA + "name", '"A"']])
+
+case("@content suppresses datatype sniffing without time context (xhtml)",
+     "xhtml",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<span property="schema:startDate" content="2020-01-02">x</span>'
+     '</body></html>',
+     [[B, SCHEMA + "startDate", '"2020-01-02"']])
+
+case("about chain through g elements (svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<g about="#outer"><g about="#inner">'
+     '<metadata property="schema:name">I</metadata></g>'
+     '<metadata property="schema:description">O</metadata></g></svg>',
+     [[B + "#inner", SCHEMA + "name", '"I"'],
+      [B + "#outer", SCHEMA + "description", '"O"']])
+
+case("@vocab in svg", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" vocab="{SCHEMA}">'
+     '<metadata property="name">N</metadata></svg>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, SCHEMA + "name", '"N"']])
+
+case("prefix attribute in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'prefix="ex: http://example.org/vocab#">'
+     '<metadata property="ex:p">v</metadata></svg>',
+     [[B, EX + "p", '"v"']])
+
+case("safe CURIE about in svg", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'prefix="ex: http://example.org/vocab#">'
+     '<g about="[ex:node]"><metadata property="ex:p">v</metadata></g></svg>',
+     [[EX + "node", EX + "p", '"v"']])
+
+case("xml:lang on inner element overrides outer (svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" xml:lang="en">'
+     '<metadata property="schema:name" xml:lang="de">N</metadata></svg>',
+     [[B, SCHEMA + "name", '"N"@de']])
+
+case("empty xml:lang clears the language (svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" xml:lang="en">'
+     '<metadata property="schema:name" xml:lang="">N</metadata></svg>',
+     [[B, SCHEMA + "name", '"N"']])
+
+case("incomplete triple completed across svg groups", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xmlns:foaf="http://xmlns.com/foaf/0.1/">'
+     '<g about="#a" rel="foaf:knows"><g about="#b"/></g></svg>',
+     [[B + "#a", FOAF + "knows", B + "#b"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
