@@ -315,7 +315,11 @@ class FastHtmlTokenizer:
             nxt = buf[pos + 1]
             if nxt == "!":
                 if buf.startswith("<!--", pos):
-                    end = buf.find("-->", pos + 4)
+                    # htmlparser2 primes the '-->' end-sequence with the
+                    # opener's own dashes ("allow short comments"), so
+                    # '<!-->' and '<!--->' are complete empty comments:
+                    # search from pos+2, letting the match overlap '<!--'
+                    end = buf.find("-->", pos + 2)
                     if end < 0:
                         if final:
                             pos = n

@@ -164,6 +164,23 @@ def test_unterminated_comment_dropped_like_htmlparser2():
     assert [o.value for _, _, o in out] == ["a"]
 
 
+def test_short_comments_close_like_htmlparser2():
+    """htmlparser2 primes the '-->' end sequence with the opener's own
+    dashes ("allow short comments"): '<!-->' and '<!--->' are complete
+    empty comments, not comment-to-EOF."""
+    for prefix in ("<!-->", "<!--->"):
+        out = _parse(prefix + '<p property="http://p/x">v</p>')
+        assert [o.value for _, _, o in out] == ["v"], prefix
+
+
+def test_junk_dash_attrs_accepted_like_htmlparser2():
+    """'<a property="v"-->' parses as a tag with a junk '--' attribute in
+    htmlparser2's attribute-name state (stdlib refuses the tag entirely —
+    a known stdlib quirk kept out of the differential pool)."""
+    out = _parse('<span property="http://p/x" -->v</span>')
+    assert [o.value for _, _, o in out] == ["v"]
+
+
 def test_stray_quote_in_tag_body_is_plain_char():
     """'<t" property=":">' — the stray '"' is part of the (junk) tag name,
     not a value delimiter, so the property attribute parses and the tag
