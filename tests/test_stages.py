@@ -365,6 +365,36 @@ def test_hash_join_matches_pandas(rd):
         assert key(got) == key(want), how
 
 
+def test_hash_join_string_keys_and_mixed_dtypes(rd):
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import _bucket_of, hash_join
+    # string keys through the vectorized polars path
+    left = pd.DataFrame({"k": [f"http://e.org/x{i}" for i in range(50)],
+                         "a": np.arange(50)})
+    right = pd.DataFrame({"k": [f"http://e.org/x{i}" for i in range(0, 50, 3)],
+                          "b": np.arange(0, 50, 3)})
+    got = hash_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", num_buckets=8).to_pandas()
+    want = left.merge(right, on="k")
+    assert sorted(map(tuple, got[["k", "a", "b"]].itertuples(index=False))) \
+        == sorted(map(tuple, want[["k", "a", "b"]].itertuples(index=False)))
+    # cross-dtype stability: int64, object-int, float, object-float, and
+    # pure-vs-mixed string containers must bucket the same values alike
+    ints = pd.Series([3, 17, 255], dtype="int64")
+    assert list(_bucket_of(ints, 16)) == \
+        list(_bucket_of(ints.astype(object), 16))
+    floats = pd.Series([1.5, 2.25], dtype="float64")
+    assert list(_bucket_of(floats, 16)) == \
+        list(_bucket_of(floats.astype(object), 16))
+    pure = pd.Series(["a", "b"], dtype=object)
+    mixed = pd.Series(["a", "b", 7], dtype=object)
+    assert list(_bucket_of(pure, 16)) == list(_bucket_of(mixed, 16))[:2]
+    # determinism across calls (retry-stability)
+    assert list(_bucket_of(pure, 16)) == list(_bucket_of(pure.copy(), 16))
+
+
 def test_anti_join_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.joins import anti_join
