@@ -162,8 +162,26 @@ _HTML_ATTR_RE = re.compile(
 _RAWTEXT_ELEMENTS = frozenset(("script", "style"))
 # a trailing '/' that terminates an unquoted attribute value
 # (`<a href=http://e.org/dir/>`) is part of the value, not a self-closing
-# marker: matches an '='-introduced unquoted run extending to the slash
+# marker.  This right-anchored regex is a cheap PRE-FILTER only: it can
+# anchor on an '=' inside a *quoted* value (`resource="…?q=1/"/`), so a
+# match merely means "maybe value-slash" and must be confirmed by the
+# left-to-right attribute scan in _ends_in_unquoted_value; a non-match is
+# definitive (no '='-introduced run reaches the slash at all).
 _UNQUOTED_VALUE_SLASH_RE = re.compile(r"=\s*(?:[^\s>\"'][^\s>]*)?/$")
+
+
+def _ends_in_unquoted_value(inner: str) -> bool:
+    """True iff the final '/' of ``inner`` is consumed as part of an
+    '='-introduced unquoted attribute value when scanning attributes
+    left-to-right (htmlparser2 tokenizer states: quotes are significant
+    only right after '=', and '/' is literal inside values)."""
+    nm = _HTML_NAME_RE.match(inner)
+    start = nm.end() if nm else 0
+    last = len(inner)
+    for am in _HTML_ATTR_RE.finditer(inner, start):
+        if am.end() == last and am.group(4):
+            return True
+    return False
 # characters that may follow a raw-text end-tag name (whitespace, '/', '>')
 _RAWTEXT_BOUNDARY = " \t\n\r\f/>"
 
@@ -363,9 +381,12 @@ class FastHtmlTokenizer:
                 inner = buf[pos + 1:end - 1]
                 # '/' before '>' is self-closing only when it is NOT part
                 # of an unquoted attribute value (htmlparser2 tokenizer
-                # states: '/' is literal inside quoted and unquoted values)
+                # states: '/' is literal inside quoted and unquoted values);
+                # the regex pre-filter is confirmed by an attribute-span
+                # scan because it can false-positive on '=' inside quotes
                 self_closing = (inner.endswith("/")
-                                and not _UNQUOTED_VALUE_SLASH_RE.search(inner))
+                                and not (_UNQUOTED_VALUE_SLASH_RE.search(inner)
+                                         and _ends_in_unquoted_value(inner)))
                 if self_closing:
                     inner = inner[:-1]
                 nm = _HTML_NAME_RE.match(inner)

@@ -224,6 +224,21 @@ def test_unquoted_attr_trailing_slash_is_not_self_closing():
     assert [o.value for _, _, o in out2] == ["t"]
 
 
+def test_quoted_value_with_equals_then_slash_still_self_closes():
+    """'<span resource="http://e.org/?q=1/"/>' IS self-closing: the '='
+    inside the quoted value must not anchor the value-slash classifier
+    (right-anchored regex false positive), or subsequent content gets
+    mis-scoped inside the element."""
+    out = _parse('<div about="http://e.org/d">'
+                 '<span rel="http://p/r" resource="http://e.org/?q=1/"/>'
+                 '<span property="http://p/t">after</span></div>')
+    by_pred = {p.value: (s.value, o.value) for s, p, o in out}
+    assert by_pred["http://p/r"] == ("http://e.org/d", "http://e.org/?q=1/")
+    # 'after' hangs off the DIV's subject, not the self-closed span's
+    # resource — proving the span closed before the text
+    assert by_pred["http://p/t"] == ("http://e.org/d", "after")
+
+
 def test_rawtext_closer_requires_name_boundary():
     """'</scripty>' does not close a <script>: all raw content up to the
     real '</script>' stays inside the script element (name boundary rule;
