@@ -58,6 +58,13 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
 
     metrics: dict = {"stages": {}}
     t0 = time.monotonic()
+    # pipeline-affecting parameters: the full-resume fast path may only
+    # return a prior run's output when these match (a run with
+    # skip_linking=True or a different partitioning must not be served
+    # as the output of a differently-configured call)
+    run_config = {"skip_linking": skip_linking,
+                  "num_partitions": num_partitions,
+                  "broadcast_max_entities": broadcast_max_entities}
 
     # Full-resume fast path: a COMPLETED run (run manifest + every
     # partition manifest matching the input fingerprint) restarts by
@@ -78,6 +85,7 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
             except (OSError, json.JSONDecodeError):
                 run = None
         if run and run.get("input_fingerprint") == input_fingerprint \
+                and run.get("config") == run_config \
                 and run.get("partitions") == len(done) \
                 and all(m.get("input_fingerprint") == input_fingerprint
                         for m in done.values()):
@@ -164,16 +172,38 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
             mentions = detect_mentions(triples, concurrency=actor_concurrency)
             links = link_entities(mentions, alias_ref,
                                   concurrency=actor_concurrency)
-            mapping = build_canonical_map(links)
-            metrics["canonical_map_entries"] = len(mapping)
-            metrics["stages"]["link_sec"] = round(time.monotonic() - t_s, 3)
-
-            mapping_ref = ray.put(mapping)
-            canonical = triples.map_batches(
-                ApplyCanonicalMap,
-                fn_constructor_kwargs={"mapping_ref": mapping_ref},
-                batch_format="pyarrow", concurrency=(1, actor_concurrency),
-                num_cpus=0.5)
+            # the identity-evidence pair set can outgrow the broadcast
+            # budget even when the alias table fit (2×: the closure map is
+            # pair-shaped, roughly the same order as the alias table) —
+            # fall back to the distributed closure + joined rewrite
+            # instead of crashing
+            try:
+                mapping = build_canonical_map(
+                    links, max_entities=2 * broadcast_max_entities)
+            except ValueError:
+                from ..stages.canonicalize import (
+                    apply_canonical_map_joined, canonical_pairs,
+                    transitive_closure_joined,
+                )
+                metrics["linking_mode"] = "broadcast+joined_closure"
+                mapping_ds = transitive_closure_joined(
+                    canonical_pairs(links)).materialize()
+                n_map = mapping_ds.count()
+                metrics["canonical_map_entries"] = n_map
+                metrics["stages"]["link_sec"] = \
+                    round(time.monotonic() - t_s, 3)
+                canonical = apply_canonical_map_joined(triples, mapping_ds) \
+                    if n_map else triples
+            else:
+                metrics["canonical_map_entries"] = len(mapping)
+                metrics["stages"]["link_sec"] = \
+                    round(time.monotonic() - t_s, 3)
+                mapping_ref = ray.put(mapping)
+                canonical = triples.map_batches(
+                    ApplyCanonicalMap,
+                    fn_constructor_kwargs={"mapping_ref": mapping_ref},
+                    batch_format="pyarrow",
+                    concurrency=(1, actor_concurrency), num_cpus=0.5)
         else:
             # Fully distributed mode: the alias/canonical maps never land
             # on one node.  Hash-join linking (exact norms), grouped
@@ -215,7 +245,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
     if out_dir is not None:
         deduped, written = materialize_partitioned(
             keyed, out_dir, num_partitions=num_partitions,
-            input_fingerprint=input_fingerprint, resume=resume)
+            input_fingerprint=input_fingerprint, resume=resume,
+            run_config=run_config)
         metrics["partitions_written"] = written
         metrics["stages"]["write_sec"] = round(time.monotonic() - t_s, 3)
     else:
@@ -227,7 +258,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
 
 def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
                             input_fingerprint: str, resume: bool,
-                            dedup: bool = True):
+                            dedup: bool = True,
+                            run_config: dict | None = None):
     """Partition-keyed parquet materialize with manifests + resume.
 
     ONE shuffle total: the ``part_key`` groupby whose per-group pass runs
@@ -278,6 +310,7 @@ def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
                   and m.get("input_fingerprint") == input_fingerprint)
     checkpoints.write_run_manifest(out_dir, {
         "input_fingerprint": input_fingerprint,
+        "config": run_config,
         "partitions": written,
         "resumed_skipped": sorted(skip & run_keys),
         "stale_pruned": stale,

@@ -557,6 +557,49 @@ def test_kg_construct_resume_skips_written_partitions(rd, tmp_path):
             for m in checkpoints.completed_partitions(out).values()} == {"fp-B"}
 
 
+def test_kg_full_resume_requires_matching_config(rd, tmp_path):
+    """The full-resume fast path must not serve a prior run's output to a
+    call with different pipeline-affecting flags (skip_linking,
+    num_partitions)."""
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
+    out = str(tmp_path / "kg")
+    _, m1 = construct_kg(docs, out_dir=out, num_partitions=4,
+                         input_fingerprint="fp-A", skip_linking=True)
+    assert not m1.get("fully_resumed")
+    # same everything → fast path
+    _, m2 = construct_kg(docs, out_dir=out, num_partitions=4,
+                         input_fingerprint="fp-A", skip_linking=True)
+    assert m2.get("fully_resumed")
+    # flipping skip_linking must NOT fast-path: linking actually runs
+    third, m3 = construct_kg(docs, out_dir=out, num_partitions=4,
+                             input_fingerprint="fp-A", skip_linking=False)
+    assert not m3.get("fully_resumed")
+    assert m3["linking_mode"] != "skipped"
+
+
+def test_kg_broadcast_canonical_overflow_falls_back_to_joined(rd, monkeypatch):
+    """When the identity-pair set outgrows the broadcast budget mid-run
+    (alias dict fit, canonical map didn't), construct_kg must fall back to
+    the distributed closure + joined rewrite instead of crashing — and
+    produce the same triples."""
+    from rdfa_streaming_parser_js_ray.pipelines import kg as kg_mod
+    docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
+    want, m_ok = kg_mod.construct_kg(docs)
+    assert m_ok["linking_mode"] == "broadcast"
+
+    def boom(links, **kwargs):
+        raise ValueError("planted overflow")
+    monkeypatch.setattr(kg_mod, "build_canonical_map", boom)
+    got, m_fb = kg_mod.construct_kg(docs)
+    assert m_fb["linking_mode"] == "broadcast+joined_closure"
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
+           "obj_datatype", "graph"]
+    a = want.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    b = got.to_pandas()[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_kg_construct_prunes_stale_partitions(rd, tmp_path):
     """Rerunning with a smaller partition count (or different fingerprint)
     must not leave the earlier run's extra part_key dirs mixed into
