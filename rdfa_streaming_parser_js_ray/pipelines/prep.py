@@ -53,8 +53,18 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
                                        threshold=near_dup_threshold,
                                        text_col=text_col,
                                        id_col=id_col).materialize()
-    metrics["near_dups_dropped"] = len(pairs.unique("doc_b")) \
-        if pairs.count() else 0
+    # distinct-victim count as a distributed aggregate (combiner distinct
+    # per batch, one grouped exchange, then a metadata count) — only the
+    # INT reaches the driver; at 100 TB the victim id set itself can be
+    # arbitrarily large and must never be pulled
+    if pairs.count():
+        from ray.data.aggregate import Count
+        metrics["near_dups_dropped"] = pairs.map_batches(
+            lambda b: b[["doc_b"]].drop_duplicates(),
+            batch_format="pandas").groupby("doc_b") \
+            .aggregate(Count(alias_name="_n")).count()
+    else:
+        metrics["near_dups_dropped"] = 0
     kept = anti_join(unique_docs, pairs, on=id_col, right_on="doc_b") \
         if pairs.count() else unique_docs
     metrics["stages"]["near_dup_sec"] = round(time.monotonic() - t_s, 3)

@@ -6,7 +6,6 @@ regexes load once per actor."""
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -169,21 +168,52 @@ def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text",
                  window: int = 8):
-    """Winnowing-style rolling-hash fingerprint: min crc32 over each
-    ``window`` of word 4-grams, xor-folded to one uint64 per doc."""
+    """Winnowing-style rolling-hash fingerprint: min gram hash over each
+    ``window`` of word 4-grams, xor-folded to one uint64 per doc.
+
+    Token hashing is batch-global (ONE multithreaded polars hash over
+    every token of the batch — no per-gram join/encode and no per-token
+    Python hash calls), the 4-gram rolling combine runs in 3 vectorized
+    passes per document segment, and the winnow minima / xor-fold are
+    numpy reductions.  The SQL-replayable md5 variant of the same
+    selection logic lives in :func:`winnow_profile` (the oracled query);
+    this is the fast production kernel, so its hash family is free to
+    differ."""
+    from .dedup import _TOK_MIX
+
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch[text_col]:
-            tokens = (text or "").lower().split()
-            grams = [" ".join(tokens[i:i + 4]) for i in range(max(1, len(tokens) - 3))]
-            hashes = np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
-            if len(hashes) >= window:
-                mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+        import polars as pl
+        s = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+        toks = s.str.split()
+        counts = toks.str.len().to_numpy()
+        n_docs = len(s)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        flat = toks.explode().dropna().to_numpy()
+        th = pl.Series(flat).hash(seed=0).to_numpy() if len(flat) \
+            else np.empty(0, dtype=np.uint64)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        arange = np.arange(4096, dtype=np.uint64)  # grown on demand
+        for i in range(n_docs):
+            seg = th[offs[i]:offs[i + 1]]
+            n = len(seg)
+            if n == 0:
+                continue  # empty doc → fingerprint 0 (one empty gram)
+            k = 4 if n >= 4 else n
+            m = n - k + 1
+            acc = seg[:m].copy()
+            for j in range(1, k):            # k-1 vectorized passes
+                acc = acc * _TOK_MIX ^ seg[j:j + m]
+            if m >= window:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    acc, window).min(axis=1)
             else:
-                mins = hashes
-            acc = np.uint64(0)
-            for i, v in enumerate(np.unique(mins)):
-                acc ^= np.uint64((int(v) << (i % 32)) & 0xFFFFFFFFFFFFFFFF)
-            out.append(int(acc))
-        return pd.DataFrame({id_col: batch[id_col], "fingerprint": out})
+                mins = acc
+            u = np.unique(mins)
+            if len(u) > len(arange):
+                arange = np.arange(len(u), dtype=np.uint64)
+            out[i] = np.bitwise_xor.reduce(
+                u << (arange[:len(u)] % np.uint64(32)))
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "fingerprint": out})
     return ds.map_batches(fp, batch_format="pandas")

@@ -349,6 +349,27 @@ def test_extract_svg_profile_through_stage(rd):
     assert list(out["obj_value"]) == ["A Title"]
 
 
+def test_fingerprints_kernel(rd):
+    """Batch-global fingerprint kernel: identical texts collide, disjoint
+    texts don't, empty text → 0, and values are deterministic across
+    block layouts."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import fingerprints
+    base = " ".join(f"tok{i}" for i in range(200))
+    other = " ".join(f"zzz{i}" for i in range(200))
+    df = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                       "text": [base, base, other, ""]})
+    got = fingerprints(rd.from_pandas(df)).to_pandas() \
+        .set_index("doc_id")["fingerprint"]
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+    assert got["d"] == 0
+    # block-layout invariance (the kernel is per-doc, hashing batch-global)
+    got2 = fingerprints(rd.from_pandas(df).repartition(3)).to_pandas() \
+        .set_index("doc_id")["fingerprint"]
+    assert got.sort_index().equals(got2.sort_index())
+
+
 def test_hash_join_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.joins import hash_join
