@@ -170,25 +170,48 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+# sorts after every real IRI / bnode label: lets the co-grouped probe emit
+# a single non-null string column that a grouped Min folds correctly
+_PREV_SENTINEL = "￿￿"
+
+
 def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
                               max_rounds: int = 32):
     """Distributed transitive closure of identity-evidence pairs — the
     no-driver path for evidence sets beyond node memory.
 
-    Grouped min-propagation over the symmetrized evidence graph: each
-    round joins the edge list against the current (term → canonical)
-    mapping and folds with a grouped ``Min``, so every node adopts the
-    smallest canonical reachable one hop further; iterate to fixpoint
-    (O(diameter) rounds — identity chains are short in practice; a
-    pointer-jumping/hash-to-min rewiring variant would cut this to
-    O(log diameter) at the cost of an extra edge-dedup exchange per
-    round).  Returns a Dataset (term, canonical), identity rows dropped
-    — feed to :func:`apply_canonical_map_joined`.
+    Hash-to-min with pointer doubling, TWO exchanges per round:
+
+    1. ONE bucketed co-group (union of three sides keyed on the same
+       hashed value): the mapping as build side (term → canonical), the
+       symmetrized edge list probing on ``nbr`` (yielding ``m(nbr)``
+       candidates — min propagation), and the mapping probing on its own
+       ``canonical`` (yielding ``m(m(t))`` candidates — pointer
+       doubling).  Each bucket resolves its probes with one vectorized
+       ``Series.map``.
+    2. ONE grouped fold: bucket by ``hash(term)`` and run a vectorized
+       pandas ``groupby(term).min`` per bucket — the new mapping AND the
+       convergence check in the same exchange (``prev`` rides along on
+       the pointer-probe rows; changed-count is a map-only filter over
+       the fold's output, no extra join).  Bucketed folding (vs a
+       per-term Ray aggregate) keeps the reduce vectorized — one pandas
+       ``groupby.min`` per bucket — and the mapping is coalesced back to
+       ``num_buckets`` blocks each round (a groupby's output block count
+       follows its input's, so the union → groupby cycle would otherwise
+       double blocks/tasks per round; measured runaway by round 6).
+
+    Pointer doubling halves every chain per round, so rounds are
+    O(log diameter) instead of the previous O(diameter) — and the old
+    third exchange (a convergence-check join) is folded away.  Values
+    are monotone non-increasing and bounded by the component min, so the
+    fixpoint is exact, deterministic, and retry-stable.  Returns a
+    Dataset (term, canonical), identity rows dropped — feed to
+    :func:`apply_canonical_map_joined`.
     """
     import pandas as pd
     from ray.data.aggregate import Min
 
-    from .joins import hash_join
+    from .joins import _bucket_of
 
     def symmetrize(batch: pd.DataFrame) -> pd.DataFrame:
         fwd = batch.rename(columns={"subj": "node", "entity": "nbr"})
@@ -213,29 +236,70 @@ def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
                    .map_batches(lambda b: b.rename(columns={"node": "term"}),
                                 batch_format="pandas").materialize()
 
+    def align(side: str, key_col: str, val_col: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": batch[key_col].to_numpy(),
+                                "val": batch[val_col].to_numpy()})
+            out["_bucket"] = _bucket_of(out["key"], num_buckets)
+            out["_side"] = side
+            return out
+        return f
+
+    def co_group(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"]
+        m = group[side == "m"]
+        lookup = pd.Series(m["val"].to_numpy(), index=m["key"].to_numpy())
+        outs = []
+        e = group[side == "e"]
+        if len(e):
+            outs.append(pd.DataFrame({
+                "term": e["val"].to_numpy(),
+                "cand": e["key"].map(lookup).to_numpy(),
+                "prev": _PREV_SENTINEL}))
+        p = group[side == "p"]
+        if len(p):
+            outs.append(pd.DataFrame({
+                "term": p["val"].to_numpy(),
+                "cand": p["key"].map(lookup).to_numpy(),
+                # the probe key IS m(term): carries the convergence check
+                "prev": p["key"].to_numpy()}))
+        if not outs:
+            return pd.DataFrame({"term": [], "cand": [], "prev": []},
+                                dtype=object)
+        res = pd.concat(outs, ignore_index=True)
+        # every probe key is a mapping term bucketed alongside its build
+        # row, so misses can only mean a corrupt bucket — drop defensively
+        res = res[res["cand"].notna()]
+        res["_tbucket"] = _bucket_of(res["term"], num_buckets)
+        return res
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("term", sort=False) \
+            .agg(canonical=("cand", "min"), prev=("prev", "min")) \
+            .reset_index()
+
     for _ in range(max_rounds):
-        # candidates one hop further: (node, m[nbr])
-        probe = edges.map_batches(
-            lambda b: b.rename(columns={"nbr": "term"}),
-            batch_format="pandas")
-        cand = hash_join(probe, mapping, on="term",
-                         num_buckets=num_buckets) \
-            .map_batches(lambda b: b[["node", "canonical"]]
-                         .rename(columns={"node": "term"}),
-                         batch_format="pandas")
-        new_mapping = cand.union(mapping).groupby("term") \
-            .aggregate(Min("canonical", alias_name="canonical")).materialize()
-        # converged when no term's canonical changed
-        check = hash_join(
-            new_mapping,
-            mapping.map_batches(
-                lambda b: b.rename(columns={"canonical": "prev"}),
-                batch_format="pandas"),
-            on="term", num_buckets=num_buckets)
-        changed = check.map_batches(
+        both = mapping.map_batches(align("m", "term", "canonical"),
+                                   batch_format="pandas") \
+            .union(edges.map_batches(align("e", "nbr", "node"),
+                                     batch_format="pandas")) \
+            .union(mapping.map_batches(align("p", "canonical", "term"),
+                                       batch_format="pandas"))
+        folded = both.groupby("_bucket").map_groups(
+            co_group, batch_format="pandas") \
+            .groupby("_tbucket").map_groups(
+                fold_bucket, batch_format="pandas").materialize()
+        changed = folded.map_batches(
             lambda b: b[b["canonical"] != b["prev"]][["term"]],
             batch_format="pandas").count()
-        mapping = new_mapping
+        # bound the mapping's block count: a groupby's output block count
+        # follows its INPUT blocks, so without this coalesce the
+        # union → groupby cycle doubles blocks (and tasks) every round —
+        # measured exponential wall time (12→28→60→124… blocks).  A
+        # non-shuffling repartition pins it at num_buckets per round.
+        mapping = folded.map_batches(
+            lambda b: b[["term", "canonical"]], batch_format="pandas") \
+            .repartition(num_buckets)
         if changed == 0:
             break
 

@@ -479,7 +479,23 @@ def test_canonical_map_transitive_chain(rd):
     }
 
 
-def test_apply_canonical_map_joined_matches_broadcast(rd):
+def test_transitive_closure_joined_logarithmic_rounds(rd):
+    """Hash-to-min with pointer doubling closes a 100-link identity chain
+    within 10 rounds (the old one-hop min-propagation needed ~100): every
+    chain member must map to the lexicographic minimum even when
+    max_rounds is capped at O(log n)."""
+    from rdfa_streaming_parser_js_ray.stages.canonicalize import (
+        transitive_closure_joined,
+    )
+    n = 100
+    pairs = rd.from_items(
+        [{"subj": f"http://x/n{i:03d}", "entity": f"http://x/n{i + 1:03d}"}
+         for i in range(n)]).repartition(4)
+    mapping = transitive_closure_joined(pairs, num_buckets=8,
+                                        max_rounds=10).to_pandas()
+    got = dict(zip(mapping["term"], mapping["canonical"]))
+    assert len(got) == n  # every non-root member mapped
+    assert set(got.values()) == {"http://x/n000"}
     from rdfa_streaming_parser_js_ray.stages.canonicalize import (
         apply_canonical_map, apply_canonical_map_joined, mapping_to_dataset,
     )
