@@ -175,7 +175,7 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
 _PREV_SENTINEL = "￿￿"
 
 
-def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
+def transitive_closure_joined(pairs_ds, num_buckets: int | None = None,
                               max_rounds: int = 32):
     """Distributed transitive closure of identity-evidence pairs — the
     no-driver path for evidence sets beyond node memory.
@@ -231,6 +231,10 @@ def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
         # schema to join against — callers guard on count())
         import ray.data as rd
         return rd.from_items([])
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(edges, rows_per_bucket=131_072,
+                                   fallback=64)
     mapping = edges.groupby("node") \
                    .aggregate(Min("nbr", alias_name="canonical")) \
                    .map_batches(lambda b: b.rename(columns={"node": "term"}),
@@ -309,7 +313,8 @@ def transitive_closure_joined(pairs_ds, num_buckets: int = 64,
     return mapping.map_batches(drop_identity, batch_format="pandas")
 
 
-def apply_canonical_map_joined(triples_ds, mapping_ds, num_buckets: int = 64):
+def apply_canonical_map_joined(triples_ds, mapping_ds,
+                               num_buckets: int | None = None):
     """Rewrite subj / IRI-objects via partitioned left hash joins — the
     no-broadcast path for canonical maps beyond node memory.
 
@@ -389,7 +394,8 @@ def part_distinct(keep_doc_id: bool = False):
     return f
 
 
-def dedup_triples(triples_ds, keep_doc_id: bool = False, num_buckets: int = 256):
+def dedup_triples(triples_ds, keep_doc_id: bool = False,
+                  num_buckets: int | None = None):
     """Exact triple dedup.
 
     Stage 1 (combiner, shuffle-free): per-batch distinct on the triple key.
@@ -399,7 +405,14 @@ def dedup_triples(triples_ds, keep_doc_id: bool = False, num_buckets: int = 256)
     per bucket beats millions of per-group Python calls.
     ``keep_doc_id=False`` drops provenance (the graph-level view);
     otherwise the smallest doc_id is kept as the representative witness.
+    ``num_buckets=None`` → size-derived via ``auto_buckets``
+    (fallback 256).
     """
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(triples_ds, rows_per_bucket=131_072,
+                                   fallback=256, minimum=256)
+
     def local_distinct(batch: pa.Table) -> pa.Table:
         import numpy as np
         import pandas as pd

@@ -70,15 +70,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
-                     num_buckets: int = 256):
+                     num_buckets: int | None = None):
     """Emit the surviving full rows (smallest id per distinct text) — the
     deduped corpus itself, which is what a training pipeline writes out.
 
     Per-batch combiner keeps one candidate row per (hash) per batch, then
     ONE hash-bucketed groupby picks the global winner per hash with a
     vectorized sort + drop_duplicates per bucket (uniform buckets — the
-    key is a hash).
+    key is a hash).  ``num_buckets=None`` → size-derived via
+    ``auto_buckets`` (fallback 256).
     """
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(ds, rows_per_bucket=65_536,
+                                   fallback=256, minimum=256)
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["_h"] = [_md5_hex(t or "") for t in batch[text_col]]
@@ -224,14 +229,23 @@ def _lsh_bucket(band: np.ndarray, band_key: np.ndarray,
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                            shingle_k: int = 3, concurrency: int = 4,
                            text_col: str = "text", id_col: str = "doc_id",
-                           num_buckets: int = 256):
+                           num_buckets: int | None = None):
     """documents → candidate near-dup pairs (doc_a < doc_b, n_bands agreeing).
 
     Candidate generation groups on a hash bucket of the full
     ``(band, band_hash)`` pair (`num_buckets` groups, uniform), so the
-    per-group working set is bucket-bounded — at 100 TB raise
-    ``num_buckets`` so corpus×bands/num_buckets rows fit a worker.
+    per-group working set is bucket-bounded at ~corpus×bands/num_buckets
+    rows.  ``num_buckets=None`` derives the count from the corpus size
+    (×``bands`` fan-out, ~1k band rows per bucket) via ``auto_buckets``,
+    so a 10× corpus gets ~10× buckets and the per-group bound holds
+    without retuning; the fallback when the input size is not free to
+    know is 256.
     """
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(ds, rows_per_bucket=1024,
+                                   multiplier=bands, fallback=256,
+                                   minimum=256)
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -313,7 +327,7 @@ def minhash_dedup_pairs(ds, texts_ref, threshold: float = 0.8, **kwargs):
 
 
 def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
-                               num_buckets: int = 64,
+                               num_buckets: int | None = None,
                                text_col: str = "text", id_col: str = "doc_id",
                                **kwargs):
     """Near-dup pipeline with *joined* verification — the 100-TB path.
@@ -397,12 +411,18 @@ def simhash_documents(ds, concurrency: int = 4, num_cpus: float = 0.5, **kwargs)
 
 
 def simhash_near_dup_pairs(ds, hamming_k: int = 3, concurrency: int = 4,
-                           num_buckets: int = 256):
+                           num_buckets: int | None = None):
     """Near-dup pairs with Hamming distance ≤ k via the pigeonhole trick:
     split 64 bits into k+1 bands; any pair within k differing bits agrees
     exactly on ≥1 band.  Candidates are grouped on a hash bucket of the
     full ``(band, band_bits)`` pair (`num_buckets` uniform groups — group
-    size is bucket-bounded, not corpus-bounded)."""
+    size is bucket-bounded, not corpus-bounded; ``None`` → size-derived
+    via ``auto_buckets`` at ~1k band rows per bucket, fallback 256)."""
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(ds, rows_per_bucket=1024,
+                                   multiplier=hamming_k + 1, fallback=256,
+                                   minimum=256)
     sigs = simhash_documents(ds, concurrency=concurrency, num_cpus=0.5)
     n_bands = hamming_k + 1
     width = 64 // n_bands

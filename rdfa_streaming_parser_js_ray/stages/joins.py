@@ -25,6 +25,37 @@ import numpy as np
 import pandas as pd
 
 
+def auto_buckets(*datasets, rows_per_bucket: int, fallback: int,
+                 multiplier: int = 1, minimum: int = 64,
+                 maximum: int = 1 << 16) -> int:
+    """Bucket count derived from metadata-cheap input sizes, so the
+    100-TB knob turns itself (a static default that is right at sf0.1
+    is 1000× too coarse at corpus scale).
+
+    Only row counts that are FREE are consulted — materialized datasets
+    and reads whose metadata carries counts; ``Dataset._meta_count()``
+    returns None for lazy pipelines rather than executing them, in which
+    case ``fallback`` is returned and callers at real scale should pass
+    an explicit value.  ``multiplier`` scales per-row fan-out (e.g. LSH
+    band rows per document).  Rounded up to a power of two for stable,
+    uniform modulo behavior.
+    """
+    total, known = 0, False
+    for ds in datasets:
+        try:
+            n = ds._meta_count()
+        except Exception:
+            n = None
+        if n is not None:
+            total += n
+            known = True
+    if not known:
+        return fallback
+    need = (total * multiplier) // rows_per_bucket + 1
+    need = max(minimum, min(maximum, need))
+    return min(maximum, 1 << (need - 1).bit_length())
+
+
 def _bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
     """Value-based bucket assignment, stable across container dtypes:
     an int64 column and an object column holding the same Python ints
@@ -97,7 +128,7 @@ def _bucketed(ds, on: str, num_buckets: int, side: str):
 
 
 def hash_join(left_ds, right_ds, on: str, how: str = "inner",
-              num_buckets: int = 64):
+              num_buckets: int | None = None):
     """Partitioned hash join: both sides bucketed on hash(key), unioned
     under an aligned superset schema, co-grouped per bucket, merged per
     bucket with vectorized pandas.
@@ -105,8 +136,13 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
     One all-to-all exchange total (the bucket groupby over the union);
     each bucket's merge is in-memory — size buckets so
     |left_bucket| + |right_bucket| fits a worker (num_buckets is the
-    salt knob for hot keys).
+    salt knob for hot keys).  ``num_buckets=None`` derives the count
+    from metadata-cheap input sizes (:func:`auto_buckets`), falling back
+    to 64 when neither side's size is free to know.
     """
+    if num_buckets is None:
+        num_buckets = auto_buckets(left_ds, right_ds,
+                                   rows_per_bucket=131_072, fallback=64)
     left_cols = list(left_ds.schema().names)
     right_cols = list(right_ds.schema().names)
     # right-side non-key columns that clash with left names get suffixed
@@ -142,7 +178,7 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
 
 
 def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
-              num_buckets: int = 64):
+              num_buckets: int | None = None):
     """left rows with NO key match in right — partitioned hash anti-join.
 
     Same single-exchange shape as :func:`hash_join` (bucket both sides on
@@ -150,7 +186,11 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
     to its distinct keys before the exchange, so the shuffle moves
     left + unique-right-keys only.  This is the scale path for "drop this
     id set" when the set is not guaranteed to fit a broadcast.
+    ``num_buckets=None`` → :func:`auto_buckets` over both sides.
     """
+    if num_buckets is None:
+        num_buckets = auto_buckets(left_ds, right_ds,
+                                   rows_per_bucket=131_072, fallback=64)
     right_on = right_on or on
     left_cols = list(left_ds.schema().names)
 

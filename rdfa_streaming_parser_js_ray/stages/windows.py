@@ -44,7 +44,7 @@ def tumbling_window_agg(events_ds, window: str = "1h",
 
 def sessionize(events_ds, gap_minutes: float = 30.0,
                key_col: str = "user_id", ts_col: str = "ts",
-               num_buckets: int = 256):
+               num_buckets: int | None = None):
     """Session windows per key: sort within partition + vectorized
     gap-split across ALL keys of the partition at once.
 
@@ -53,9 +53,16 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
     pass handles thousands of users — no Python call per key, the
     round-1 shape).  Partitioning assumption: all events of one key land
     in one bucket (hash of the key guarantees it).
+    ``num_buckets=None`` derives the count from the (metadata-cheap)
+    event count at ~50k events per bucket, so a 10× stream gets ~10×
+    buckets and each bucket's in-memory sort stays bounded; fallback 256.
     Returns (user_id, session_id, session_start, session_end, n_events).
     """
-    from .joins import _bucket_of
+    from .joins import _bucket_of, auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(events_ds, rows_per_bucket=50_000,
+                                   fallback=256)
 
     gap = pd.Timedelta(minutes=gap_minutes)
 

@@ -349,6 +349,37 @@ def test_extract_svg_profile_through_stage(rd):
     assert list(out["obj_value"]) == ["A Title"]
 
 
+def test_auto_buckets_scales_with_input(rd):
+    """num_buckets derives itself from metadata-cheap input sizes: a 10×
+    corpus gets ~10× buckets (so rows-per-bucket stays bounded), and a
+    lazy pipeline falls back WITHOUT executing."""
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.dedup import _lsh_bucket
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
+    small = rd.range(10_000).materialize()
+    big = rd.range(100_000).materialize()
+    nb_s = auto_buckets(small, rows_per_bucket=1024, fallback=256, minimum=1)
+    nb_b = auto_buckets(big, rows_per_bucket=1024, fallback=256, minimum=1)
+    assert nb_b >= 8 * nb_s  # 10× input → ≥8× buckets (pow2 rounding)
+    assert 100_000 / nb_b <= 2 * 1024  # rows-per-bucket bound holds
+    executed = []
+    lazy = big.map_batches(lambda b: (executed.append(1), b)[1])
+    assert auto_buckets(lazy, rows_per_bucket=1024, fallback=77) == 77
+    assert not executed  # sizing must never trigger execution
+    # LSH candidate-group bound under the derived counts: max bucket
+    # occupancy is corpus-size-independent when buckets scale with input
+    bands = 32
+    for n in (5_000, 50_000):
+        docs = rd.range(n).materialize()
+        nb = auto_buckets(docs, rows_per_bucket=1024, multiplier=bands,
+                          fallback=256, minimum=256)
+        rng = np.random.RandomState(7)
+        band = np.tile(np.arange(bands, dtype=np.uint64), n)
+        key = rng.randint(0, 2**63, size=n * bands).astype(np.uint64)
+        occupancy = np.bincount(_lsh_bucket(band, key, nb), minlength=nb)
+        assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
+
+
 def test_fingerprints_kernel(rd):
     """Batch-global fingerprint kernel: identical texts collide, disjoint
     texts don't, empty text → 0, and values are deterministic across
