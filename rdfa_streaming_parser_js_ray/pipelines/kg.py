@@ -32,7 +32,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                  input_fingerprint: str = "",
                  resume: bool = True,
                  skip_linking: bool = False,
-                 broadcast_max_entities: int = 1_000_000):
+                 broadcast_max_entities: int = 1_000_000,
+                 joined_token_fallback: bool = False):
     """Run the full pipeline; returns (canonical_triples_ds, metrics dict).
 
     When ``out_dir`` is given, materializes partitioned parquet with
@@ -64,7 +65,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
     # as the output of a differently-configured call)
     run_config = {"skip_linking": skip_linking,
                   "num_partitions": num_partitions,
-                  "broadcast_max_entities": broadcast_max_entities}
+                  "broadcast_max_entities": broadcast_max_entities,
+                  "joined_token_fallback": joined_token_fallback}
 
     # Full-resume fast path: a COMPLETED run (run manifest + every
     # partition manifest matching the input fingerprint) restarts by
@@ -221,7 +223,19 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
 
             t_s = time.monotonic()
             mentions = detect_mentions(triples, concurrency=actor_concurrency)
-            links = link_entities_joined(mentions, alias_ds)
+            # joined_token_fallback restores the broadcast linker's
+            # partial-match recall (extra probe rows + one exchange);
+            # off by default — the matched fraction below records the
+            # recall actually achieved either way, so the broadcast →
+            # joined switch never silently drops recall unobserved
+            links = link_entities_joined(
+                mentions, alias_ds,
+                token_fallback=joined_token_fallback).materialize()
+            n_mentions = mentions.count()
+            metrics["mention_rows"] = n_mentions
+            metrics["link_rows"] = links.count()
+            metrics["link_matched_fraction"] = round(
+                links.count() / n_mentions, 4) if n_mentions else 0.0
             mapping_ds = transitive_closure_joined(
                 canonical_pairs(links)).materialize()
             n_map = mapping_ds.count()

@@ -181,32 +181,84 @@ def link_entities(mentions_ds, alias_ref, concurrency: int = 4,
         concurrency=(1, concurrency), num_cpus=num_cpus)
 
 
-def link_entities_joined(mentions_ds, alias_pairs_ds, num_buckets: int = 64):
+def link_entities_joined(mentions_ds, alias_pairs_ds,
+                         num_buckets: int | None = None,
+                         token_fallback: bool = False,
+                         min_score: float = 0.5):
     """Entity linking when the alias table is too large to broadcast.
 
-    Partitioned hash join of exact mention norms against the distributed
-    (alias, entity) table — one all-to-all exchange, no driver dict, no
-    per-node copy of the table.  Exact-norm matches only (score 1.0): the
-    token-containment fallback of :class:`EntityLinker` is a
-    broadcast-dict heuristic; at alias-table scales that force this path,
-    exploding every mention into per-token probe rows would multiply the
-    probe side ~|tokens|× — callers needing it should pre-explode
-    explicitly.
+    Partitioned hash join of mention probes against the distributed
+    (alias, entity) table — no driver dict, no per-node copy of the
+    table.  Default is exact-norm matches only (score 1.0, one exchange).
+
+    ``token_fallback=True`` restores the broadcast
+    :class:`EntityLinker`'s partial-match recall in joined mode: each
+    mention additionally probes with its whitespace tokens (scored
+    ``len(token)/len(norm)``, pre-filtered at ``min_score`` so the probe
+    explosion only carries viable tokens), and a second bucketed exchange
+    picks the best match per mention occurrence — exact match first,
+    then highest token score, ties to the earliest token, mirroring the
+    broadcast scorer.  Cost: probe side grows by the number of viable
+    tokens per mention, plus one extra exchange for best-of selection —
+    the price of not silently losing recall when a corpus outgrows the
+    broadcast threshold.
     """
+    import numpy as np
     import pandas as pd
 
     from .joins import hash_join
 
+    uid_cols = ["doc_id", "subj", "pred", "surface", "start"]
+
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["doc_id", "subj", "pred", "surface", "norm"]].copy()
-        return out.rename(columns={"norm": "alias"})
+        if "start" not in batch.columns:  # occurrence key, 0 when absent
+            batch = batch.assign(start=0)
+        base = batch[["doc_id", "subj", "pred", "surface", "norm", "start"]] \
+            .reset_index(drop=True)
+        exact = base.assign(_w=np.float32(1.0), _pos=np.int32(-1)) \
+                    .rename(columns={"norm": "alias"})
+        if not token_fallback:
+            return exact
+        toks = base["norm"].str.split()
+        n_tok = toks.str.len().to_numpy()
+        rep = base.loc[base.index.repeat(n_tok)].reset_index(drop=True)
+        flat = toks.explode().dropna().reset_index(drop=True)
+        pos = np.concatenate([np.arange(k, dtype=np.int32) for k in n_tok]) \
+            if len(rep) else np.empty(0, dtype=np.int32)
+        w = (flat.str.len().to_numpy(dtype=np.float32)
+             / np.maximum(rep["norm"].str.len().to_numpy(), 1))
+        tok_probe = rep.assign(alias=flat.to_numpy(), _w=w.astype(np.float32),
+                               _pos=pos).drop(columns=["norm"])
+        # only viable fallbacks cross the exchange (and self-token probes
+        # duplicate the exact probe — selection keeps the exact row first)
+        tok_probe = tok_probe[tok_probe["_w"] >= min_score]
+        return pd.concat([exact, tok_probe], ignore_index=True)
 
     joined = hash_join(mentions_ds.map_batches(probe, batch_format="pandas"),
                        alias_pairs_ds, on="alias", num_buckets=num_buckets)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id", "subj", "pred", "surface", "entity"]].copy()
-        out["score"] = pd.Series([1.0] * len(out), dtype="float32")
+        out["score"] = batch["_w"].astype("float32")
         return out
 
-    return joined.map_batches(finish, batch_format="pandas")
+    if not token_fallback:
+        return joined.map_batches(finish, batch_format="pandas")
+
+    nb = num_buckets or 64
+
+    def add_ubucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[uid_cols],
+                                       index=False).to_numpy()
+        batch["_ub"] = (h % np.uint64(nb)).astype("int32")
+        return batch
+
+    def best_per_mention(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(uid_cols + ["_w", "_pos"],
+                              ascending=[True] * len(uid_cols)
+                              + [False, True])
+        g = g.drop_duplicates(uid_cols, keep="first")
+        return finish(g)
+
+    return joined.map_batches(add_ubucket, batch_format="pandas") \
+        .groupby("_ub").map_groups(best_per_mention, batch_format="pandas")

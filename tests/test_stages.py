@@ -573,6 +573,46 @@ def test_link_entities_joined_matches_broadcast_exact(rd):
     assert len(jn) == 2
 
 
+def test_link_entities_joined_token_fallback_matches_broadcast(rd):
+    """A token-only alias (no exact-norm hit) links in BOTH modes when
+    joined mode opts into the pre-exploded token probe: same entity, same
+    score, exact matches still preferred."""
+    from rdfa_streaming_parser_js_ray.stages.linking import (
+        link_entities, link_entities_joined,
+    )
+    alias = {"corporation": "http://e/corp", "alpha": "http://e/alpha"}
+    mentions = rd.from_items([
+        # token-only: norm misses, token 'corporation' scores 11/16 ≥ 0.5
+        {"doc_id": "d1", "subj": "http://s/1", "pred": "http://p/t",
+         "surface": "Acme Corporation", "norm": "acme corporation",
+         "start": 0},
+        # exact hit must win over any token
+        {"doc_id": "d2", "subj": "http://s/2", "pred": "http://p/t",
+         "surface": "Alpha", "norm": "alpha", "start": 3},
+        # below min_score: token 'alpha' scores 5/20 < 0.5 → no link
+        {"doc_id": "d3", "subj": "http://s/3", "pred": "http://p/t",
+         "surface": "alpha like but longer", "norm": "alpha aaa bbbb ccccc",
+         "start": 0},
+    ]).repartition(2)
+    bc = link_entities(mentions, alias, min_score=0.5,
+                       concurrency=1).to_pandas()
+    alias_ds = rd.from_items([{"alias": a, "entity": e}
+                              for a, e in alias.items()])
+    jn = link_entities_joined(mentions, alias_ds, num_buckets=4,
+                              token_fallback=True,
+                              min_score=0.5).to_pandas()
+    cols = ["doc_id", "subj", "entity"]
+    key = lambda df: sorted(map(tuple, df[cols].itertuples(index=False)))
+    assert key(bc) == key(jn)
+    assert len(jn) == 2  # d1 via token fallback, d2 exact, d3 filtered
+    s = jn.set_index("doc_id")["score"]
+    assert s["d2"] == 1.0 and 0.5 <= s["d1"] < 1.0
+    # without the flag, the token-only mention is (documented) lost
+    exact_only = link_entities_joined(mentions, alias_ds,
+                                      num_buckets=4).to_pandas()
+    assert sorted(exact_only["doc_id"]) == ["d2"]
+
+
 def test_kg_construct_joined_mode_matches_broadcast(rd):
     """Forcing the alias table past the broadcast threshold must switch
     the flagship to the fully distributed path (hash-join linking,
