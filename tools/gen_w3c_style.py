@@ -1,6 +1,8 @@
 """Generate tests/fixtures/w3c_style.json — a spec-derived RDFa 1.1
 conformance corpus in the shape of the W3C test suite's HTML5 / XHTML5 /
-SVG profile manifests.
+SVG profile manifests, plus the legacy HTML4 / XHTML1 / RDFa-1.0-variant
+manifests the reference also runs (spec-html4 / spec-xhtml1 /
+spec-1-xhtml1 / spec-1-svg in /root/reference/package.json).
 
 The real W3C manifests are fetched over the network by the reference's
 conformance harness (/root/reference/package.json:51-79); this sandbox has
@@ -42,14 +44,15 @@ CASES: list[dict] = []
 
 
 def case(name: str, profile: str, html: str, expected: list[list[str]],
-         **opts):
+         label: str | None = None, **opts):
     options = {"baseIRI": B}
     if profile:
         options["profile"] = profile
     options.update(opts)
     CASES.append({"name": name, "source": "spec-derived (W3C-suite style)",
-                  "profile_label": {"html": "html5", "xhtml": "xhtml5",
-                                    "xml": "svg"}.get(profile, profile or "html5"),
+                  "profile_label": label or
+                  {"html": "html5", "xhtml": "xhtml5",
+                   "xml": "svg"}.get(profile, profile or "html5"),
                   "options": options, "html": html, "expected": expected})
 
 
@@ -555,6 +558,500 @@ case("incomplete triple completed across svg groups", "xml",
      'xmlns:foaf="http://xmlns.com/foaf/0.1/">'
      '<g about="#a" rel="foaf:knows"><g about="#b"/></g></svg>',
      [[B + "#a", FOAF + "knows", B + "#b"]])
+
+
+# ----------------------------------------------------------- html4 cases --
+# The reference runs the html4 manifest with profile "html"
+# (/root/reference/package.json: spec-html4); the documents below use
+# HTML 4.01 conventions — doctype, uppercase tags/attributes, unquoted
+# values, unclosed <p>/<li>/<td>, xmlns: prefix declarations, <base>,
+# @version — processed under the RDFa 1.1 HTML rules.
+
+DC11 = "http://purl.org/dc/elements/1.1/"
+H4DOC = '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">'
+
+case("uppercase tags and attributes (html4)", "html",
+     H4DOC + '<HTML VERSION="HTML+RDFa 1.1"><HEAD><TITLE>t</TITLE></HEAD>'
+     f'<BODY PREFIX="dc: {DC}"><H1 PROPERTY="dc:title">The Title</H1>'
+     '</BODY></HTML>',
+     [[B, DC + "title", '"The Title"']],
+     label="html4")
+
+case("unquoted attribute values (html4)", "html",
+     H4DOC + f'<html><body prefix="{PREFIXES}">'
+     '<div about=#me><span property=foaf:name>Alice</span></div>'
+     '</body></html>',
+     [[B + "#me", FOAF + "name", '"Alice"']],
+     label="html4")
+
+case("xmlns: prefix declaration (html4 style)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<p property="dc:creator">A. Author</p></body></html>',
+     [[B, DC11 + "creator", '"A. Author"']],
+     label="html4")
+
+case("base tag sets the base IRI (html4)", "html",
+     H4DOC + '<html><head><base href="http://base.example.org/dir/">'
+     f'</head><body xmlns:dc="{DC11}"><div about="doc2">'
+     '<span property="dc:title">T</span></div></body></html>',
+     [["http://base.example.org/dir/doc2", DC11 + "title", '"T"']],
+     label="html4")
+
+case("unclosed p elements imply close (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<p property="dc:title">One<p property="dc:description">Two'
+     '</body></html>',
+     [[B, DC11 + "title", '"One"'],
+      [B, DC11 + "description", '"Two"']],
+     label="html4")
+
+case("unclosed li elements with about (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}"><ul>'
+     '<li about="#a" property="dc:title">First'
+     '<li about="#b" property="dc:title">Second'
+     '</ul></body></html>',
+     [[B + "#a", DC11 + "title", '"First"'],
+      [B + "#b", DC11 + "title", '"Second"']],
+     label="html4")
+
+case("unclosed td cells in a table (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}"><table><tr>'
+     '<td property="dc:title">X<td property="dc:description">Y'
+     '</tr></table></body></html>',
+     [[B, DC11 + "title", '"X"'],
+      [B, DC11 + "description", '"Y"']],
+     label="html4")
+
+case("lang attribute inherited (html4)", "html",
+     H4DOC + f'<html lang="en"><body xmlns:dc="{DC11}">'
+     '<span property="dc:title">T</span></body></html>',
+     [[B, DC11 + "title", '"T"@en']],
+     label="html4")
+
+case("inner lang overrides and empty lang clears (html4)", "html",
+     H4DOC + f'<html lang="en"><body xmlns:dc="{DC11}">'
+     '<span property="dc:title" lang="de">D</span>'
+     '<span property="dc:description" lang="">N</span></body></html>',
+     [[B, DC11 + "title", '"D"@de'],
+      [B, DC11 + "description", '"N"']],
+     label="html4")
+
+case("meta and link in head inherit the base subject (html4)", "html",
+     H4DOC + f'<html xmlns:dc="{DC11}"><head>'
+     '<meta property="dc:title" content="M">'
+     '<link rel="dc:source" href="http://other.example.org/">'
+     '</head><body></body></html>',
+     [[B, DC11 + "title", '"M"'],
+      [B, DC11 + "source", "http://other.example.org/"]],
+     label="html4")
+
+case("entity references decode in literals (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<span property="dc:title">Caf&eacute; &amp; Bar&#33;</span>'
+     '</body></html>',
+     [[B, DC11 + "title", '"Café & Bar!"']],
+     label="html4")
+
+case("bare rel term without vocab yields nothing (html4)", "html",
+     H4DOC + '<html><body>'
+     '<a rel="next" href="http://other.example.org/">n</a></body></html>',
+     [],
+     label="html4")
+
+case("bare rel term resolves via vocab (html4)", "html",
+     H4DOC + f'<html><body vocab="{EX}">'
+     '<a rel="next" href="http://other.example.org/">n</a></body></html>',
+     [[B, RDFA + "usesVocabulary", EX],
+      [B, EX + "next", "http://other.example.org/"]],
+     label="html4")
+
+case("typeof with about emits rdf:type (html4)", "html",
+     H4DOC + f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me" typeof="foaf:Person">'
+     '<span property="foaf:name">Alice</span></div></body></html>',
+     [[B + "#me", RDF + "type", FOAF + "Person"],
+      [B + "#me", FOAF + "name", '"Alice"']],
+     label="html4")
+
+case("typeof without about types a blank node (html4)", "html",
+     H4DOC + f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="foaf:Person"><span property="foaf:name">A</span>'
+     '</div></body></html>',
+     [["_:b0", RDF + "type", FOAF + "Person"],
+      ["_:b0", FOAF + "name", '"A"']],
+     label="html4")
+
+case("resource wins over href as object (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<a about="#s" rel="dc:source" resource="#r" href="#h">x</a>'
+     '</body></html>',
+     [[B + "#s", DC11 + "source", B + "#r"]],
+     label="html4")
+
+case("datetime attribute sniffs xsd:date (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<time property="dc:date" datetime="2012-03-18">March 18</time>'
+     '</body></html>',
+     [[B, DC11 + "date", f'"2012-03-18"^^{XSD}date']],
+     label="html4")
+
+case("time tag content sniffs xsd:dateTime (html4)", "html",
+     H4DOC + f'<html><body prefix="ex: {EX}">'
+     '<time property="ex:t">2012-03-18T12:00:00</time></body></html>',
+     [[B, EX + "t", f'"2012-03-18T12:00:00"^^{XSD}dateTime']],
+     label="html4")
+
+case("duplicate attribute keeps the first (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<span PROPERTY="dc:title" property="dc:description">X</span>'
+     '</body></html>',
+     [[B, DC11 + "title", '"X"']],
+     label="html4")
+
+case("comments and conditional comments are skipped (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<!--[if IE]><span property="dc:title">NO</span><![endif]-->'
+     '<!-- plain comment --><span property="dc:title">YES</span>'
+     '</body></html>',
+     [[B, DC11 + "title", '"YES"']],
+     label="html4")
+
+case("content attribute overrides element text (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<span property="dc:title" content="From content">From text</span>'
+     '</body></html>',
+     [[B, DC11 + "title", '"From content"']],
+     label="html4")
+
+case("rel chain completes an incomplete triple (html4)", "html",
+     H4DOC + f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="foaf:knows"><div about="#b">'
+     '<span property="foaf:name">B</span></div></div></body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"],
+      [B + "#b", FOAF + "name", '"B"']],
+     label="html4")
+
+# ---------------------------------------------------------- xhtml1 cases --
+# The reference runs the xhtml1 manifest with profile "xhtml"
+# (spec-xhtml1): XHTML 1.x markup — doctype + xmlns on <html>,
+# self-closing elements, the XHTML initial-context vocabulary terms.
+
+X1DOC = ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.1//EN" '
+         '"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-2.dtd">')
+XHTML_NS = "http://www.w3.org/1999/xhtml"
+
+case("property literal under xhtml doctype (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><head><title>t</title></head>'
+     f'<body xmlns:dc="{DC11}"><h1 property="dc:title">T</h1>'
+     '</body></html>',
+     [[B, DC11 + "title", '"T"']],
+     label="xhtml1")
+
+case("xhtml vocabulary term rel=next (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel="next" href="http://other.example.org/ch2">c</a>'
+     '</body></html>',
+     [[B, XHV + "next", "http://other.example.org/ch2"]],
+     label="xhtml1")
+
+case("xhtml vocabulary term rel=license (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel="license" href="http://example.org/license">l</a>'
+     '</body></html>',
+     [[B, XHV + "license", "http://example.org/license"]],
+     label="xhtml1")
+
+case("vocabulary terms are case-insensitive (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel="NEXT" href="http://other.example.org/ch2">c</a>'
+     '</body></html>',
+     [[B, XHV + "next", "http://other.example.org/ch2"]],
+     label="xhtml1")
+
+case("unknown bare term in rel is dropped (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel="nosuchterm" href="http://other.example.org/">x</a>'
+     '</body></html>',
+     [],
+     label="xhtml1")
+
+case("empty-prefix CURIE resolves to the xhtml vocab (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel=":license" href="http://example.org/license">l</a>'
+     '</body></html>',
+     [[B, XHV + "license", "http://example.org/license"]],
+     label="xhtml1")
+
+case("self-closing element with content attribute (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:dc="{DC11}">'
+     '<span about="#a" property="dc:title" content="T"/>'
+     '<span property="dc:description">after</span></body></html>',
+     [[B + "#a", DC11 + "title", '"T"'],
+      [B, DC11 + "description", '"after"']],
+     label="xhtml1")
+
+case("meta in head inherits the base subject (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" xmlns:dc="{DC11}"><head>'
+     '<meta property="dc:title" content="M"/></head><body/></html>',
+     [[B, DC11 + "title", '"M"']],
+     label="xhtml1")
+
+case("xml:lang attribute applies (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:dc="{DC11}">'
+     '<span property="dc:title" xml:lang="fr">F</span></body></html>',
+     [[B, DC11 + "title", '"F"@fr']],
+     label="xhtml1")
+
+case("safe CURIE about with xmlns prefix (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:ex="{EX}">'
+     '<div about="[ex:node]"><span property="ex:p">v</span></div>'
+     '</body></html>',
+     [[EX + "node", EX + "p", '"v"']],
+     label="xhtml1")
+
+case("typeof on head types the base resource (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" prefix="{PREFIXES}">'
+     '<head typeof="foaf:Document"><title>t</title></head><body/></html>',
+     [[B, RDF + "type", FOAF + "Document"]],
+     label="xhtml1")
+
+case("rev on a link reverses the triple (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:dc="{DC11}">'
+     '<a about="#cited" rev="dc:source" href="#citing">x</a>'
+     '</body></html>',
+     [[B + "#citing", DC11 + "source", B + "#cited"]],
+     label="xhtml1")
+
+case("incomplete triple completed by child subject (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" prefix="{PREFIXES}">'
+     '<body><div about="#a" rel="foaf:knows"><div about="#b"/>'
+     '</div></body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"]],
+     label="xhtml1")
+
+case("inlist rel over descendant IRI elements builds an rdf list (xhtml1)",
+     "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" prefix="{PREFIXES}">'
+     '<body><div about="#l"><ol rel="ex:items" inlist="">'
+     '<li><a href="#i1">x</a></li><li><a href="#i2">y</a></li>'
+     '</ol></div></body></html>',
+     [[B + "#l", EX + "items", "_:l0"],
+      ["_:l0", RDF + "first", B + "#i1"],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", B + "#i2"],
+      ["_:l1", RDF + "rest", RDF + "nil"]],
+     label="xhtml1")
+
+case("xml:base is ignored in xhtml (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:dc="{DC11}">'
+     '<div xml:base="http://other.example.org/" about="page2">'
+     '<span property="dc:title">T</span></div></body></html>',
+     [["http://rdfa.example.org/page2", DC11 + "title", '"T"']],
+     label="xhtml1")
+
+case("base tag applies in xhtml (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><head>'
+     '<base href="http://based.example.org/dir/"/></head>'
+     f'<body xmlns:dc="{DC11}"><div about="p">'
+     '<span property="dc:title">T</span></div></body></html>',
+     [["http://based.example.org/dir/p", DC11 + "title", '"T"']],
+     label="xhtml1")
+
+case("explicit datatype on a literal (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" prefix="xsd: {XSD} ex: {EX}">'
+     '<body><span property="ex:count" datatype="xsd:integer">42</span>'
+     '</body></html>',
+     [[B, EX + "count", f'"42"^^{XSD}integer']],
+     label="xhtml1")
+
+# note: the reference injects EVERY in-scope custom prefix (bare xmlns
+# plus @prefix-declared ones), alphabetically — RdfaParser.ts:123-139
+case("XMLLiteral captures markup with xmlns injection (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}" prefix="rdf: {RDF} ex: {EX}">'
+     '<body><span property="ex:p" datatype="rdf:XMLLiteral">'
+     'a<b>c</b></span></body></html>',
+     [[B, EX + "p",
+       f'"a<b xmlns="{XHTML_NS}" xmlns:ex="{EX}" xmlns:rdf="{RDF}">'
+       f'c</b>"^^{RDF}XMLLiteral']],
+     label="xhtml1")
+
+case("role attribute with id subject (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<div id="widget" role="button">x</div></body></html>',
+     [[B + "#widget", XHV + "role", XHV + "button"]],
+     label="xhtml1")
+
+case("non-CURIE rel dropped when property present (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body xmlns:dc="{DC11}">'
+     '<a property="dc:title" rel="license" '
+     'href="http://example.org/doc">T</a></body></html>',
+     [[B, DC11 + "title", "http://example.org/doc"]],
+     label="xhtml1")
+
+case("empty vocab restores the default (xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body vocab="{SCHEMA}">'
+     '<span property="name">N</span>'
+     f'<div vocab="" xmlns:dc="{DC11}">'
+     '<span property="dc:title">T</span><span property="name">drop</span>'
+     '</div></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, SCHEMA + "name", '"N"'],
+      [B, DC11 + "title", '"T"']],
+     label="xhtml1")
+
+# --------------------------------------------------------- rdfa1.0 cases --
+# The reference runs the rdfa1.0 manifests with profiles "xhtml" and
+# "xml" (spec-1-xhtml1 / spec-1-svg / spec-1-xml): RDFa 1.0-era documents
+# (@version, xmlns:-only prefixes, reserved XHTML words, 1.0 constructs
+# like @instanceof) processed under the RDFa 1.1 rules, which is what a
+# 1.1 processor — the reference and this engine — produces for them.
+
+R10DOC = ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.0//EN" '
+          '"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd">')
+
+case("version attribute is ignored (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0" '
+     f'xmlns:dc="{DC11}"><body><h1 property="dc:title">T</h1>'
+     '</body></html>',
+     [[B, DC11 + "title", '"T"']],
+     label="rdfa1.0")
+
+case("xmlns-only prefix mappings (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0" '
+     f'xmlns:foaf="{FOAF}" xmlns:dc="{DC11}"><body>'
+     '<div about="#me"><span property="foaf:name">Alice</span>'
+     '<span property="dc:creator">A</span></div></body></html>',
+     [[B + "#me", FOAF + "name", '"Alice"'],
+      [B + "#me", DC11 + "creator", '"A"']],
+     label="rdfa1.0")
+
+case("nested xmlns scopes override (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:ns="{DC11}"><body>'
+     '<span property="ns:title">outer</span>'
+     f'<div xmlns:ns="{EX}"><span property="ns:p">inner</span></div>'
+     '</body></html>',
+     [[B, DC11 + "title", '"outer"'],
+      [B, EX + "p", '"inner"']],
+     label="rdfa1.0")
+
+case("reserved word rel=next (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0"><body>'
+     '<link rel="next" href="http://other.example.org/ch2"/>'
+     '</body></html>',
+     [[B, XHV + "next", "http://other.example.org/ch2"]],
+     label="rdfa1.0")
+
+case("bnode safe CURIE about (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:foaf="{FOAF}"><body>'
+     '<div about="[_:alice]"><span property="foaf:name">Alice</span>'
+     '</div></body></html>',
+     [["_:alice", FOAF + "name", '"Alice"']],
+     label="rdfa1.0")
+
+case("instanceof is not rdfa 1.1 and yields no type (rdfa1.0 xhtml1)",
+     "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:foaf="{FOAF}"><body>'
+     '<div about="#me" instanceof="foaf:Person">'
+     '<span property="foaf:name">A</span></div></body></html>',
+     [[B + "#me", FOAF + "name", '"A"']],
+     label="rdfa1.0")
+
+case("resource chains an incomplete rel (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:dc="{DC11}"><body>'
+     '<div about="#doc" rel="dc:source" resource="#src">'
+     '<span property="dc:title">T</span></div></body></html>',
+     [[B + "#doc", DC11 + "source", B + "#src"],
+      [B + "#src", DC11 + "title", '"T"']],
+     label="rdfa1.0")
+
+case("content is a plain literal (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:dc="{DC11}"><body>'
+     '<meta about="" property="dc:title" content="Plain"/></body></html>',
+     [[B, DC11 + "title", '"Plain"']],
+     label="rdfa1.0")
+
+case("empty datatype forces a plain literal over markup (rdfa1.0 xhtml1)",
+     "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:ex="{EX}"><body>'
+     '<span property="ex:p" datatype="">a<b>c</b></span></body></html>',
+     [[B, EX + "p", '"ac"']],
+     label="rdfa1.0")
+
+case("xml:lang inheritance (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xml:lang="it" '
+     f'xmlns:dc="{DC11}"><body><span property="dc:title">T</span>'
+     '</body></html>',
+     [[B, DC11 + "title", '"T"@it']],
+     label="rdfa1.0")
+
+case("rev with reserved word (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rev="up" href="http://parent.example.org/">u</a></body></html>',
+     [["http://parent.example.org/", XHV + "up", B]],
+     label="rdfa1.0")
+
+case("typeof alone on body-level div makes a typed bnode (rdfa1.0 xhtml1)",
+     "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:foaf="{FOAF}"><body>'
+     '<div typeof="foaf:Person"><span property="foaf:name">N</span>'
+     '</div></body></html>',
+     [["_:b0", RDF + "type", FOAF + "Person"],
+      ["_:b0", FOAF + "name", '"N"']],
+     label="rdfa1.0")
+
+case("href fallback object for rel (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:dc="{DC11}"><body>'
+     '<a about="#doc" rel="dc:source" href="http://src.example.org/">s</a>'
+     '</body></html>',
+     [[B + "#doc", DC11 + "source", "http://src.example.org/"]],
+     label="rdfa1.0")
+
+case("xml:base applies in svg (rdfa1.0 svg)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xml:base="http://svg.example.org/base/" '
+     f'xmlns:dc="{DC11}"><g about="img">'
+     '<metadata property="dc:title">T</metadata></g></svg>',
+     [["http://svg.example.org/base/img", DC11 + "title", '"T"']],
+     label="rdfa1.0")
+
+case("svg metadata property literal (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC11}">'
+     '<metadata property="dc:title">An SVG</metadata></svg>',
+     [[B, DC11 + "title", '"An SVG"']],
+     label="rdfa1.0")
+
+case("svg content attribute (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC11}">'
+     '<metadata property="dc:title" content="From content">text'
+     '</metadata></svg>',
+     [[B, DC11 + "title", '"From content"']],
+     label="rdfa1.0")
+
+case("svg rel with resource (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC11}">'
+     '<g about="#fig" rel="dc:source" resource="#photo"/></svg>',
+     [[B + "#fig", DC11 + "source", B + "#photo"]],
+     label="rdfa1.0")
+
+case("svg typeof blank node (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:foaf="{FOAF}">'
+     '<g typeof="foaf:Image"><metadata property="foaf:name">i</metadata>'
+     '</g></svg>',
+     [["_:b0", RDF + "type", FOAF + "Image"],
+      ["_:b0", FOAF + "name", '"i"']],
+     label="rdfa1.0")
+
+case("svg xml:lang (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC11}" '
+     'xml:lang="en"><metadata property="dc:title">T</metadata></svg>',
+     [[B, DC11 + "title", '"T"@en']],
+     label="rdfa1.0")
+
+case("svg tag names are case-sensitive (rdfa1.0 svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC11}">'
+     '<Metadata property="dc:title">still works</Metadata></svg>',
+     [[B, DC11 + "title", '"still works"']],
+     label="rdfa1.0")
 
 
 def main() -> None:
