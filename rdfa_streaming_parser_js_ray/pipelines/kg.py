@@ -33,7 +33,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                  resume: bool = True,
                  skip_linking: bool = False,
                  broadcast_max_entities: int = 1_000_000,
-                 joined_token_fallback: bool = False):
+                 joined_token_fallback: bool = False,
+                 pin_triples: bool = True):
     """Run the full pipeline; returns (canonical_triples_ds, metrics dict).
 
     When ``out_dir`` is given, materializes partitioned parquet with
@@ -147,8 +148,14 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
         metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
         # pin the (re-)read once: three downstream passes consume it, and
         # object-store blocks (spillable) beat re-reading the many small
-        # files a wide write_parquet produces
-        triples = rd.read_parquet(raw_dir).materialize()
+        # files a wide write_parquet produces.  pin_triples=False is the
+        # lazy-consumer alternative (each pass re-reads the parquet
+        # checkpoint) — measured at 160k-doc stress scale in BASELINE.md;
+        # the pinned shape won, the flag remains for corpora whose
+        # triples exceed aggregate object-store + spill capacity.
+        triples = rd.read_parquet(raw_dir)
+        if pin_triples:
+            triples = triples.materialize()
     else:
         t_x = time.monotonic()
         triples = triples.materialize()
