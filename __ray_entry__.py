@@ -106,6 +106,35 @@ def q_quality(sf_dir: str):
         ["doc_id", "n_chars", "n_words", "n_punct", "n_distinct", "n_stop"])
 
 
+def q_repetition(sf_dir: str):
+    """Line-structure repetition stats (Gopher/C4-style quality filters).
+    The oracle replays the integer columns via
+    unnest(string_split(text, chr(10))); the derived dup_line_ratio
+    float stays out of the compare (same precedent as `quality`)."""
+    from rdfa_streaming_parser_js_ray.stages.text import repetition_stats
+    return repetition_stats(_sf_documents(sf_dir)).select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "max_line_len"])
+
+
+def q_source_summary(sf_dir: str):
+    """Per-source corpus rollup (combiner-first grouped exchange)."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.text import source_summary
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang", "text"])
+    return source_summary(docs).select_columns(
+        ["source", "n_docs", "n_langs", "sum_chars"])
+
+
+def q_props_stats(sf_dir: str):
+    """JSON-sidecar field extraction + per-event-type rollup."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.windows import props_field_stats
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "props"])
+    return props_field_stats(events)
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-ratio language ID.  The prediction is SQL-expressible
     (deterministic argmax over stopword-hit ratios), so the oracle covers
@@ -577,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "source_summary": q_source_summary,
+        "props_stats": q_props_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
@@ -696,6 +728,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "repetition": """
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines,
+                   CAST(MAX(length(line)) AS BIGINT) AS max_line_len
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line
+                  FROM documents)
+            GROUP BY doc_id
+        """,
+        "source_summary": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "props_stats": """
+            WITH vals AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1)
+                          AS BIGINT) AS v
+              FROM events
+              WHERE regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) <> '')
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sum_k,
+                   CAST(MIN(v) AS BIGINT) AS min_k,
+                   CAST(MAX(v) AS BIGINT) AS max_k
+            FROM vals GROUP BY event_type
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -131,6 +131,68 @@ def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc line-structure repetition stats (Gopher/C4-style quality
+    filters): (id, n_lines, n_distinct_lines, max_line_len,
+    dup_line_ratio).  Vectorized: one split + explode + two grouped
+    reductions per batch; lines are raw ``\\n`` segments (no strip), so a
+    SQL oracle can replay the integers exactly via
+    ``unnest(string_split(text, chr(10)))``.
+    """
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("").reset_index(drop=True)
+        lines = s.str.split("\n")
+        n_lines = lines.str.len().to_numpy(dtype="int64")
+        ex = lines.explode()
+        idx = np.arange(len(s))
+        grp = ex.groupby(level=0)
+        n_distinct = grp.nunique().reindex(idx, fill_value=0) \
+            .to_numpy(dtype="int64")
+        max_len = ex.str.len().groupby(level=0).max() \
+            .reindex(idx, fill_value=0).to_numpy(dtype="int64")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_lines": n_lines,
+            "n_distinct_lines": n_distinct,
+            "max_line_len": max_len,
+            "dup_line_ratio": np.round(1.0 - n_distinct / n_lines, 6),
+        })
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def source_summary(ds, source_col: str = "source", lang_col: str = "lang",
+                   text_col: str = "text"):
+    """Per-source corpus rollup, combiner-first: per-batch partials keyed
+    on (source, lang) — n_docs, sum_chars — so the single grouped
+    exchange moves one row per (source, lang) per batch, then a tiny
+    per-source fold computes (source, n_docs, n_langs, sum_chars,
+    avg_chars).  The shape every 100-TB "how big is each slice" report
+    takes: nothing document-sized crosses the exchange.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({
+            "source": batch[source_col].to_numpy(),
+            "lang": batch[lang_col].to_numpy(),
+            "chars": batch[text_col].fillna("").str.len()
+                     .to_numpy(dtype="int64")})
+        return b.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("chars", "size"), sum_chars=("chars", "sum"))
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        n = int(group["n_docs"].sum())
+        total = int(group["sum_chars"].sum())
+        return pd.DataFrame({
+            "source": [group["source"].iloc[0]],
+            "n_docs": pd.Series([n], dtype="int64"),
+            "n_langs": pd.Series([group["lang"].nunique()], dtype="int64"),
+            "sum_chars": pd.Series([total], dtype="int64"),
+            "avg_chars": [round(total / n, 2)],
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("source").map_groups(fold, batch_format="pandas")
+
+
 def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
                    window: int = 8):
     """SQL-oracleable winnowing profile: md5 over word 4-grams, sliding

@@ -42,6 +42,41 @@ def tumbling_window_agg(events_ds, window: str = "1h",
     return out.map_batches(finish, batch_format="pandas")
 
 
+def props_field_stats(events_ds, field: str = "k",
+                      key_col: str = "event_type",
+                      props_col: str = "props"):
+    """Extract an integer field from a JSON-string properties column
+    (vectorized C-regex ``str.extract`` — no per-row json.loads) and roll
+    it up per key, combiner-first: per-batch partial (n, sum, min, max)
+    per key, then ONE grouped exchange over the partials.  Returns
+    (key, n_events, sum_<field>, min_<field>, max_<field>) — the
+    semi-structured-sidecar shape (event props, request metadata) every
+    log pipeline needs without a full JSON parse.
+    """
+    import re
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    pat = re.compile(rf'"{re.escape(field)}"\s*:\s*(-?\d+)')
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[props_col].str.extract(pat, expand=False)
+        b = pd.DataFrame({key_col: batch[key_col].to_numpy(),
+                          "v": v.to_numpy()})
+        b = b[b["v"].notna()]
+        b["v"] = b["v"].astype("int64")
+        return b.groupby(key_col, as_index=False).agg(
+            _n=("v", "size"), _s=("v", "sum"),
+            _mn=("v", "min"), _mx=("v", "max"))
+
+    partials = events_ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(key_col).aggregate(
+        Sum("_n", alias_name="n_events"),
+        Sum("_s", alias_name=f"sum_{field}"),
+        Min("_mn", alias_name=f"min_{field}"),
+        Max("_mx", alias_name=f"max_{field}"))
+
+
 def sessionize(events_ds, gap_minutes: float = 30.0,
                key_col: str = "user_id", ts_col: str = "ts",
                num_buckets: int | None = None):

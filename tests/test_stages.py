@@ -380,6 +380,55 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_repetition_stats(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import repetition_stats
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["x\ny\nx\nzz", "", "one line"]})
+    got = repetition_stats(rd.from_pandas(df).repartition(2)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert got.loc["a", "n_lines"] == 4
+    assert got.loc["a", "n_distinct_lines"] == 3  # 'x' repeats
+    assert got.loc["a", "max_line_len"] == 2
+    assert got.loc["a", "dup_line_ratio"] == 0.25
+    assert got.loc["b", "n_lines"] == 1 and got.loc["b", "max_line_len"] == 0
+    assert got.loc["c", "dup_line_ratio"] == 0.0
+
+
+def test_source_summary(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import source_summary
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s1"],
+        "lang": ["en", "de", "en", "en"],
+        "text": ["aaaa", "bb", "c", ""]})
+    got = source_summary(rd.from_pandas(df).repartition(3)).to_pandas() \
+        .set_index("source").sort_index()
+    assert got.loc["s1", "n_docs"] == 3
+    assert got.loc["s1", "n_langs"] == 2
+    assert got.loc["s1", "sum_chars"] == 6
+    assert got.loc["s1", "avg_chars"] == 2.0
+    assert got.loc["s2", "n_docs"] == 1 and got.loc["s2", "n_langs"] == 1
+
+
+def test_props_field_stats(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.windows import props_field_stats
+    df = pd.DataFrame({
+        "event_type": ["t1", "t1", "t2", "t2", "t2"],
+        "props": ['{"k": 5}', '{"k": -2}', '{"k": 7}', '{"other": 1}',
+                  '{ "k" : 3 }']})
+    got = props_field_stats(rd.from_pandas(df).repartition(2)).to_pandas() \
+        .set_index("event_type").sort_index()
+    assert got.loc["t1", "n_events"] == 2
+    assert got.loc["t1", "sum_k"] == 3
+    assert got.loc["t1", "min_k"] == -2 and got.loc["t1", "max_k"] == 5
+    # the row without the field is dropped, whitespace-tolerant extract
+    assert got.loc["t2", "n_events"] == 2
+    assert got.loc["t2", "sum_k"] == 10
+
+
 def test_fingerprints_kernel(rd):
     """Batch-global fingerprint kernel: identical texts collide, disjoint
     texts don't, empty text → 0, and values are deterministic across
