@@ -78,7 +78,7 @@ def _cached_detector(min_token_len: int, lowercase_terms: bool) -> MentionDetect
 
 
 def detect_mentions(triples_ds, concurrency: int | None = None,
-                    batch_size: int = 8192, num_cpus: float = 0.5,
+                    batch_size: int = 32768, num_cpus: float = 0.5,
                     use_actors: bool = False, **detector_kwargs):
     """triples Dataset → mentions Dataset.
 
