@@ -163,11 +163,33 @@ def q_fingerprints(sf_dir: str):
 
 def q_minhash_near_dups(sf_dir: str):
     """LSH candidates verified via partitioned hash-joins of the texts onto
-    the pairs — the no-broadcast scale path (nothing driver-materialized)."""
+    the pairs — the no-broadcast scale path (nothing driver-materialized).
+
+    NOW ORACLED: DuckDB replays the exact word-3-gram Jaccard over all
+    pairs (O(n²) is fine at oracle scale) and keeps pairs ≥ threshold.
+    The LSH candidate pass can in principle false-negative a pair, but at
+    this corpus's planted similarities (J ≥ 0.96) the per-pair miss
+    probability is (1-J^4)^32 ≈ 1e-26 — and the whole pipeline is seeded
+    and deterministic, so the oracle equality is stable run to run.  The
+    verified jaccard equals SQL's exactly (both are IEEE double ratios of
+    the same integers; hashed-shingle collisions would show up here and
+    don't), exported as integer ppm to keep float formatting out of the
+    driver's value hash.  n_bands (an LSH internal) stays out of the
+    compare."""
+    import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.dedup import minhash_dedup_pairs_joined
     docs = _sf_documents(sf_dir)
-    return minhash_dedup_pairs_joined(docs, threshold=0.5, num_buckets=16,
-                                      concurrency=2)
+    pairs = minhash_dedup_pairs_joined(docs, threshold=0.5, num_buckets=16,
+                                       concurrency=2)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard_ppm"] = np.floor(
+            batch["jaccard"].to_numpy() * 1e6).astype("int64")
+        return out
+
+    return pairs.map_batches(project, batch_format="pandas")
 
 
 def q_simhash(sf_dir: str):
@@ -728,6 +750,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "minhash_near_dups": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(1, len(t) - 2)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.g, b.g))::DOUBLE
+                     / (len(a.g) + len(b.g)
+                        - len(list_intersect(a.g, b.g))) AS j
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM pairs WHERE j >= 0.5
         """,
         "repetition": """
             SELECT doc_id,
