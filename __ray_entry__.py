@@ -83,8 +83,14 @@ def q_dedup_corpus(sf_dir: str):
 
 def q_corpus_prep(sf_dir: str):
     """Second flagship: full training-data prep (exact dedup → MinHash
-    near-dup removal → quality filter → deterministic split).  LSH makes
-    it non-SQL-expressible → rows-only."""
+    near-dup removal → quality filter → deterministic split).
+
+    NOW ORACLED end to end: DuckDB replays every stage — smallest-id-per
+    md5(text) dedup, near-dup victims via exact all-pairs 3-gram Jaccard
+    ≥ 0.8 (the LSH is a candidate *accelerator*; at this corpus's
+    planted similarities its miss probability is ~1e-26, and the seeded
+    pipeline is deterministic), the quality filter's integer/ratio
+    arithmetic, and the doc_id-modulo split."""
     from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
     final, _metrics = prepare_corpus(_sf_documents(sf_dir))
     return final.select_columns(["doc_id", "split"])
@@ -750,6 +756,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "corpus_prep": f"""
+            WITH uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM uniq),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(1, len(t) - 2)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            victims AS (
+              SELECT DISTINCT b.doc_id AS doc_b
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                    / (len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g))) >= 0.8),
+            kept AS (
+              SELECT u.doc_id, u.text FROM uniq u
+              WHERE u.doc_id NOT IN (SELECT doc_b FROM victims)),
+            scored AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+                     greatest(len(regexp_extract_all(lower(text), '[a-z]+')),
+                              1) AS n_letter
+              FROM kept)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END
+                       AS split
+            FROM scored
+            WHERE n_words >= 5 AND n_stop::DOUBLE / n_letter <= 0.9
         """,
         "minhash_near_dups": """
             WITH toks AS (
