@@ -141,6 +141,14 @@ def q_props_stats(sf_dir: str):
     return props_field_stats(events)
 
 
+def q_simhash_md5(sf_dir: str):
+    """SQL-replayable SimHash machinery twin (md5-low-64 token hashes);
+    the production simhash query keeps the faster crc32 family
+    (rows-only)."""
+    from rdfa_streaming_parser_js_ray.stages.dedup import simhash_md5_profile
+    return simhash_md5_profile(_sf_documents(sf_dir))
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-ratio language ID.  The prediction is SQL-expressible
     (deterministic argmax over stopword-hit ratios), so the oracle covers
@@ -642,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -756,6 +765,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "simhash_md5": """
+            WITH tc AS (
+              SELECT doc_id, tok, COUNT(*) AS w FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+                FROM documents) GROUP BY 1, 2),
+            th AS (
+              SELECT doc_id, w,
+                     CAST(((md5_number(tok) % 18446744073709551616)
+                           + 18446744073709551616) % 18446744073709551616
+                          AS UBIGINT) AS h
+              FROM tc),
+            bits AS (
+              SELECT doc_id, i.i AS i,
+                     SUM(w * (2 * CAST((h // CAST(power(2, i.i) AS UBIGINT))
+                                       % 2 AS BIGINT) - 1)) AS acc
+              FROM th CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+              GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                              THEN CAST(power(2, i) AS HUGEINT)
+                              ELSE 0 END) AS simhash_md5
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sh.simhash_md5, 0) AS UBIGINT) AS simhash_md5
+            FROM documents d LEFT JOIN sh USING (doc_id)
         """,
         "corpus_prep": f"""
             WITH uniq AS (

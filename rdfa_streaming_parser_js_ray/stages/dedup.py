@@ -372,6 +372,49 @@ def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
 
 # -------------------------------------------------------------- simhash --
 
+def simhash_md5_profile(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """SQL-replayable SimHash twin: the same frequency-weighted
+    bit-majority kernel as :class:`SimHasher` but with md5-low-64 token
+    hashes (DuckDB's ``md5_number`` is the little-endian digest integer,
+    matching ``int.from_bytes(md5(t).digest(), 'little')``), so an
+    oracle can replay the simhash MACHINERY the way ``winnow_profile``
+    replays the winnowing machinery.  Bit convention: bit i of the
+    result is 1 iff sum over tokens of weight·(2·bit_i(h)−1) > 0.
+    The production :class:`SimHasher` keeps its faster crc32 family.
+    """
+    import hashlib
+    import re as _re
+
+    word = _re.compile(r"\S+")
+    mask = (1 << 64) - 1
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def prof(batch: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(batch), dtype=np.uint64)
+        for i, text in enumerate(batch[text_col]):
+            tokens = word.findall((text or "").lower())
+            if not tokens:
+                continue
+            counts: dict[str, int] = {}
+            for t in tokens:
+                counts[t] = counts.get(t, 0) + 1
+            hashes = np.fromiter(
+                (int.from_bytes(hashlib.md5(t.encode()).digest(),
+                                "little") & mask for t in counts),
+                dtype=np.uint64, count=len(counts))
+            weights = np.fromiter(counts.values(), dtype=np.int64,
+                                  count=len(counts))
+            bits = ((hashes[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+            out[i] = ((acc > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "simhash_md5": out})
+
+    return ds.map_batches(prof, batch_format="pandas")
+
+
 class SimHasher:
     """64-bit SimHash per document (frequency-weighted token hashes)."""
 

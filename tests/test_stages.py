@@ -380,6 +380,25 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_simhash_md5_profile(rd):
+    """SQL-replayable SimHash twin: identical texts collide, near-dup
+    texts are hamming-close, disjoint texts are not; empty text → 0."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.dedup import simhash_md5_profile
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = base + " extra token"
+    other = " ".join(f"zzz{i}" for i in range(120))
+    df = pd.DataFrame({"doc_id": ["a", "b", "n", "o", "e"],
+                       "text": [base, base, near, other, ""]})
+    got = simhash_md5_profile(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("doc_id")["simhash_md5"]
+    assert got["a"] == got["b"]
+    assert got["e"] == 0
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(got["a"], got["n"]) <= 8
+    assert ham(got["a"], got["o"]) >= 16
+
+
 def test_repetition_stats(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.text import repetition_stats
