@@ -776,6 +776,42 @@ def test_kg_broadcast_canonical_overflow_falls_back_to_joined(rd, monkeypatch):
     assert a.equals(b)
 
 
+def test_kg_resume_after_simulated_mid_run_crash(rd, tmp_path):
+    """A run that died mid-write (some partitions + extraction checkpoint
+    on disk, no run manifest) must resume: re-extraction is skipped via
+    the triples_raw manifest, finished partitions are skipped, and the
+    final output equals an uninterrupted run."""
+    import json
+    import os
+    import shutil
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.state import checkpoints
+    docs = rd.from_arrow(synthesize_documents(40, seed=11)).repartition(2)
+    out = str(tmp_path / "kg")
+    full, m1 = construct_kg(docs, out_dir=out, num_partitions=8,
+                            input_fingerprint="fp-A")
+    want = full.to_pandas().sort_values(["subj", "pred", "obj_value"]) \
+               .reset_index(drop=True)
+    # simulate the crash: drop the run manifest and half the partitions
+    os.remove(os.path.join(out, "_RUN.json"))
+    done = sorted(checkpoints.completed_partitions(out))
+    assert len(done) >= 2
+    for k in done[::2]:
+        shutil.rmtree(checkpoints.partition_dir(out, k))
+    survivors = set(done[1::2])
+    resumed, m2 = construct_kg(docs, out_dir=out, num_partitions=8,
+                               input_fingerprint="fp-A")
+    assert not m2.get("fully_resumed")
+    assert m2["extract_resumed"] is True  # re-parse skipped via checkpoint
+    assert set(m2["stages"]) >= {"extract_sec", "write_sec"}
+    got = resumed.to_pandas().sort_values(["subj", "pred", "obj_value"]) \
+                 .reset_index(drop=True)
+    assert want[got.columns].equals(got)
+    run = json.load(open(os.path.join(out, "_RUN.json")))
+    assert set(run["resumed_skipped"]) == survivors
+    assert run["partitions"] == m1["partitions_written"]
+
+
 def test_kg_construct_prunes_stale_partitions(rd, tmp_path):
     """Rerunning with a smaller partition count (or different fingerprint)
     must not leave the earlier run's extra part_key dirs mixed into
