@@ -35,12 +35,13 @@ class LangId:
         self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñäöüß]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: findall per row (C regex loop), then ONE explode +
-        # isin per language over the whole batch instead of a Python
-        # token scan per document
+        # vectorized: lowercase once (C), findall per row (C regex loop),
+        # then ONE explode + isin per language over the whole batch —
+        # no Python token scan per document (the regex class covers both
+        # cases, so lowering first yields identical token boundaries;
+        # this is also exactly the SQL oracle's formulation)
         s = batch[self.text_col].fillna("").reset_index(drop=True)
-        tokens = s.str.findall(self.word).str[:2000] \
-                  .map(lambda ts: [t.lower() for t in ts])
+        tokens = s.str.lower().str.findall(self.word).str[:2000]
         n_tok = tokens.str.len().to_numpy()
         ex = tokens.explode().dropna()
         scores = np.zeros((len(s), len(_STOPWORDS)))
