@@ -26,7 +26,6 @@ from ..state import checkpoints
 
 
 def construct_kg(docs_ds, out_dir: str | None = None, *,
-                 extract_concurrency: int | None = None,
                  actor_concurrency: int = 2,
                  num_partitions: int = 64,
                  input_fingerprint: str = "",
