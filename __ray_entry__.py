@@ -141,6 +141,29 @@ def q_props_stats(sf_dir: str):
     return props_field_stats(events)
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph over the embeddings table (self excluded,
+    rank ties to the smaller dst_id) — the eval-scale exact variant
+    behind dedup-graph / diversity-sampling pipelines."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.ann import knn_graph
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    return knn_graph(emb, k=5, concurrency=2)
+
+
+def q_source_mix(sf_dir: str):
+    """Deterministic weighted source mixing: every third source sampled
+    at 25%, the rest at 75% (pure-integer hash threshold, SQL-exact)."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.text import sample_sources
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    weights = {f"src{i}": (0.25 if i % 3 == 0 else 0.75)
+               for i in range(100)}
+    return sample_sources(docs, weights)
+
+
 def q_simhash_md5(sf_dir: str):
     """SQL-replayable SimHash machinery twin (md5-low-64 token hashes);
     the production simhash query keeps the faster crc32 family
@@ -651,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
+        "knn_graph": q_knn_graph,
+        "source_mix": q_source_mix,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -765,6 +790,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "knn_graph": """
+            WITH scored AS (
+              SELECT q.vec_id AS src_id, e.vec_id AS dst_id,
+                     list_cosine_similarity(e.embedding, q.embedding)
+                         AS score
+              FROM embeddings e CROSS JOIN embeddings q
+              WHERE e.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT src_id, dst_id,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY score DESC, dst_id)
+                         AS rank
+              FROM scored)
+            SELECT src_id, CAST(rank AS BIGINT) AS rank, dst_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "source_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+                  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+                       THEN 2500 ELSE 7500 END
         """,
         "simhash_md5": """
             WITH tc AS (

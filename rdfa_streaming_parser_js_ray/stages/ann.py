@@ -79,6 +79,78 @@ def brute_force_topk(ds, queries_ref, k: int = 10, id_col: str = "vec_id",
     return local.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", concurrency: int = 4):
+    """Exact cosine k-NN graph: every vector's top-k neighbors, self
+    excluded — the eval-scale exact variant behind dedup-graph /
+    diversity-sampling pipelines.
+
+    Shape: the corpus matrix broadcasts ONCE (``ray.put``, fetched per
+    actor) as the query side while the same dataset streams through as
+    the data side; per-batch blocked float64 matmul + local top-k
+    combiner, then a per-query merge.  Right up to ~1M×d query matrices
+    (≈1 GB float32); beyond that the per-batch output (n_vectors × k per
+    block) stops being "small" and the scale path is
+    :func:`lsh_bucketed_topk` / :func:`ivf_topk` over the same column.
+    float64 scoring keeps rank boundaries stable against an
+    oracle computing cosine in double precision.
+    Returns (src_id, rank, dst_id) with exactly k rows per vector.
+    """
+    import ray
+
+    ids_list: list = []
+    mats: list = []
+    for batch in ds.iter_batches(batch_format="pandas"):
+        ids_list.append(np.asarray(batch[id_col], dtype=np.int64))
+        mats.append(_to_matrix(batch[vec_col]).astype(np.float64))
+    all_ids = np.concatenate(ids_list)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    qmat = np.concatenate(mats)[order]
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                             1e-30)
+    q_ref = ray.put((all_ids, qmat))
+
+    class GraphScorer:
+        def __init__(self, q_ref, k):
+            self.qids, self.qnorm = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _to_matrix(batch[vec_col]).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            scores = mat @ self.qnorm.T              # (rows, n_vectors)
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            scores[ids[:, None] == self.qids[None, :]] = -np.inf  # no self
+            out = {"src_id": [], "dst_id": [], "score": []}
+            k = min(self.k, scores.shape[0])
+            for q in range(scores.shape[1]):
+                col = scores[:, q]
+                top = np.argpartition(-col, k - 1)[:k] \
+                    if k < len(ids) else np.arange(len(ids))
+                for i in top:
+                    if np.isinf(col[i]):
+                        continue
+                    out["src_id"].append(self.qids[q])
+                    out["dst_id"].append(ids[i])
+                    out["score"].append(float(col[i]))
+            return pd.DataFrame(out)
+
+    local = ds.map_batches(
+        GraphScorer, fn_constructor_kwargs=dict(q_ref=q_ref, k=k),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "dst_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["src_id", "rank", "dst_id"]]
+
+    return local.groupby("src_id").map_groups(merge, batch_format="pandas")
+
+
 class LshBucketer:
     """Random-hyperplane LSH: n_bits sign bits → bucket id per vector.
 

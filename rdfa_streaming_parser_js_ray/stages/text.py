@@ -194,6 +194,39 @@ def source_summary(ds, source_col: str = "source", lang_col: str = "lang",
              .groupby("source").map_groups(fold, batch_format="pandas")
 
 
+_MIX_PRIME = 2654435761          # Knuth multiplicative hash constant
+_MIX_MOD = 1 << 32
+_MIX_BUCKETS = 10_000
+
+
+def sample_sources(ds, weights: dict[str, float], default: float = 1.0,
+                   id_col: str = "doc_id", source_col: str = "source"):
+    """Deterministic weighted source mixing — the data-mixing step of a
+    training pipeline (keep fraction w_s of each source, stable across
+    reruns/retries, no RNG state).
+
+    A row survives iff ``(id·K mod 2³²) mod 10000 < w·10000`` with
+    Knuth's multiplicative constant K — shuffle-free, vectorized, and
+    exactly replayable in SQL (pure int64 arithmetic, no float hazard).
+    Integer ids only (string ids would need a portable string hash; use
+    a precomputed int key column for those).
+    """
+    items = sorted(weights.items())
+    w_keys = np.array([k for k, _ in items], dtype=object)
+    w_vals = np.array([int(v * _MIX_BUCKETS) for _, v in items],
+                      dtype=np.int64)
+    default_i = int(default * _MIX_BUCKETS)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        bucket = (ids * _MIX_PRIME % _MIX_MOD) % _MIX_BUCKETS
+        idx = pd.Index(w_keys).get_indexer(batch[source_col].to_numpy())
+        thresh = np.where(idx >= 0, w_vals[np.maximum(idx, 0)], default_i)
+        return batch[bucket < thresh]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
                    window: int = 8):
     """SQL-oracleable winnowing profile: md5 over word 4-grams, sliding

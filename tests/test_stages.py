@@ -380,6 +380,48 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_knn_graph(rd):
+    """Exact k-NN graph: self excluded, planted nearest pair mutual,
+    exactly k rows per vector, deterministic tie-break."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.ann import knn_graph
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype("float32")
+    vecs[7] = vecs[21] * 1.5  # planted: 7 and 21 colinear → cosine 1
+    df = pd.DataFrame({"vec_id": np.arange(30),
+                       "embedding": list(map(list, vecs))})
+    got = knn_graph(rd.from_pandas(df).repartition(3), k=4).to_pandas()
+    assert len(got) == 30 * 4
+    assert (got["src_id"] != got["dst_id"]).all()
+    by_src = got.sort_values(["src_id", "rank"]).groupby("src_id")
+    assert by_src["rank"].apply(lambda r: list(r) == [1, 2, 3, 4]).all()
+    top = got[got["rank"] == 1].set_index("src_id")["dst_id"]
+    assert top[7] == 21 and top[21] == 7  # the colinear pair is mutual #1
+
+
+def test_sample_sources(rd):
+    """Weighted mixing: deterministic across reruns/layouts, weight 0
+    drops everything, weight 1 keeps everything, fractions roughly hold."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import sample_sources
+    df = pd.DataFrame({"doc_id": np.arange(4000),
+                       "source": ["a", "b", "c", "d"] * 1000})
+    w = {"a": 0.0, "b": 1.0, "c": 0.25}
+    got = sample_sources(rd.from_pandas(df).repartition(4), w,
+                         default=0.75).to_pandas()
+    per = got.groupby("source").size()
+    assert "a" not in per.index
+    assert per["b"] == 1000
+    assert 150 < per["c"] < 350
+    assert 650 < per["d"] < 850  # default weight applies to unknown source
+    got2 = sample_sources(rd.from_pandas(df).repartition(7), w,
+                          default=0.75).to_pandas()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))
+    assert key(got) == key(got2)
+
+
 def test_simhash_md5_profile(rd):
     """SQL-replayable SimHash twin: identical texts collide, near-dup
     texts are hamming-close, disjoint texts are not; empty text → 0."""
