@@ -1054,6 +1054,90 @@ case("svg tag names are case-sensitive (rdfa1.0 svg)", "xml",
      label="rdfa1.0")
 
 
+# ------------------------------------------------------------ role cases --
+# The reference also runs the rdfa1.1-role manifests (spec-role-html5 /
+# -xhtml5 / -xhtml1 / -xml in /root/reference/package.json): the W3C
+# role-attribute spec used with RDFa (reference lib/RdfaParser.ts:252-268
+# — subject = #id IRI or fresh bnode, predicate xhv:role, values resolved
+# with the vocabulary temporarily forced to the XHTML vocab).
+
+case("role with id subject (role html5)", "html",
+     '<html><body><div id="b1" role="button">x</div></body></html>',
+     [[B + "#b1", XHV + "role", XHV + "button"]],
+     label="role")
+
+case("role without id types a fresh bnode (role html5)", "html",
+     '<html><body><div role="navigation">x</div></body></html>',
+     [["_:b0", XHV + "role", XHV + "navigation"]],
+     label="role")
+
+case("multiple role values (role html5)", "html",
+     '<html><body><div id="m" role="button main">x</div></body></html>',
+     [[B + "#m", XHV + "role", XHV + "button"],
+      [B + "#m", XHV + "role", XHV + "main"]],
+     label="role")
+
+case("CURIE role value uses the declared prefix (role html5)", "html",
+     f'<html><body prefix="ex: {EX}">'
+     '<div id="c" role="ex:widget">x</div></body></html>',
+     [[B + "#c", XHV + "role", EX + "widget"]],
+     label="role")
+
+case("absolute IRI role value (role html5)", "html",
+     '<html><body><div id="d" role="http://ex.org/abs">x</div>'
+     '</body></html>',
+     [[B + "#d", XHV + "role", "http://ex.org/abs"]],
+     label="role")
+
+case("empty role emits nothing (role html5)", "html",
+     '<html><body><div id="e" role="">x</div></body></html>',
+     [],
+     label="role")
+
+case("role subject is independent of about (role html5)", "html",
+     '<html><body><div about="#x" id="y" role="button">'
+     '<span property="http://p/t">v</span></div></body></html>',
+     [[B + "#y", XHV + "role", XHV + "button"],
+      [B + "#x", "http://p/t", '"v"']],
+     label="role")
+
+case("role alongside property on the same element (role html5)", "html",
+     f'<html><body xmlns:dc="{DC11}">'
+     '<div id="r" role="note" property="dc:title">T</div></body></html>',
+     [[B + "#r", XHV + "role", XHV + "note"],
+      [B, DC11 + "title", '"T"']],
+     label="role")
+
+case("role with xmlns-declared CURIE (role xhtml5)", "xhtml",
+     f'<html xmlns="{XHTML_NS}" xmlns:ex="{EX}"><body>'
+     '<div id="w" role="ex:pane">x</div></body></html>',
+     [[B + "#w", XHV + "role", EX + "pane"]],
+     label="role")
+
+case("role under the xhtml1 doctype (role xhtml1)", "xhtml",
+     X1DOC + f'<html xmlns="{XHTML_NS}"><body>'
+     '<span id="s" role="search">x</span></body></html>',
+     [[B + "#s", XHV + "role", XHV + "search"]],
+     label="role")
+
+case("role in svg (role xml)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<g id="g1" role="button">x</g></svg>',
+     [[B + "#g1", XHV + "role", XHV + "button"]],
+     label="role")
+
+case("role feature disabled emits nothing (role html5)", "html",
+     '<html><body><div id="b" role="button">x</div></body></html>',
+     [],
+     label="role",
+     features={"baseTag": True, "langAttribute": True,
+               "onlyAllowUriRelRevIfProperty": True,
+               "inheritSubjectInHeadBody": True,
+               "datetimeAttribute": True, "timeTag": True,
+               "htmlDatatype": True, "copyRdfaPatterns": True,
+               "xmlnsPrefixMappings": True})
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
