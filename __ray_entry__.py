@@ -164,6 +164,38 @@ def q_source_mix(sf_dir: str):
     return sample_sources(docs, weights)
 
 
+def q_pagerank(sf_dir: str):
+    """Integer-exact distributed PageRank (3 iterations) over the
+    customer→supplier purchase graph (orders ⋈ lineitem).  Fixed-point
+    int64 arithmetic makes the result bit-identical across block
+    layouts, retries, and the SQL oracle replaying the same unrolled
+    iterations — float PageRank could never be value-hashed across
+    engines."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.graph import pagerank_int
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: b.rename(columns={"l_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    joined = hash_join(orders, lineitem, on="orderkey")
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "c" + batch["o_custkey"].astype(str),
+            "dst": "s" + batch["l_suppkey"].astype(str)})
+
+    edges = joined.map_batches(to_edges, batch_format="pandas")
+    # oracle-scale bucket count: results are bucketing-invariant and the
+    # per-iteration fixed cost of 64-way exchanges dominates at sf0.01
+    return pagerank_int(edges, iterations=3, num_buckets=8)
+
+
 def q_simhash_md5(sf_dir: str):
     """SQL-replayable SimHash machinery twin (md5-low-64 token hashes);
     the production simhash query keeps the faster crc32 family
@@ -675,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
+        "pagerank": q_pagerank,
         "source_mix": q_source_mix,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -790,6 +823,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "pagerank": """
+            WITH edges AS (
+              SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges)),
+            deg AS (SELECT src AS node, COUNT(*) AS d
+                    FROM edges GROUP BY 1),
+            params AS (
+              SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS init,
+                     CAST(15 * (1000000000 // COUNT(*)) // 100 AS BIGINT)
+                         AS base
+              FROM nodes),
+            r0 AS (SELECT node, (SELECT init FROM params) AS rank
+                   FROM nodes),
+            c1 AS (
+              SELECT r0.node, r0.rank // d AS c
+              FROM r0 JOIN deg USING (node)),
+            s1 AS (
+              SELECT e.dst AS node, SUM(c) AS s
+              FROM edges e JOIN c1 ON e.src = c1.node GROUP BY 1),
+            r1 AS (
+              SELECT n.node,
+                     (SELECT base FROM params)
+                     + 85 * COALESCE(s, 0) // 100 AS rank
+              FROM nodes n LEFT JOIN s1 USING (node)),
+            c2 AS (
+              SELECT r1.node, r1.rank // d AS c
+              FROM r1 JOIN deg USING (node)),
+            s2 AS (
+              SELECT e.dst AS node, SUM(c) AS s
+              FROM edges e JOIN c2 ON e.src = c2.node GROUP BY 1),
+            r2 AS (
+              SELECT n.node,
+                     (SELECT base FROM params)
+                     + 85 * COALESCE(s, 0) // 100 AS rank
+              FROM nodes n LEFT JOIN s2 USING (node)),
+            c3 AS (
+              SELECT r2.node, r2.rank // d AS c
+              FROM r2 JOIN deg USING (node)),
+            s3 AS (
+              SELECT e.dst AS node, SUM(c) AS s
+              FROM edges e JOIN c3 ON e.src = c3.node GROUP BY 1),
+            r3 AS (
+              SELECT n.node,
+                     (SELECT base FROM params)
+                     + 85 * COALESCE(s, 0) // 100 AS rank
+              FROM nodes n LEFT JOIN s3 USING (node))
+            SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
         """,
         "knn_graph": """
             WITH scored AS (

@@ -1,0 +1,122 @@
+"""Iterative graph analytics over edge tables (KG follow-on stages).
+
+Same execution shape as the hash-to-min closure in ``canonicalize``:
+per-iteration bounded grouped exchanges over Datasets, node-table block
+counts coalesced every round (a groupby's output block count follows its
+input's — letting the union → groupby cycle double blocks per round is
+the measured runaway the closure fixed), nothing graph-sized on the
+driver.
+
+``pagerank_int`` computes PageRank in FIXED-POINT INTEGER arithmetic:
+every rank is an int64 in ``scale`` units, contributions use floor
+division, and sums are exact regardless of reduction order — so the
+result is bit-identical across block layouts, retries, AND a SQL oracle
+replaying the same iterations (float PageRank cannot be value-hashed
+across engines; summation order perturbs the last bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
+                 scale: int = 10**9, src_col: str = "src",
+                 dst_col: str = "dst", num_buckets: int | None = None):
+    """Integer-exact PageRank over an edge Dataset (multi-edges count).
+
+    rank⁰(v) = scale // n_nodes for every node; each iteration:
+
+        contrib(u)   = rank(u) // out_deg(u)          (per node, floor)
+        in_sum(v)    = Σ contrib(u) over edges u→v    (exact int sum)
+        rank'(v)     = base + damping_pct·in_sum(v) // 100
+        base         = (100 − damping_pct)·(scale // n_nodes) // 100
+
+    Dangling-node mass leaks (the standard simplified formulation — the
+    oracle replays the same choice).  Returns (node, rank) with rank in
+    ``scale`` units.  Exchanges per iteration: one hash join (edges ⋈
+    contribs on src) + one grouped Sum + one small left join back onto
+    the node table — all bucket-bounded; the node table is coalesced to
+    ``num_buckets`` blocks each round.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import auto_buckets, hash_join
+
+    edges = edges_ds.materialize()
+    if num_buckets is None:
+        num_buckets = auto_buckets(edges, rows_per_bucket=131_072,
+                                   fallback=64)
+
+    def srcs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": batch[src_col].drop_duplicates()})
+
+    def dsts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": batch[dst_col].drop_duplicates()})
+
+    nodes = edges.map_batches(srcs, batch_format="pandas") \
+        .union(edges.map_batches(dsts, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_items([])
+
+    out_deg = edges.map_batches(
+        lambda b: b.groupby(src_col, as_index=False)
+                   .size().rename(columns={src_col: "node",
+                                           "size": "_d"}),
+        batch_format="pandas") \
+        .groupby("node").aggregate(Sum("_d", alias_name="out_deg"))
+
+    init = scale // n_nodes
+    base = (100 - damping_pct) * init // 100
+
+    def seed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": batch["node"],
+                             "rank": np.int64(init)})
+
+    # out_deg rides along on the rank table (joined ONCE) so each
+    # iteration's contribution step is map-only — two exchanges per
+    # iteration instead of three
+    rank = hash_join(nodes.map_batches(seed, batch_format="pandas"),
+                     out_deg, on="node", how="left",
+                     num_buckets=num_buckets) \
+        .repartition(num_buckets).materialize()
+
+    for _ in range(iterations):
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["out_deg"].notna()]
+            return pd.DataFrame({
+                src_col: b["node"].to_numpy(),
+                "_c": b["rank"].to_numpy(dtype=np.int64)
+                      // b["out_deg"].to_numpy(dtype=np.int64)})
+
+        per_edge = hash_join(
+            edges, rank.map_batches(contrib, batch_format="pandas"),
+            on=src_col, num_buckets=num_buckets)
+        in_sums = per_edge.map_batches(
+            lambda b: b.groupby(dst_col, as_index=False)["_c"].sum()
+                       .rename(columns={dst_col: "node", "_c": "_s"}),
+            batch_format="pandas") \
+            .groupby("node").aggregate(Sum("_s", alias_name="in_sum"))
+
+        joined = hash_join(rank, in_sums, on="node", how="left",
+                           num_buckets=num_buckets)
+
+        def fold(batch: pd.DataFrame) -> pd.DataFrame:
+            s = pd.to_numeric(batch["in_sum"], errors="coerce") \
+                .fillna(0).astype(np.int64)
+            return pd.DataFrame({
+                "node": batch["node"].to_numpy(),
+                "rank": np.int64(base)
+                        + np.int64(damping_pct) * s.to_numpy() // 100,
+                "out_deg": batch["out_deg"].to_numpy()})
+
+        rank = joined.map_batches(fold, batch_format="pandas") \
+            .repartition(num_buckets).materialize()
+
+    return rank.map_batches(lambda b: b[["node", "rank"]],
+                            batch_format="pandas")

@@ -380,6 +380,30 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_pagerank_int(rd):
+    """Integer-exact PageRank: a star hub out-ranks its spokes, total
+    rank is conserved up to floor-division dust, and the result is
+    bit-identical across block layouts (the oracle-compatibility
+    property floats cannot give)."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.graph import pagerank_int
+    spokes = [f"s{i}" for i in range(10)]
+    edges = pd.DataFrame({"src": spokes + ["hub"] * 10,
+                          "dst": ["hub"] * 10 + spokes})
+    got = pagerank_int(rd.from_pandas(edges).repartition(2),
+                       iterations=3, num_buckets=4).to_pandas() \
+        .set_index("node")["rank"]
+    assert len(got) == 11
+    assert got["hub"] > got["s3"] * 3  # the hub concentrates rank
+    assert (got[spokes] == got["s0"]).all()  # spokes symmetric
+    total = int(got.sum())
+    assert 0.9e9 < total <= 1e9  # conservation minus floor dust
+    got2 = pagerank_int(rd.from_pandas(edges).repartition(5),
+                        iterations=3, num_buckets=8).to_pandas() \
+        .set_index("node")["rank"]
+    assert got.sort_index().equals(got2.sort_index())
+
+
 def test_knn_graph(rd):
     """Exact k-NN graph: self excluded, planted nearest pair mutual,
     exactly k rows per vector, deterministic tie-break."""
