@@ -21,6 +21,62 @@ import numpy as np
 import pandas as pd
 
 
+def connected_components(edges_ds, src_col: str = "src",
+                         dst_col: str = "dst",
+                         num_buckets: int | None = None,
+                         max_rounds: int = 32):
+    """Min-label connected components over a generic edge Dataset —
+    the public face of the hash-to-min machinery the KG pipeline uses
+    for entity-identity closure (O(log diameter) rounds, two bounded
+    exchanges per round, nothing graph-sized on the driver).
+
+    Returns (node, component) for EVERY node appearing in the edge
+    list, component = the lexicographically-smallest member (roots map
+    to themselves).
+    """
+    from .canonicalize import transitive_closure_joined
+    from .joins import hash_join
+
+    def to_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"subj": batch[src_col].to_numpy(),
+                             "entity": batch[dst_col].to_numpy()})
+
+    pairs = edges_ds.map_batches(to_pairs, batch_format="pandas") \
+        .materialize()
+    mapping = transitive_closure_joined(pairs, num_buckets=num_buckets,
+                                        max_rounds=max_rounds)
+
+    from ray.data.aggregate import Count
+
+    nodes = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "node": pd.concat([b["subj"], b["entity"]],
+                              ignore_index=True).drop_duplicates()}),
+        batch_format="pandas") \
+        .groupby("node").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    if mapping.count() == 0:
+        return nodes.map_batches(
+            lambda b: b.assign(component=b["node"]),
+            batch_format="pandas")
+
+    joined = hash_join(
+        nodes,
+        mapping.map_batches(
+            lambda b: b.rename(columns={"term": "node",
+                                        "canonical": "component"}),
+            batch_format="pandas"),
+        on="node", how="left", num_buckets=num_buckets)
+
+    def coalesce(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch["component"].notna()
+        batch.loc[~hit, "component"] = batch.loc[~hit, "node"]
+        return batch[["node", "component"]]
+
+    return joined.map_batches(coalesce, batch_format="pandas")
+
+
 def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
                  scale: int = 10**9, src_col: str = "src",
                  dst_col: str = "dst", num_buckets: int | None = None):

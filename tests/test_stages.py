@@ -380,6 +380,39 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_connected_components(rd):
+    """Generic CC matches a reference union-find on a random graph, and
+    every node (incl. roots) gets a component row."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.graph import connected_components
+    rng = np.random.RandomState(5)
+    n = 200
+    src = rng.randint(0, n, 260)
+    dst = rng.randint(0, n, 260)
+    edges = pd.DataFrame({"src": [f"n{int(a):03d}" for a in src],
+                          "dst": [f"n{int(b):03d}" for b in dst]})
+    got = connected_components(rd.from_pandas(edges).repartition(3),
+                               num_buckets=8).to_pandas()
+    # reference union-find
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for a, b in zip(edges["src"], edges["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = set(edges["src"]) | set(edges["dst"])
+    want = {x: find(x) for x in nodes}
+    assert dict(zip(got["node"], got["component"])) == want
+    assert len(got) == len(nodes)
+
+
 def test_pagerank_int(rd):
     """Integer-exact PageRank: a star hub out-ranks its spokes, total
     rank is conserved up to floor-division dust, and the result is
