@@ -363,6 +363,168 @@ def q_sessionize(sf_dir: str):
     return out.map_batches(to_ints, batch_format="pandas")
 
 
+def q_sliding_window(sf_dir: str):
+    """Hopping windows (3h windows advancing hourly) over the events
+    stream — each event lands in exactly 3 windows via a vectorized
+    k-way explode in the combiner; ONE grouped exchange over partials."""
+    import ray.data as rd
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.windows import sliding_window_agg
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+    out = sliding_window_agg(events, size="3h", hop="1h")
+
+    def to_ints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "window_start_s": (batch["window_start"].astype("datetime64[ns]")
+                               .astype("int64") // 10**9),
+            "n_events": batch["n_events"].astype("int64"),
+            "sum_value_cents": (batch["sum_value"] * 100).round()
+                               .astype("int64"),
+        })
+    return out.map_batches(to_ints, batch_format="pandas")
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join: each event gets the user's latest order at-or-before
+    the event timestamp (DuckDB ASOF LEFT JOIN against a pre-reduced
+    right side is the oracle).  Determinism under orderdate ties comes
+    from the operator's ``tiebreak`` (max orderkey wins) — no extra
+    pre-reduction exchange on the Ray side."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(lambda b: b.rename(columns={"o_custkey": "user_id"}),
+                     batch_format="pandas")
+    # oracle-scale bucket count (results are bucketing-invariant; the
+    # fixed cost of a 64-way exchange dominates at sf0.01)
+    out = asof_join(events, orders, on="user_id", left_ts="ts",
+                    right_ts="o_orderdate", tiebreak="o_orderkey",
+                    num_buckets=8)
+
+    def to_ints(batch: pd.DataFrame) -> pd.DataFrame:
+        key = pd.to_numeric(batch["o_orderkey"], errors="coerce")
+        date = pd.to_datetime(batch["o_orderdate"], errors="coerce")
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            "ts_s": batch["ts"].astype("datetime64[ns]").astype("int64")
+                    // 10**9,
+            "last_orderkey": key.fillna(-1).astype("int64"),
+            "last_orderdate_s": (date.astype("datetime64[ns]")
+                                 .astype("int64") // 10**9)
+                                .where(date.notna(), 0).astype("int64"),
+        })
+    return out.map_batches(to_ints, batch_format="pandas")
+
+
+def q_shipments_in_window(sf_dir: str):
+    """Range join: every lineitem whose ship date falls inside the 90
+    days following its order's date — key-equality bucketing + vectorized
+    per-bucket interval mask (stages/joins.range_join)."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import range_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_shipdate"])
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.rename(columns={"o_orderkey": "l_orderkey",
+                                      "o_orderdate": "lo"})
+        batch["hi"] = batch["lo"] + pd.Timedelta(days=90)
+        return batch
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(widen, batch_format="pandas")
+    out = range_join(li, orders, on="l_orderkey", ts_col="l_shipdate",
+                     lo_col="lo", hi_col="hi")
+
+    def to_ints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].astype("int64"),
+            "l_linenumber": batch["l_linenumber"].astype("int64"),
+            "ship_s": batch["l_shipdate"].astype("datetime64[ns]")
+                      .astype("int64") // 10**9,
+            "order_date_s": batch["lo"].astype("datetime64[ns]")
+                            .astype("int64") // 10**9,
+        })
+    return out.map_batches(to_ints, batch_format="pandas")
+
+
+def q_part_triangles(sf_dir: str):
+    """Triangle count of the part co-occurrence graph (parts sharing an
+    order are connected; capped at the first two lineitems per order so
+    the demo graph stays sparse — the operator itself has no cap).  Pair
+    expansion is a per-order self-join (order groups are small); counting
+    is the two-bounded-join wedge closure in
+    stages/graph.triangle_count."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.graph import triangle_count
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_linenumber"]) \
+        .map_batches(lambda b: b[b["l_linenumber"] <= 2]
+                     [["l_orderkey", "l_partkey"]],
+                     batch_format="pandas")
+    pairs = hash_join(
+        li, li.map_batches(lambda b: b.rename(columns={"l_partkey": "p2"}),
+                           batch_format="pandas"),
+        on="l_orderkey", num_buckets=8)
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["l_partkey"].astype("int64"),
+                             "dst": batch["p2"].astype("int64")})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    # oracle-scale bucket count; see q_pagerank
+    return triangle_count(edges, num_buckets=8)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact discrete token-count quantiles per language via the
+    shuffled-histogram operator (one grouped exchange carrying one row
+    per (lang, distinct count) — never a sort of the data)."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.stats import grouped_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"],
+            "n_tokens": batch["text"].fillna("").str.count(r"\S+")
+                        .astype("int64")})
+
+    return grouped_quantiles(docs.map_batches(tokens, batch_format="pandas"),
+                             "lang", "n_tokens")
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Top-3 documents per language by length (bounded top-k combiner —
+    the exchange moves ≤ k rows per key per block)."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.stats import topk_per_group
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return topk_per_group(docs, "lang", "n_chars", k=3,
+                          tiebreak_col="doc_id")
+
+
 def q_join_broadcast(sf_dir: str):
     """Broadcast join (orders x customer small side) + pre-aggregated
     rollup per market segment (SURVEY.md SS2.5 broadcast-small-side join)."""
@@ -713,7 +875,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "window_agg": q_window_agg,
+        "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
+        "asof_orders": q_asof_orders,
+        "shipments_in_window": q_shipments_in_window,
+        "part_triangles": q_part_triangles,
+        "token_quantiles": q_token_quantiles,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "join_broadcast": q_join_broadcast,
         "join_hash": q_join_hash,
         "top_docs_by_tokens": q_top_docs_by_tokens,
@@ -1038,6 +1206,69 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            SELECT event_type,
+                   ((epoch_us(ts) // 3600000000) - i) * 3600 AS window_start_s,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+            FROM events CROSS JOIN (SELECT unnest(range(3)) AS i)
+            GROUP BY 1, 2
+        """,
+        "asof_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   epoch_us(e.ts) // 1000000 AS ts_s,
+                   COALESCE(o.o_orderkey, -1) AS last_orderkey,
+                   CAST(COALESCE(epoch(o.o_orderdate), 0) AS BIGINT)
+                     AS last_orderdate_s
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        """,
+        "shipments_in_window": """
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)
+                     AS l_linenumber,
+                   CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_s,
+                   CAST(epoch(o.o_orderdate) AS BIGINT) AS order_date_s
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate BETWEEN o.o_orderdate
+                                  AND o.o_orderdate + INTERVAL 90 DAY
+        """,
+        "part_triangles": """
+            WITH pairs AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                              greatest(a.l_partkey, b.l_partkey) AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              WHERE a.l_linenumber <= 2 AND b.l_linenumber <= 2)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "token_quantiles": """
+            WITH t AS (
+              SELECT lang,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS v
+              FROM documents)
+            SELECT lang, COUNT(*) AS n,
+                   quantile_disc(v, 0.25) AS q25,
+                   quantile_disc(v, 0.5) AS q50,
+                   quantile_disc(v, 0.75) AS q75
+            FROM t GROUP BY 1
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 3
         """,
         "sessionize": """
             WITH o AS (

@@ -77,6 +77,90 @@ def connected_components(edges_ds, src_col: str = "src",
     return joined.map_batches(coalesce, batch_format="pandas")
 
 
+def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                   num_buckets: int | None = None):
+    """Count triangles of the UNDIRECTED simple graph induced by an edge
+    Dataset (direction and multiplicity ignored; self-loops dropped).
+
+    Classic two-join formulation, each join a single bounded exchange:
+
+    1. canonicalize every edge to (a, b) with a < b and deduplicate —
+       one grouped exchange over the distinct edge set;
+    2. wedges: E(a, b) ⋈ E(b, c) on the shared middle vertex — because
+       both edges are low<high oriented, every wedge satisfies a < b < c,
+       so each triangle {x < y < z} is generated exactly once (as the
+       wedge through its middle vertex);
+    3. close: wedge (a, c) ⋈ E on the composite endpoint key.
+
+    Returns a one-row Dataset ``{n_triangles}``.  Skew note: wedge count
+    at a vertex is deg⁺·deg⁻ of its orientation — the low<high
+    orientation already caps the worst case far below deg² for hub
+    vertices whose id sorts low; for power-law graphs at real scale,
+    orient by (degree, id) instead (one extra degree exchange) before
+    step 2.
+    """
+    from .joins import auto_buckets, hash_join
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(edges_ds, rows_per_bucket=131_072,
+                                   fallback=64)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[src_col].to_numpy()
+        d = batch[dst_col].to_numpy()
+        if s.dtype.kind not in "iu" or d.dtype.kind not in "iu":
+            s, d = s.astype(str), d.astype(str)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        swap = s > d
+        lo = np.where(swap, d, s)
+        hi = np.where(swap, s, d)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    wedges = hash_join(
+        edges.map_batches(lambda b: b.rename(columns={"a": "wa", "b": "mid"}),
+                          batch_format="pandas"),
+        edges.map_batches(lambda b: b.rename(columns={"a": "mid", "b": "wc"}),
+                          batch_format="pandas"),
+        on="mid", num_buckets=num_buckets)
+
+    # composite (endpoint, endpoint) join key: exact int64 packing when
+    # node ids are non-negative ints < 2^31 (the wedge table is the big
+    # side — packing beats string concat ~10×); injective, so no
+    # collision risk.  String ids fall back to a separator concat.
+    def pair_key(x: pd.Series, y: pd.Series) -> pd.Series:
+        xv, yv = x.to_numpy(), y.to_numpy()
+        if xv.dtype.kind in "iu" and yv.dtype.kind in "iu":
+            xv = xv.astype(np.int64)
+            yv = yv.astype(np.int64)
+            if xv.size and (xv.min() < 0 or xv.max() >= 2**31
+                            or yv.min() < 0 or yv.max() >= 2**31):
+                raise ValueError("int node ids must be in [0, 2^31)")
+            return pd.Series((xv << np.int64(31)) | yv)
+        return pd.Series(xv.astype(str)) + "\x1f" + pd.Series(yv.astype(str))
+
+    def wedge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_ac": pair_key(batch["wa"], batch["wc"])})
+
+    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_ac": pair_key(batch["a"], batch["b"]),
+                             "_e": np.int8(1)})
+
+    closed = hash_join(wedges.map_batches(wedge_key, batch_format="pandas"),
+                       edges.map_batches(edge_key, batch_format="pandas"),
+                       on="_ac", num_buckets=num_buckets)
+    n = closed.count()
+
+    import ray.data as rd
+    return rd.from_items([{"n_triangles": int(n)}])
+
+
 def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
                  scale: int = 10**9, src_col: str = "src",
                  dst_col: str = "dst", num_buckets: int | None = None):

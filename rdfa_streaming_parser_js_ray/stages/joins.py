@@ -177,6 +177,137 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
+              direction: str = "backward", tiebreak: str | None = None,
+              num_buckets: int | None = None):
+    """Partitioned as-of join: for each left row, attach the single right
+    row with the same key whose ``right_ts`` is the latest at-or-before
+    ``left_ts`` (``direction="backward"``; "forward" = earliest
+    at-or-after).  Ray Data has no native temporal join; this is the
+    composition the guide prescribes — hash-bucket both sides on the key
+    (one all-to-all exchange), then a vectorized per-bucket
+    ``pandas.merge_asof``.
+
+    Left rows with no qualifying right row keep NA right columns (i.e.
+    a LEFT as-of join, matching DuckDB's ``ASOF LEFT JOIN``).  When
+    several right rows share the qualifying timestamp, the pick is the
+    one greatest by ``tiebreak`` (a right column) — pass it to make the
+    result deterministic without pre-reducing the right side; left
+    unset, the pick is whichever duplicate sorts last in the bucket.
+    Partitioning assumption: all rows of one key land in one bucket
+    (hash of the key guarantees it); per-bucket memory is
+    |left_bucket| + |right_bucket| — ``num_buckets`` is the salt knob.
+    ``left_ts`` and ``right_ts`` must be distinct names of comparable
+    dtype (both timestamps or both numerics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    if num_buckets is None:
+        num_buckets = auto_buckets(left_ds, right_ds,
+                                   rows_per_bucket=131_072, fallback=64)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    rename = {c: c + "_r" for c in right_cols
+              if c not in (on, right_ts) and c in left_cols}
+    right_out = [rename.get(c, c) for c in right_cols]
+    all_cols = left_cols + [c for c in right_out if c not in left_cols]
+
+    def align(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r":
+                batch = batch.rename(columns=rename)
+            bucket = _bucket_of(batch[on], num_buckets)
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = pd.NA
+            batch["_bucket"] = bucket
+            batch["_side"] = side
+            return batch[all_cols + ["_bucket", "_side"]]
+        return f
+
+    both = left_ds.map_batches(align("l"), batch_format="pandas") \
+        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+    out_cols = left_cols + [c for c in right_out if c != on]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["_side"] == "l", left_cols] \
+            .infer_objects().sort_values(left_ts, kind="mergesort")
+        rsort = [right_ts] if tiebreak is None \
+            else [right_ts, rename.get(tiebreak, tiebreak)]
+        right = group.loc[group["_side"] == "r",
+                          [c for c in right_out if c != on] + [on]] \
+            .infer_objects().sort_values(rsort, kind="mergesort")
+        if not len(left):
+            return pd.DataFrame(columns=out_cols)
+        # a bucket whose right side is empty (or all-NA padded) leaves the
+        # ts / key columns object-typed; merge_asof requires exact dtype
+        # agreement between the two sides
+        for col, ref in ((right_ts, left_ts), (on, on)):
+            if right[col].dtype != left[ref].dtype:
+                right[col] = right[col].astype(left[ref].dtype)
+        merged = pd.merge_asof(left, right, left_on=left_ts,
+                               right_on=right_ts, by=on,
+                               direction=direction)
+        return merged[out_cols]
+
+    return both.groupby("_bucket").map_groups(merge_bucket,
+                                              batch_format="pandas")
+
+
+def range_join(left_ds, right_ds, on: str, ts_col: str, lo_col: str,
+               hi_col: str, num_buckets: int | None = None):
+    """Key-equality + interval-containment join: every (left, right) pair
+    with the same key and ``right.lo <= left.ts <= right.hi``.
+
+    Same single-exchange bucketed shape as :func:`hash_join`; per bucket
+    the key-equality merge runs vectorized and the interval predicate is
+    one boolean mask.  Output size is bounded by the per-key match
+    product, NOT the bucket product — the merge only pairs rows sharing a
+    key.  For band predicates without a key, derive a coarse bucket from
+    the interval (e.g. ``floor(lo / band)``) and pass it as ``on``.
+    """
+    if num_buckets is None:
+        num_buckets = auto_buckets(left_ds, right_ds,
+                                   rows_per_bucket=131_072, fallback=64)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    rename = {c: c + "_r" for c in right_cols if c != on and c in left_cols}
+    right_out = [rename.get(c, c) for c in right_cols]
+    lo = rename.get(lo_col, lo_col)
+    hi = rename.get(hi_col, hi_col)
+    all_cols = left_cols + [c for c in right_out if c not in left_cols]
+
+    def align(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == "r":
+                batch = batch.rename(columns=rename)
+            bucket = _bucket_of(batch[on], num_buckets)
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = pd.NA
+            batch["_bucket"] = bucket
+            batch["_side"] = side
+            return batch[all_cols + ["_bucket", "_side"]]
+        return f
+
+    both = left_ds.map_batches(align("l"), batch_format="pandas") \
+        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["_side"] == "l", left_cols].infer_objects()
+        right = group.loc[group["_side"] == "r", right_out].infer_objects()
+        merged = left.merge(right, on=on, how="inner")
+        mask = (merged[ts_col] >= merged[lo]) & (merged[ts_col] <= merged[hi])
+        return merged[mask]
+
+    return both.groupby("_bucket").map_groups(merge_bucket,
+                                              batch_format="pandas")
+
+
 def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
               num_buckets: int | None = None):
     """left rows with NO key match in right — partitioned hash anti-join.

@@ -1,0 +1,99 @@
+"""Distributed order statistics (grouped quantiles, top-k per group).
+
+The reference has no analytics layer; these are the rollups a
+training-data pipeline runs constantly (token-length percentiles per
+language, "show me the k biggest documents per source") expressed
+shuffle-light:
+
+- ``grouped_quantiles`` never sorts the data: a per-batch value-count
+  combiner compresses each block to one row per (key, value), ONE grouped
+  exchange sums the histograms, and the per-key quantile is read off the
+  cumulative histogram.  For discrete-valued columns (token counts,
+  lengths, scores) this is EXACT and the exchange carries
+  O(distinct values) rows, not O(rows) — at 100 TB the histogram of
+  int token counts is a few thousand rows per key regardless of corpus
+  size.  Quantile convention matches DuckDB's ``quantile_disc``:
+  the element at index ceil(q*n)-1 of the sorted multiset (verified
+  empirically; use binary-exact q like 0.25/0.5/0.75 so float ceil
+  agrees across engines).
+- ``topk_per_group``: per-batch top-k combiner, then one grouped
+  exchange over at most k rows per (key, block) — the classic
+  bounded-shuffle top-k.  Deterministic under ties via an explicit
+  tiebreak column.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75)):
+    """(key, n, q25, q50, ...) — exact discrete quantiles per key.
+
+    ``value_col`` must be discrete (ints or low-cardinality floats); the
+    shuffled histogram has one row per (key, distinct value).
+    Output quantile columns are named ``q`` + percent with dots stripped
+    (0.25 → ``q25``, 0.995 → ``q99_5``).
+    """
+    from ray.data.aggregate import Sum
+
+    def qname(q: float) -> str:
+        pct = q * 100
+        if abs(pct - round(pct)) < 1e-9:
+            return f"q{int(round(pct))}"
+        return "q" + str(pct).replace(".", "_")
+
+    names = [qname(q) for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby([key_col, value_col], as_index=False).size()
+        return vc.rename(columns={"size": "_n"})
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([key_col, value_col]).aggregate(Sum("_n", alias_name="_n"))
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(value_col)
+        counts = g["_n"].to_numpy(dtype=np.int64)
+        values = g[value_col].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {key_col: g[key_col].iloc[0], "n": n}
+        for q, name in zip(qs, names):
+            idx = max(math.ceil(q * n) - 1, 0)  # quantile_disc convention
+            row[name] = values[np.searchsorted(cum, idx, side="right")]
+        return pd.DataFrame([row])
+
+    return hist.groupby(key_col).map_groups(finish, batch_format="pandas")
+
+
+def topk_per_group(ds, key_col: str, order_col: str, k: int,
+                   tiebreak_col: str, ascending: bool = False):
+    """Top-k rows per key by ``order_col`` (ties broken by ascending
+    ``tiebreak_col`` — deterministic across block layouts).
+
+    Per-batch combiner keeps at most k rows per key per block, so the
+    single grouped exchange moves O(k × keys × blocks) rows; the final
+    per-key pass re-applies the same bounded selection.  Output keeps
+    the input columns.
+    """
+    cols = list(ds.schema().names)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values([order_col, tiebreak_col],
+                              ascending=[ascending, True])
+        return b.groupby(key_col, as_index=False, sort=False).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([order_col, tiebreak_col],
+                              ascending=[ascending, True])
+        return g.head(k)[cols]
+
+    return partials.groupby(key_col).map_groups(finish,
+                                                batch_format="pandas")

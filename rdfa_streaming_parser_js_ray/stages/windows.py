@@ -42,6 +42,50 @@ def tumbling_window_agg(events_ds, window: str = "1h",
     return out.map_batches(finish, batch_format="pandas")
 
 
+def sliding_window_agg(events_ds, size: str = "2h", hop: str = "1h",
+                       key_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value"):
+    """Sliding (hopping) windows: aggregates over windows of ``size``
+    whose starts advance by ``hop`` (``size`` must be an integer multiple
+    of ``hop``).  Each event belongs to exactly k = size/hop windows —
+    expressed as a vectorized k-way explode inside the combiner (numpy
+    tile/repeat, no per-row loop), partial-aggregated per
+    (key, window_start) per batch, then ONE grouped exchange over the
+    partials.  The shuffle carries k rows per (key, window) per batch —
+    the same bounded shape as the tumbling combiner, scaled by k.
+
+    Returns (key, window_start, n_events, sum_value) with window_start =
+    the window's inclusive start.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    size_td, hop_td = pd.Timedelta(size), pd.Timedelta(hop)
+    k, rem = divmod(size_td.value, hop_td.value)
+    if rem or k < 1:
+        raise ValueError(f"size {size!r} must be a positive integer "
+                         f"multiple of hop {hop!r}")
+    k = int(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch[ts_col].dt.floor(hop)
+        n = len(batch)
+        offsets = (np.arange(k, dtype=np.int64)
+                   * hop_td.value).astype("timedelta64[ns]")
+        starts = np.tile(base.to_numpy(), k) - np.repeat(offsets, n)
+        exploded = pd.DataFrame({
+            key_col: np.tile(batch[key_col].to_numpy(), k),
+            "window_start": starts,
+            value_col: np.tile(batch[value_col].to_numpy(), k)})
+        return exploded.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum"))
+
+    partials = events_ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"))
+
+
 def props_field_stats(events_ds, field: str = "k",
                       key_col: str = "event_type",
                       props_col: str = "props"):

@@ -1012,3 +1012,167 @@ def test_lsh_bucketed_topk_recall(rd):
     for qid in range(4):
         got = multi[multi["qid"] == qid]
         assert len(got) <= 5 and qid in set(got["vec_id"])
+
+
+def test_asof_join_matches_pandas(rd):
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10, 200),
+        "t": pd.to_datetime(rng.integers(0, 10**5, 200), unit="s"),
+        "lv": np.arange(200)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, 80),
+        "rt": pd.to_datetime(rng.integers(0, 10**5, 80) // 1000 * 1000,
+                             unit="s"),  # coarse -> guaranteed ties
+        "rv": np.arange(80)})
+
+    for direction in ("backward", "forward"):
+        got = asof_join(rd.from_pandas(left).repartition(3),
+                        rd.from_pandas(right).repartition(2),
+                        on="k", left_ts="t", right_ts="rt",
+                        direction=direction, tiebreak="rv",
+                        num_buckets=4).to_pandas()
+        # pandas replay: global sort incl. tiebreak, same semantics
+        want = pd.merge_asof(
+            left.sort_values(["t", "lv"]),
+            right.sort_values(["rt", "rv"]),
+            left_on="t", right_on="rt", by="k", direction=direction)
+        key = lambda df: sorted(map(tuple, df[["k", "t", "lv", "rt", "rv"]]
+                                    .astype(str).itertuples(index=False)))
+        assert key(got) == key(want), direction
+        assert len(got) == len(left)
+
+
+def test_asof_join_empty_and_missing_buckets(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": [1, 2], "t": pd.to_datetime([10, 20], unit="s"),
+                         "lv": [0, 1]})
+    right = pd.DataFrame({"k": [1], "rt": pd.to_datetime([5], unit="s"),
+                          "rv": [7]})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    left_ts="t", right_ts="rt", num_buckets=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["rv"].iloc[0] == 7
+    assert pd.isna(got["rv"].iloc[1])  # key 2: no right row anywhere
+
+
+def test_range_join_matches_pandas(rd):
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 8, 150),
+                         "t": rng.integers(0, 1000, 150),
+                         "lv": np.arange(150)})
+    right = pd.DataFrame({"k": rng.integers(0, 8, 40),
+                          "lo": rng.integers(0, 900, 40)})
+    right["hi"] = right["lo"] + 100
+    right["iv"] = np.arange(40)
+
+    got = range_join(rd.from_pandas(left).repartition(3),
+                     rd.from_pandas(right).repartition(2),
+                     on="k", ts_col="t", lo_col="lo", hi_col="hi",
+                     num_buckets=4).to_pandas()
+    want = left.merge(right, on="k")
+    want = want[(want["t"] >= want["lo"]) & (want["t"] <= want["hi"])]
+    key = lambda df: sorted(map(tuple, df[["k", "t", "lv", "lo", "hi", "iv"]]
+                                .astype(str).itertuples(index=False)))
+    assert key(got) == key(want)
+    assert len(want) > 0
+
+
+def test_triangle_count_known_graph(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.graph import triangle_count
+
+    # K4 on {0,1,2,3} = 4 triangles; extra pendant edge, a self-loop,
+    # duplicate + reversed edges must not change the count
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(0, 9), (5, 5), (1, 0), (2, 1)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = triangle_count(rd.from_pandas(df).repartition(3),
+                         num_buckets=4).to_pandas()
+    assert got["n_triangles"].iloc[0] == 4
+    # string ids take the concat-key path, same answer
+    sdf = df.astype(str)
+    got_s = triangle_count(rd.from_pandas(sdf).repartition(3),
+                           num_buckets=4).to_pandas()
+    assert got_s["n_triangles"].iloc[0] == 4
+
+
+def test_sliding_window_matches_replay(rd):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    from rdfa_streaming_parser_js_ray.stages.windows import sliding_window_agg
+
+    rng = np.random.default_rng(17)
+    ev = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], 300),
+        "ts": pd.to_datetime(rng.integers(0, 2 * 86400, 300), unit="s"),
+        "value": rng.random(300)})
+    got = sliding_window_agg(rd.from_pandas(ev).repartition(3),
+                             size="2h", hop="30min").to_pandas()
+    # replay: each event in k=4 windows
+    k, hop = 4, pd.Timedelta("30min")
+    rows = []
+    for i in range(k):
+        w = ev.copy()
+        w["window_start"] = w["ts"].dt.floor("30min") - i * hop
+        rows.append(w)
+    want = pd.concat(rows).groupby(["event_type", "window_start"],
+                                   as_index=False).agg(
+        n_events=("value", "size"), sum_value=("value", "sum"))
+    g = got.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    w = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+    assert np.allclose(g["sum_value"], w["sum_value"])
+    assert len(g) == len(w)
+    with _pytest.raises(ValueError):
+        sliding_window_agg(rd.from_pandas(ev), size="90min", hop="1h")
+
+
+def test_grouped_quantiles_matches_sorted_index(rd):
+    import math
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.stats import grouped_quantiles
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"g": rng.choice(["x", "y", "z"], 500),
+                       "v": rng.integers(0, 40, 500)})
+    got = grouped_quantiles(rd.from_pandas(df).repartition(4), "g", "v",
+                            qs=(0.25, 0.5, 0.75)).to_pandas() \
+        .set_index("g").sort_index()
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        n = len(vals)
+        assert got.loc[g, "n"] == n
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert got.loc[g, col] == vals[max(math.ceil(q * n) - 1, 0)], (g, q)
+
+
+def test_topk_per_group_deterministic_ties(rd):
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.stats import topk_per_group
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"g": rng.choice(["x", "y"], 200),
+                       "score": rng.integers(0, 5, 200),  # heavy ties
+                       "id": np.arange(200)})
+    got = topk_per_group(rd.from_pandas(df).repartition(4), "g", "score",
+                         k=3, tiebreak_col="id").to_pandas()
+    want = df.sort_values(["score", "id"], ascending=[False, True]) \
+        .groupby("g").head(3)
+    key = lambda d: sorted(map(tuple, d[["g", "score", "id"]]
+                               .itertuples(index=False)))
+    assert key(got) == key(want)
+    assert len(got) == 6
