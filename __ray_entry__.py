@@ -25,6 +25,29 @@ def _sw_sql(lang: str) -> str:
 
 _SW_EN, _SW_ES, _SW_FR, _SW_DE = (_sw_sql(s) for s in ("en", "es", "fr", "de"))
 
+# the SQL replay of the constructed KG (kg_construct's oracle), shared by
+# the follow-on graph-pattern query's oracle
+_KG_SQL = """
+            WITH d AS (SELECT doc_id AS i, text, lang, source FROM documents),
+            prim AS (SELECT 'http://data.example/doc/' || CAST(i AS VARCHAR)
+                            AS subj, * FROM d)
+            SELECT subj, 'http://purl.org/dc/terms/title' AS pred,
+                   'literal' AS obj_kind, text AS obj_value,
+                   lang AS obj_lang, '' AS obj_datatype
+            FROM prim
+            UNION ALL
+            SELECT subj, 'http://purl.org/dc/terms/source' AS pred,
+                   'iri' AS obj_kind,
+                   'http://data.example/src/' || source AS obj_value,
+                   '' AS obj_lang, '' AS obj_datatype
+            FROM prim
+            UNION ALL
+            SELECT subj, 'http://purl.org/dc/terms/identifier' AS pred,
+                   'literal' AS obj_kind, 'doc' || CAST(i AS VARCHAR) AS obj_value,
+                   lang AS obj_lang, '' AS obj_datatype
+            FROM prim
+"""
+
 
 # --------------------------------------------------------------------- #
 # helpers
@@ -514,6 +537,33 @@ def q_token_quantiles(sf_dir: str):
                              "lang", "n_tokens")
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index postings for tokens with document frequency in
+    [5, 50] — per-batch vectorized explode + distinct, one grouped
+    exchange whose group sizes are capped by the df band itself."""
+    from rdfa_streaming_parser_js_ray.stages.text import build_inverted_index
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return build_inverted_index(docs, min_df=5, max_df=50)
+
+
+def q_bgp_titles(sf_dir: str):
+    """Conjunctive graph-pattern query over the constructed KG (the
+    SPARQL-BGP follow-on every KG pipeline serves): every document
+    entity sourced from src1, with its title — two triple patterns
+    joined on the shared subject variable via the partitioned hash
+    join (stages/bgp.bgp_match)."""
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.stages.bgp import bgp_match
+    triples, _metrics = construct_kg(_wrapped_docs(sf_dir))
+    return bgp_match(triples, [
+        ("?d", "http://purl.org/dc/terms/source",
+         "http://data.example/src/src1"),
+        ("?d", "http://purl.org/dc/terms/title", "?title"),
+    ], num_buckets=8)
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """Top-3 documents per language by length (bounded top-k combiner —
     the exchange moves ≤ k rows per key per block)."""
@@ -882,6 +932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "token_quantiles": q_token_quantiles,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "inverted_index": q_inverted_index,
+        "bgp_titles": q_bgp_titles,
         "join_broadcast": q_join_broadcast,
         "join_hash": q_join_hash,
         "top_docs_by_tokens": q_top_docs_by_tokens,
@@ -938,25 +990,25 @@ def oracle_sql() -> dict[str, str]:
                      AS n_triples
             FROM documents
         """,
-        "kg_construct": """
-            WITH d AS (SELECT doc_id AS i, text, lang, source FROM documents),
-            prim AS (SELECT 'http://data.example/doc/' || CAST(i AS VARCHAR)
-                            AS subj, * FROM d)
-            SELECT subj, 'http://purl.org/dc/terms/title' AS pred,
-                   'literal' AS obj_kind, text AS obj_value,
-                   lang AS obj_lang, '' AS obj_datatype
-            FROM prim
-            UNION ALL
-            SELECT subj, 'http://purl.org/dc/terms/source' AS pred,
-                   'iri' AS obj_kind,
-                   'http://data.example/src/' || source AS obj_value,
-                   '' AS obj_lang, '' AS obj_datatype
-            FROM prim
-            UNION ALL
-            SELECT subj, 'http://purl.org/dc/terms/identifier' AS pred,
-                   'literal' AS obj_kind, 'doc' || CAST(i AS VARCHAR) AS obj_value,
-                   lang AS obj_lang, '' AS obj_datatype
-            FROM prim
+        "kg_construct": _KG_SQL,
+        "bgp_titles": f"""
+            WITH kg AS ({_KG_SQL})
+            SELECT a.subj AS d, b.obj_value AS title
+            FROM kg a JOIN kg b ON a.subj = b.subj
+            WHERE a.pred = 'http://purl.org/dc/terms/source'
+              AND a.obj_value = 'http://data.example/src/src1'
+              AND b.pred = 'http://purl.org/dc/terms/title'
+        """,
+        "inverted_index": """
+            WITH post AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS token
+                FROM documents)),
+            ok AS (SELECT token FROM post
+                   GROUP BY token HAVING COUNT(*) BETWEEN 5 AND 50)
+            SELECT p.token, p.doc_id FROM post p JOIN ok USING (token)
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,

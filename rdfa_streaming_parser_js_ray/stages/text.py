@@ -313,3 +313,43 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({id_col: batch[id_col].to_numpy(),
                              "fingerprint": out})
     return ds.map_batches(fp, batch_format="pandas")
+
+
+_INDEX_TOKEN_RE = re.compile(r"[a-z]+")
+
+
+def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                         min_df: int = 2, max_df: int | None = None):
+    """Postings of an inverted index: one (token, doc) row per distinct
+    occurrence, kept only for tokens whose document frequency lies in
+    [min_df, max_df] — the df band is how real index builds drop hapaxes
+    (noise) and stopword-frequency terms (posting lists that would hold
+    the whole corpus).
+
+    ONE grouped exchange: per-batch vectorized explode + in-batch
+    distinct (documents are unique by id, so in-batch distinct IS global
+    distinct), then ``groupby(token)`` — each group holds exactly the
+    token's posting list, emitted only if its length is in band.  The
+    df cap is also the skew guard: no group larger than max_df rows ever
+    leaves the final stage.
+    """
+    max_df_eff = max_df  # None = unbounded
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower() \
+            .str.findall(_INDEX_TOKEN_RE)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy().repeat(toks.str.len()),
+            "token": np.concatenate(toks.to_numpy())
+                     if len(batch) else np.array([], dtype=object)})
+        return out.drop_duplicates()
+
+    posts = ds.map_batches(explode, batch_format="pandas")
+
+    def band(group: pd.DataFrame) -> pd.DataFrame:
+        df_ = len(group)
+        if df_ < min_df or (max_df_eff is not None and df_ > max_df_eff):
+            return group.iloc[0:0]
+        return group[["token", id_col]]
+
+    return posts.groupby("token").map_groups(band, batch_format="pandas")

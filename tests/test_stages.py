@@ -1176,3 +1176,59 @@ def test_topk_per_group_deterministic_ties(rd):
                                .itertuples(index=False)))
     assert key(got) == key(want)
     assert len(got) == 6
+
+
+def test_build_inverted_index_df_band(rd):
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import build_inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple banana apple", "banana cherry", "banana date",
+                 "unique cherry"]})
+    # df: banana=3, cherry=2, apple=1, date=1, unique=1
+    got = build_inverted_index(rd.from_pandas(docs).repartition(2),
+                               min_df=2, max_df=2).to_pandas()
+    assert sorted(map(tuple, got[["token", "doc_id"]]
+                      .itertuples(index=False))) == \
+        [("cherry", 2), ("cherry", 4)]
+    got_all = build_inverted_index(rd.from_pandas(docs), min_df=1,
+                                   max_df=None).to_pandas()
+    assert len(got_all) == 8  # distinct (token, doc) pairs
+    # in-doc duplicates collapse: apple appears once for doc 1
+    assert (got_all["token"] == "apple").sum() == 1
+
+
+def test_bgp_match_patterns(rd):
+    import pandas as pd
+    import pytest as _pytest
+    from rdfa_streaming_parser_js_ray.stages.bgp import bgp_match
+
+    tr = pd.DataFrame([
+        ("d1", "src", "s1"), ("d1", "title", "T1"), ("d1", "lang", "en"),
+        ("d2", "src", "s1"), ("d2", "title", "T2"), ("d2", "lang", "fr"),
+        ("d3", "src", "s2"), ("d3", "title", "T3"),
+    ], columns=["subj", "pred", "obj_value"])
+    ds = rd.from_pandas(tr).repartition(3)
+
+    out = bgp_match(ds, [("?d", "src", "s1"), ("?d", "title", "?t")],
+                    num_buckets=4).to_pandas()
+    assert sorted(map(tuple, out[["d", "t"]].itertuples(index=False))) == \
+        [("d1", "T1"), ("d2", "T2")]
+
+    # three patterns, chained joins; constant in third prunes to one row
+    out3 = bgp_match(ds, [("?d", "src", "?s"), ("?d", "title", "?t"),
+                          ("?d", "lang", "en")], num_buckets=4).to_pandas()
+    assert sorted(map(tuple, out3[["d", "s", "t"]]
+                      .itertuples(index=False))) == [("d1", "s1", "T1")]
+
+    # multi-shared-variable join (both ?d and ?s shared)
+    out4 = bgp_match(ds, [("?d", "src", "?s"), ("?d", "src", "?s")],
+                     num_buckets=4).to_pandas()
+    assert len(out4) == 3
+
+    # disconnected pattern is rejected, not a cross product
+    with _pytest.raises(ValueError):
+        bgp_match(ds, [("?d", "src", "s1"), ("?x", "title", "?t")])
+    with _pytest.raises(ValueError):
+        bgp_match(ds, [("s", "p", "o")])  # binds no variable
