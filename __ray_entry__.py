@@ -253,6 +253,29 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_sf_documents(sf_dir))
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (SQL-replayable md5 twin): the eval set
+    is the deterministic slice doc_id % 97 == 3; every corpus doc is
+    tagged with its distinct word-3-gram overlap against that set.  The
+    production path (vectorized rolling-hash grams + broadcast
+    searchsorted membership, stages/decontam.py:decontaminate) is
+    pinned by pytest planted cases."""
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_md5_hashes, decontaminate_md5,
+    )
+    docs = _sf_documents(sf_dir)
+
+    def bench_slice(batch):
+        import numpy as np
+        import pyarrow as pa
+        mask = batch["doc_id"].to_numpy() % 97 == 3
+        return batch.filter(pa.array(mask))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    bh = benchmark_md5_hashes(bench, n=3)
+    return decontaminate_md5(docs, bh, n=3, threshold=1)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """LSH candidates verified via partitioned hash-joins of the texts onto
     the pairs — the no-broadcast scale path (nothing driver-materialized).
@@ -915,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
+        "decontam": q_decontam,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
@@ -1468,6 +1492,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "decontam": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) <= 3
+                     THEN [md5(array_to_string(toks, ' '))]
+                     ELSE list_transform(range(1, len(toks) - 1),
+                            i -> md5(array_to_string(
+                                       list_slice(toks, i, i + 2), ' ')))
+                END AS hashes
+              FROM t),
+            bench AS (
+              SELECT DISTINCT unnest(hashes) AS h FROM g
+              WHERE doc_id % 97 = 3),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_hit FROM (
+                SELECT doc_id, unnest(list_distinct(hashes)) AS h FROM g)
+              JOIN bench USING (h) GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(len(hashes) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(hashes)) AS BIGINT)
+                       AS n_distinct_grams,
+                   CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(COALESCE(hits.n_hit, 0) >= 1 AS BIGINT)
+                       AS contaminated
+            FROM g LEFT JOIN hits USING (doc_id)
         """,
         # fingerprints, minhash_near_dups, simhash, embedding_near_dups,
         # media_*, span_audit: non-SQL-expressible (crc32-/model-

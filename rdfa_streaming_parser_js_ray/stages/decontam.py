@@ -1,0 +1,194 @@
+"""Benchmark decontamination: tag corpus documents whose word n-grams
+overlap a held-out evaluation set (the GPT-3 / The-Pile "13-gram
+decontamination" step of a training-data pipeline).
+
+Shape (ray_guide: broadcast small sides, never shuffle the corpus):
+
+1. The benchmark side is SMALL by construction (eval sets are a few
+   thousand documents even when the corpus is 100 TB).  Its distinct
+   gram hashes are built distributed (map_batches → per-batch unique),
+   reduced to one sorted uint64 array with a size guard, and shipped
+   ONCE via ``ray.put``.
+2. The corpus side is a single map-only pass: an actor pool fetches the
+   broadcast array in ``__init__`` (once per actor, not per batch) and
+   runs a vectorized ``np.searchsorted`` membership test per document
+   over the same rolling-polynomial shingle hashes the MinHash path
+   uses (stages/dedup.py:_shingle_hashes — one crc32 per token, numpy
+   window combine; no per-gram string allocation).
+
+No shuffle, no join, nothing corpus-sized crosses the network — the
+100-TB cost is one broadcast object plus one streaming scan.  If an
+eval set ever outgrew the broadcast guard, the fallback is the repo's
+partitioned ``hash_join`` over exploded (doc_id, gram_hash) rows; not
+implemented because a benchmark that large stops being a benchmark.
+
+The md5 twin (:func:`decontaminate_md5`) trades the vectorized token
+hash for md5-of-gram-string so a DuckDB oracle can replay every count
+exactly (same convention as stages/text.py:winnow_profile and
+simhash_md5_profile).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _shingle_hashes
+
+_DEFAULT_MAX_BENCH_GRAMS = 50_000_000      # ~400 MB of uint64 — node-safe
+
+
+def benchmark_gram_ref(bench_ds, n: int = 5, text_col: str = "text",
+                       max_grams: int = _DEFAULT_MAX_BENCH_GRAMS):
+    """Distinct shingle hashes of the benchmark set → ``ray.put`` ref of
+    one sorted uint64 array.
+
+    Uniquing happens per batch BEFORE the driver pull, so the driver
+    never sees duplicate grams; the guard raises rather than silently
+    truncating (the caller must shrink n or the eval set)."""
+    import ray
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = [_shingle_hashes(t or "", k=n) for t in batch[text_col]]
+        h = np.unique(np.concatenate(parts)) if parts else \
+            np.array([], dtype=np.uint64)
+        return pd.DataFrame({"gram": h})
+
+    pulled = bench_ds.map_batches(grams, batch_format="pandas").to_pandas()
+    arr = np.unique(pulled["gram"].to_numpy(dtype=np.uint64))
+    if len(arr) > max_grams:
+        raise ValueError(
+            f"benchmark gram set ({len(arr)}) exceeds broadcast guard "
+            f"({max_grams}); shrink the eval set or raise max_grams")
+    return ray.put(arr)
+
+
+class _Decontaminator:
+    """Actor-pool stage: broadcast benchmark grams in, per-doc overlap
+    counts out."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str,
+                 threshold: int):
+        import ray
+        self.bench = bench_ref if isinstance(bench_ref, np.ndarray) \
+            else ray.get(bench_ref)          # once per actor
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_grams = np.empty(len(batch), dtype=np.int64)
+        n_hits = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch[self.text_col]):
+            h = _shingle_hashes(text or "", k=self.n)     # unique, sorted-ish
+            n_grams[i] = len(h)
+            # sorted-array membership: searchsorted + equality probe
+            pos = np.searchsorted(self.bench, h)
+            pos = np.minimum(pos, len(self.bench) - 1) if len(self.bench) \
+                else pos
+            n_hits[i] = int(np.count_nonzero(
+                self.bench[pos] == h)) if len(self.bench) else 0
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_grams": n_grams,
+            "n_hit_grams": n_hits,
+            "contaminated": (n_hits >= self.threshold).astype("int64"),
+        })
+
+
+def decontaminate(corpus_ds, bench_ref, n: int = 5, threshold: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  concurrency: int = 4):
+    """Tag every corpus doc with its distinct-n-gram overlap against the
+    broadcast benchmark gram set → (id, n_grams, n_hit_grams,
+    contaminated)."""
+    return corpus_ds.map_batches(
+        _Decontaminator,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, id_col=id_col,
+                                   text_col=text_col, threshold=threshold),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+
+def drop_contaminated(corpus_ds, bench_ref, n: int = 5, threshold: int = 1,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      concurrency: int = 4):
+    """Filter variant: keep only clean docs (full rows), same single
+    map-only pass."""
+
+    class _Filter(_Decontaminator):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            tags = super().__call__(batch)
+            return batch[(tags["n_hit_grams"] < self.threshold).to_numpy()]
+
+    return corpus_ds.map_batches(
+        _Filter,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, id_col=id_col,
+                                   text_col=text_col, threshold=threshold),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+
+# ------------------------------------------------------------ md5 twin --
+
+def _md5_grams(text: str, n: int) -> list[str]:
+    """md5 hex digests of space-joined lowered word n-grams; a document
+    shorter than n tokens contributes its whole text as one gram (the
+    winnow_profile convention, so the SQL replay is shared)."""
+    tokens = (text or "").lower().split()
+    return [hashlib.md5(" ".join(tokens[i:i + n]).encode()).hexdigest()
+            for i in range(max(1, len(tokens) - (n - 1)))]
+
+
+def decontaminate_md5(corpus_ds, bench_hashes: frozenset, n: int = 3,
+                      threshold: int = 1, id_col: str = "doc_id",
+                      text_col: str = "text", concurrency: int = 4):
+    """SQL-oracleable twin: md5-of-gram-string hashes, distinct-gram
+    overlap counts → (id, n_grams, n_distinct_grams, n_hit_grams,
+    contaminated).  ``bench_hashes`` is a frozenset of md5 hex digests
+    (use :func:`benchmark_md5_hashes`)."""
+    import ray
+    bench_ref = bench_hashes if isinstance(bench_hashes, ray.ObjectRef) \
+        else ray.put(bench_hashes)
+
+    class _Md5Decon:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                grams = _md5_grams(text, n)
+                distinct = set(grams)
+                hits = len(distinct & self.bench)
+                rows.append((doc_id, len(grams), len(distinct), hits,
+                             int(hits >= threshold)))
+            return pd.DataFrame(rows, columns=[
+                id_col, "n_grams", "n_distinct_grams", "n_hit_grams",
+                "contaminated"]).astype({
+                    "n_grams": "int64", "n_distinct_grams": "int64",
+                    "n_hit_grams": "int64", "contaminated": "int64"})
+
+    return corpus_ds.map_batches(
+        _Md5Decon, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5)
+
+
+def benchmark_md5_hashes(bench_ds, n: int = 3, text_col: str = "text",
+                         max_grams: int = _DEFAULT_MAX_BENCH_GRAMS
+                         ) -> frozenset:
+    """Distinct md5 gram digests of the benchmark set (driver-side set
+    behind the same size guard)."""
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for t in batch[text_col]:
+            out.update(_md5_grams(t, n))
+        return pd.DataFrame({"gram": sorted(out)})
+
+    pulled = bench_ds.map_batches(grams, batch_format="pandas").to_pandas()
+    result = frozenset(pulled["gram"])
+    if len(result) > max_grams:
+        raise ValueError(
+            f"benchmark gram set ({len(result)}) exceeds broadcast guard")
+    return result

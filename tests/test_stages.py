@@ -1232,3 +1232,82 @@ def test_bgp_match_patterns(rd):
         bgp_match(ds, [("?d", "src", "s1"), ("?x", "title", "?t")])
     with _pytest.raises(ValueError):
         bgp_match(ds, [("s", "p", "o")])  # binds no variable
+
+
+# ------------------------------------------------------------ decontam --
+
+def test_decontaminate_planted(rd):
+    """Production path: a doc sharing a full 5-gram with the benchmark is
+    flagged; a vocabulary-disjoint doc is clean; counts are exact."""
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_gram_ref, decontaminate, drop_contaminated,
+    )
+    bench = rd.from_items([
+        {"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 101, "text": "one two three four five six seven"},
+    ])
+    corpus = rd.from_items([
+        # exact copy of bench doc 100 -> every gram hits
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        # contains one benchmark 5-gram inside fresh context
+        {"doc_id": 2, "text": "xx one two three four five yy"},
+        # disjoint vocabulary -> clean
+        {"doc_id": 3, "text": "crimson umbrella lantern whisper meadow forest"},
+    ])
+    ref = benchmark_gram_ref(bench, n=5)
+    out = decontaminate(corpus, ref, n=5, threshold=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 1: 6 tokens -> 2 distinct 5-grams, both in bench
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_hit_grams"] == 2
+    assert out.loc[1, "contaminated"] == 1
+    # doc 2: 7 tokens -> 3 grams, exactly one ("one two three four five")
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_hit_grams"] == 1
+    assert out.loc[2, "contaminated"] == 1
+    assert out.loc[3, "n_hit_grams"] == 0 and out.loc[3, "contaminated"] == 0
+
+    kept = drop_contaminated(corpus, ref, n=5, threshold=1).to_pandas()
+    assert sorted(kept["doc_id"]) == [3]
+    # higher threshold keeps the single-gram overlap doc
+    kept2 = drop_contaminated(corpus, ref, n=5, threshold=2).to_pandas()
+    assert sorted(kept2["doc_id"]) == [2, 3]
+
+
+def test_decontaminate_md5_twin_matches_reference(rd):
+    """md5 twin agrees with a direct per-doc set computation, and with
+    the production kernel's verdicts on the same corpus."""
+    import hashlib as _hl
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_md5_hashes, decontaminate_md5,
+    )
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs",
+        3: "the quick brown fox sat still",
+        4: "",
+        5: "short text",
+    }
+    bench_texts = ["the quick brown fox jumps", "entirely unrelated words here"]
+    corpus = rd.from_items([{"doc_id": k, "text": v}
+                            for k, v in texts.items()])
+    bench = rd.from_items([{"doc_id": 90 + i, "text": t}
+                           for i, t in enumerate(bench_texts)])
+    bh = benchmark_md5_hashes(bench, n=3)
+    out = decontaminate_md5(corpus, bh, n=3, threshold=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    def grams(text, n=3):
+        toks = text.lower().split()
+        return [" ".join(toks[i:i + n])
+                for i in range(max(1, len(toks) - (n - 1)))]
+
+    bench_set = {_hl.md5(g.encode()).hexdigest()
+                 for t in bench_texts for g in grams(t)}
+    for k, v in texts.items():
+        gs = [_hl.md5(g.encode()).hexdigest() for g in grams(v)]
+        assert out.loc[k, "n_grams"] == len(gs)
+        assert out.loc[k, "n_distinct_grams"] == len(set(gs))
+        assert out.loc[k, "n_hit_grams"] == len(set(gs) & bench_set)
+    assert out.loc[1, "contaminated"] == 1      # shares "the quick brown" …
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "contaminated"] == 1      # "the quick brown" + "quick brown fox"
+    assert out.loc[4, "contaminated"] == 0      # empty doc never matches
