@@ -307,6 +307,43 @@ def q_minhash_near_dups(sf_dir: str):
     return pairs.map_batches(project, batch_format="pandas")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: LSH pairs → distributed min-label connected
+    components → every doc tagged (cluster_id, is_canonical).  The
+    keep-one-per-near-dup-group step of a dedup pipeline, composed
+    entirely from the joined (no-broadcast) machinery: pair generation
+    is the bucket-bounded LSH path, the closure is hash-to-min pointer
+    doubling, and membership lands back on the corpus via a partitioned
+    left hash-join.  The oracle replays exact Jaccard pairs + a
+    recursive-CTE min-reachability closure in SQL."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.dedup import minhash_dedup_pairs_joined
+    from rdfa_streaming_parser_js_ray.stages.graph import connected_components
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    docs = _sf_documents(sf_dir)
+    pairs = minhash_dedup_pairs_joined(docs, threshold=0.5, num_buckets=16,
+                                       concurrency=2)
+    comp = connected_components(pairs, src_col="doc_a", dst_col="doc_b",
+                                num_buckets=16)
+    comp = comp.map_batches(
+        lambda b: b.rename(columns={"node": "doc_id",
+                                    "component": "cluster_id"}),
+        batch_format="pandas")
+    ids = docs.select_columns(["doc_id"])
+    joined = hash_join(ids, comp, on="doc_id", how="left", num_buckets=16)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["cluster_id"].fillna(b["doc_id"]).astype("int64")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "cluster_id": cl,
+            "is_canonical": (cl == b["doc_id"].astype("int64"))
+                            .astype("int64")})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_simhash(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.dedup import simhash_documents
     return simhash_documents(_sf_documents(sf_dir), concurrency=2)
@@ -940,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "decontam": q_decontam,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1230,6 +1268,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_ppm
             FROM pairs WHERE j >= 0.5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(1, len(t) - 2)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            near AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                    / (len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g))) >= 0.5),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM near
+              UNION SELECT doc_b, doc_a FROM near),
+            reach(node, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT reach.node, e.b FROM reach
+              JOIN edges e ON reach.r = e.a),
+            cc AS (
+              SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(cc.component, d.doc_id) AS cluster_id,
+                   CAST(COALESCE(cc.component, d.doc_id) = d.doc_id
+                        AS BIGINT) AS is_canonical
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
         """,
         "repetition": """
             SELECT doc_id,

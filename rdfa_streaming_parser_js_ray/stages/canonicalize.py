@@ -170,9 +170,6 @@ def apply_canonical_map(triples_ds, mapping_ref, batch_size: int = 65536):
         batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
-# sorts after every real IRI / bnode label: lets the co-grouped probe emit
-# a single non-null string column that a grouped Min folds correctly
-_PREV_SENTINEL = "￿￿"
 
 
 def transitive_closure_joined(pairs_ds, num_buckets: int | None = None,
@@ -256,10 +253,14 @@ def transitive_closure_joined(pairs_ds, num_buckets: int | None = None,
         outs = []
         e = group[side == "e"]
         if len(e):
+            # prev=None: edge rows carry no convergence evidence; the
+            # fold drops nulls before its prev-min, which keeps the
+            # column dtype-agnostic (string KG terms AND integer node
+            # ids both work — a string max-sentinel broke int graphs)
             outs.append(pd.DataFrame({
                 "term": e["val"].to_numpy(),
                 "cand": e["key"].map(lookup).to_numpy(),
-                "prev": _PREV_SENTINEL}))
+                "prev": None}))
         p = group[side == "p"]
         if len(p):
             outs.append(pd.DataFrame({
@@ -278,9 +279,13 @@ def transitive_closure_joined(pairs_ds, num_buckets: int | None = None,
         return res
 
     def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby("term", sort=False) \
-            .agg(canonical=("cand", "min"), prev=("prev", "min")) \
-            .reset_index()
+        cmin = group.groupby("term", sort=False).agg(
+            canonical=("cand", "min"))
+        prow = group[group["prev"].notna()]
+        pmin = prow.groupby("term", sort=False).agg(prev=("prev", "min"))
+        # a term without a probe row gets prev=NaN -> counts as changed
+        # (safe direction: one extra round, never false convergence)
+        return cmin.join(pmin).reset_index()
 
     for _ in range(max_rounds):
         both = mapping.map_batches(align("m", "term", "canonical"),

@@ -1311,3 +1311,18 @@ def test_decontaminate_md5_twin_matches_reference(rd):
     assert out.loc[2, "contaminated"] == 0
     assert out.loc[3, "contaminated"] == 1      # "the quick brown" + "quick brown fox"
     assert out.loc[4, "contaminated"] == 0      # empty doc never matches
+
+
+def test_connected_components_int_ids(rd):
+    """Integer node ids exercise the dtype-agnostic prev handling in the
+    closure fold (a string max-sentinel used to break numeric graphs);
+    component labels are NUMERIC minima (10 belongs to component 2, not
+    a lexicographic "10" < "2")."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.graph import connected_components
+    edges = pd.DataFrame({"src": [10, 2, 30, 7],
+                          "dst": [2, 25, 7, 100]})
+    got = connected_components(rd.from_pandas(edges), num_buckets=4) \
+        .to_pandas()
+    comp = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+    assert comp == {2: 2, 10: 2, 25: 2, 7: 7, 30: 7, 100: 7}
