@@ -307,6 +307,15 @@ def q_minhash_near_dups(sf_dir: str):
     return pairs.map_batches(project, batch_format="pandas")
 
 
+def q_tfidf(sf_dir: str):
+    """Integer-exact TF-IDF top-3 terms per document (score =
+    tf·10⁶ // df — float-free, so ranking replays bit-for-bit in SQL).
+    tf is exchange-free (doc = one row), df is one combiner-first
+    grouped exchange, the join is the partitioned term-hash join."""
+    from rdfa_streaming_parser_js_ray.stages.text import tfidf_top_terms
+    return tfidf_top_terms(_sf_documents(sf_dir), k=3, num_buckets=16)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: LSH pairs → distributed min-label connected
     components → every doc tagged (cluster_id, is_canonical).  The
@@ -978,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q_decontam,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "tfidf": q_tfidf,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1562,6 +1572,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            df AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(df.df AS BIGINT) AS df,
+                     CAST(tf.tf * 1000000 // df.df AS BIGINT)
+                         AS score_scaled
+              FROM tf JOIN df USING (term)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score_scaled DESC, term) AS rk
+              FROM scored)
+            SELECT doc_id, term, tf, df, score_scaled
+            FROM ranked WHERE rk <= 3
         """,
         "decontam": """
             WITH t AS (

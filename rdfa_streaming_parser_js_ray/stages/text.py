@@ -353,3 +353,67 @@ def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
         return group[["token", id_col]]
 
     return posts.groupby("token").map_groups(band, batch_format="pandas")
+
+
+def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_buckets: int | None = None):
+    """Integer-exact TF-IDF: top-k terms per document scored by
+    ``tf * 1_000_000 // df`` (monotone in the tf/idf ratio, no float in
+    the compare, so a SQL oracle replays the ranking bit-for-bit).
+
+    Shuffle budget at 100 TB:
+
+    - tf needs NO exchange: a document is one input row, so a per-batch
+      ``groupby([id, term]).size`` IS the global term frequency.
+    - df is ONE grouped exchange over per-batch partials — one
+      (term, n_docs) row per term per batch crosses the wire, never the
+      postings.
+    - tf ⋈ df is the partitioned ``hash_join`` on the term (vocab-scale
+      build side, corpus-scale probe side, bucketed on a vectorized
+      string hash).
+    - the final top-k is the combiner-first :func:`~.stats.topk_per_group`
+      (≤ k rows per doc per block cross its exchange).
+
+    Ties break by ascending term so output is layout-independent.
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .stats import topk_per_group
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("").reset_index(drop=True)
+        toks = s.str.lower().str.findall(_INDEX_TOKEN_RE)
+        ids = batch[id_col].to_numpy()
+        frame = pd.DataFrame({
+            id_col: ids.repeat(toks.str.len()),
+            "term": np.concatenate(toks.to_numpy())
+                    if len(batch) else np.array([], dtype=object)})
+        return frame.groupby([id_col, "term"], as_index=False) \
+                    .agg(tf=("term", "size"))
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("term", as_index=False).agg(df=(id_col, "size"))
+
+    df = tf.map_batches(df_partial, batch_format="pandas") \
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    joined = hash_join(tf, df, on="term", num_buckets=num_buckets)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        tf_ = batch["tf"].to_numpy(dtype=np.int64)
+        df_ = batch["df"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "term": batch["term"].to_numpy(),
+            "tf": tf_,
+            "df": df_,
+            "score_scaled": tf_ * 1_000_000 // df_,
+        })
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return topk_per_group(scored, key_col=id_col, order_col="score_scaled",
+                          k=k, tiebreak_col="term")

@@ -1326,3 +1326,23 @@ def test_connected_components_int_ids(rd):
         .to_pandas()
     comp = dict(zip(got["node"].astype(int), got["component"].astype(int)))
     assert comp == {2: 2, 10: 2, 25: 2, 7: 7, 30: 7, 100: 7}
+
+
+def test_tfidf_top_terms(rd):
+    """Integer-exact TF-IDF against a hand-computed reference: rare terms
+    outrank common ones; ties break by ascending term."""
+    from rdfa_streaming_parser_js_ray.stages.text import tfidf_top_terms
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": "apple apple banana common"},
+        {"doc_id": 2, "text": "banana cherry common"},
+        {"doc_id": 3, "text": "common common cherry"},
+    ])
+    out = tfidf_top_terms(corpus, k=2, num_buckets=4).to_pandas()
+    got = {d: list(map(tuple, g[["term", "tf", "df", "score_scaled"]]
+                       .itertuples(index=False)))
+           for d, g in out.groupby("doc_id")}
+    # df: apple 1, banana 2, cherry 2, common 3
+    assert got[1] == [("apple", 2, 1, 2_000_000), ("banana", 1, 2, 500_000)]
+    # doc 2: banana and cherry tie at 1/2 -> ascending term order
+    assert got[2] == [("banana", 1, 2, 500_000), ("cherry", 1, 2, 500_000)]
+    assert got[3] == [("common", 2, 3, 666_666), ("cherry", 1, 2, 500_000)]
