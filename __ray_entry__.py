@@ -307,6 +307,31 @@ def q_minhash_near_dups(sf_dir: str):
     return pairs.map_batches(project, batch_format="pandas")
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction over a corpus with deterministically planted PII
+    (synthetic email/IP/phone per doc — the test tables carry none, so
+    the plant gives the oracle real substitutions to verify, not just
+    passthrough).  Both engines build the identical planted text, then
+    redact sequentially."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import redact_pii
+
+    docs = _sf_documents(sf_dir)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        batch = batch.copy()
+        batch["text"] = (
+            batch["text"].fillna("")
+            + " contact user" + ids.astype(str) + "@example.com from 10.0."
+            + (ids % 256).astype(str) + "." + (ids % 100).astype(str)
+            + " or +1555" + (1000000 + ids % 1000000).astype(str))
+        return batch
+
+    return redact_pii(docs.map_batches(plant, batch_format="pandas"),
+                      concurrency=2)
+
+
 def q_tfidf(sf_dir: str):
     """Integer-exact TF-IDF top-3 terms per document (score =
     tf·10⁶ // df — float-free, so ranking replays bit-for-bit in SQL).
@@ -988,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "tfidf": q_tfidf,
+        "pii_redact": q_pii_redact,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1572,6 +1598,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "pii_redact": """
+            WITH planted AS (
+              SELECT doc_id,
+                     COALESCE(text, '') || ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST(doc_id % 100 AS VARCHAR) || ' or +1555'
+                     || CAST(1000000 + doc_id % 1000000 AS VARCHAR) AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM planted),
+            i AS (
+              SELECT doc_id, n_emails,
+                CAST(len(regexp_extract_all(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                  AS BIGINT) AS n_ips,
+                regexp_replace(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t
+              FROM e)
+            SELECT doc_id,
+                   regexp_replace(t, '\\+\\d{7,15}', '<PHONE>', 'g')
+                       AS clean_text,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t, '\\+\\d{7,15}'))
+                       AS BIGINT) AS n_phones
+            FROM i
         """,
         "tfidf": """
             WITH toks AS (

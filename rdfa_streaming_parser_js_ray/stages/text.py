@@ -417,3 +417,49 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id",
     scored = joined.map_batches(score, batch_format="pandas")
     return topk_per_group(scored, key_col=id_col, order_col="score_scaled",
                           k=k, tiebreak_col="term")
+
+
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_IPV4 = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+_PII_PHONE = re.compile(r"\+\d{7,15}")
+
+
+class PiiRedactor:
+    """PII scrub (emails → <EMAIL>, IPv4 → <IP>, +international phones →
+    <PHONE>) — the privacy pass of a pre-training pipeline.
+
+    Actor-pool stage: patterns compile once per actor; each batch is
+    three vectorized ``Series.str`` passes (C regex loops).  Counts are
+    taken SEQUENTIALLY (emails on the raw text, IPs on the
+    email-redacted text, phones after both) so they compose exactly the
+    way the replacements do — and so a SQL oracle nesting
+    ``regexp_replace`` reproduces both the text and the counts.  The
+    patterns are RE2-compatible by construction (no backrefs or
+    lookaround), which keeps Python and DuckDB semantics identical.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        n_emails = s.str.count(_PII_EMAIL).astype("int64")
+        s = s.str.replace(_PII_EMAIL, "<EMAIL>", regex=True)
+        n_ips = s.str.count(_PII_IPV4).astype("int64")
+        s = s.str.replace(_PII_IPV4, "<IP>", regex=True)
+        n_phones = s.str.count(_PII_PHONE).astype("int64")
+        s = s.str.replace(_PII_PHONE, "<PHONE>", regex=True)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "clean_text": s.to_numpy(),
+            "n_emails": n_emails.to_numpy(),
+            "n_ips": n_ips.to_numpy(),
+            "n_phones": n_phones.to_numpy(),
+        })
+
+
+def redact_pii(ds, concurrency: int = 4, **kwargs):
+    return ds.map_batches(PiiRedactor, fn_constructor_kwargs=kwargs,
+                          batch_format="pandas", concurrency=concurrency,
+                          num_cpus=0.5)

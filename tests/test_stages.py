@@ -1346,3 +1346,28 @@ def test_tfidf_top_terms(rd):
     # doc 2: banana and cherry tie at 1/2 -> ascending term order
     assert got[2] == [("banana", 1, 2, 500_000), ("cherry", 1, 2, 500_000)]
     assert got[3] == [("common", 2, 3, 666_666), ("cherry", 1, 2, 500_000)]
+
+
+def test_redact_pii(rd):
+    """Planted PII cases: substitution text, sequential counts, and
+    non-PII text passthrough."""
+    from rdfa_streaming_parser_js_ray.stages.text import redact_pii
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "mail a.b+c@ex-host.org and d@e.io now"},
+        {"doc_id": 2, "text": "server 192.168.0.1 and 10.0.0.255 up"},
+        {"doc_id": 3, "text": "call +15551234567 asap"},
+        {"doc_id": 4, "text": "plain text, no pii at all 1.2 v3"},
+        {"doc_id": 5, "text": "mix x@y.com at 8.8.8.8 via +4930123456"},
+    ])
+    out = redact_pii(ds, concurrency=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "n_emails"] == 2
+    assert out.loc[2, "clean_text"] == "server <IP> and <IP> up"
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[3, "clean_text"] == "call <PHONE> asap"
+    assert out.loc[3, "n_phones"] == 1
+    assert out.loc[4, "clean_text"] == "plain text, no pii at all 1.2 v3"
+    assert (out.loc[4, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    assert out.loc[5, "clean_text"] == "mix <EMAIL> at <IP> via <PHONE>"
+    assert (out.loc[5, ["n_emails", "n_ips", "n_phones"]] == 1).all()
