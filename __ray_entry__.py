@@ -307,6 +307,14 @@ def q_minhash_near_dups(sf_dir: str):
     return pairs.map_batches(project, batch_format="pandas")
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV cardinality sketch of the corpus vocabulary — per-batch k-min
+    combiner, ONE constant-key fold, exact-integer estimator, fully
+    SQL-replayable (md5-low-64 hash order)."""
+    from rdfa_streaming_parser_js_ray.stages.stats import kmv_distinct_tokens
+    return kmv_distinct_tokens(_sf_documents(sf_dir), k=64)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction over a corpus with deterministically planted PII
     (synthetic email/IP/phone per doc — the test tables carry none, so
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "tfidf": q_tfidf,
         "pii_redact": q_pii_redact,
+        "kmv_distinct": q_kmv_distinct,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1598,6 +1607,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "kmv_distinct": """
+            WITH toks AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT DISTINCT
+                     CAST(((md5_number(tok) % 18446744073709551616)
+                           + 18446744073709551616) % 18446744073709551616
+                          AS UBIGINT) AS h
+              FROM toks),
+            mins AS (SELECT h FROM h ORDER BY h LIMIT 64),
+            agg AS (SELECT COUNT(*) AS m, MAX(h) AS kth FROM mins)
+            SELECT CAST(64 AS BIGINT) AS k,
+                   CAST(m AS BIGINT) AS n_mins,
+                   CAST(COALESCE(kth, 0) AS UBIGINT) AS kth_min,
+                   CAST(CASE WHEN m < 64 THEN m
+                        ELSE (CAST(63 AS HUGEINT) * 18446744073709551616)
+                             // CAST(kth AS HUGEINT) END
+                        AS BIGINT) AS est_distinct
+            FROM agg
         """,
         "pii_redact": """
             WITH planted AS (

@@ -97,3 +97,58 @@ def topk_per_group(ds, key_col: str, order_col: str, k: int,
 
     return partials.groupby(key_col).map_groups(finish,
                                                 batch_format="pandas")
+
+
+def kmv_distinct_tokens(ds, text_col: str = "text", k: int = 256):
+    """Distributed cardinality sketch: K-minimum-values estimate of the
+    corpus's distinct-token count.
+
+    The classic mergeable sketch shape on Ray Data:
+
+    - per-batch COMBINER: batch-distinct tokens → md5-low-64 hashes
+      (the ``md5_number`` convention DuckDB can replay) → the k
+      smallest survive — at most k rows per block cross the wire;
+    - ONE constant-key fold merges the partials (k·blocks rows total,
+      independent of corpus size) and reads off the estimator.
+
+    Estimator: with m = |sketch| and R = kth_min/2⁶⁴,
+    est = (k−1)/R computed in EXACT integer arithmetic
+    ((k−1)·2⁶⁴ // kth_min — Python ints, HUGEINT in the oracle); when
+    the corpus has fewer than k distinct hashes the sketch IS the
+    distinct set and the estimate is exact.  Hash-value dedup (not
+    token dedup) keeps both engines identical under collisions.
+    Returns one row: (k, n_mins, kth_min, est_distinct).
+    """
+    import hashlib
+    import re as _re
+
+    word = _re.compile(r"\S+")
+    mask = (1 << 64) - 1
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for text in batch[text_col]:
+            toks.update(word.findall((text or "").lower()))
+        if not toks:
+            return pd.DataFrame({"_g": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="uint64")})
+        hashes = np.unique(np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest(),
+                            "little") & mask for t in toks),
+            dtype=np.uint64, count=len(toks)))
+        return pd.DataFrame({"_g": np.int64(0), "h": hashes[:k]})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.unique(group["h"].to_numpy(dtype=np.uint64))[:k]
+        m = len(hashes)
+        kth = int(hashes[-1]) if m else 0
+        est = m if m < k else ((k - 1) * (1 << 64)) // kth
+        return pd.DataFrame({
+            "k": pd.Series([k], dtype="int64"),
+            "n_mins": pd.Series([m], dtype="int64"),
+            "kth_min": pd.Series([kth], dtype="uint64"),
+            "est_distinct": pd.Series([est], dtype="int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("_g").map_groups(fold, batch_format="pandas")

@@ -1371,3 +1371,26 @@ def test_redact_pii(rd):
     assert (out.loc[4, ["n_emails", "n_ips", "n_phones"]] == 0).all()
     assert out.loc[5, "clean_text"] == "mix <EMAIL> at <IP> via <PHONE>"
     assert (out.loc[5, ["n_emails", "n_ips", "n_phones"]] == 1).all()
+
+
+def test_kmv_distinct_tokens(rd):
+    """KMV sketch: exact below k, estimator within 3/sqrt(k) relative
+    error above k, merge-invariant across block layouts."""
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.stats import kmv_distinct_tokens
+    # small vocab (< k): sketch is exact
+    small = rd.from_items([{"doc_id": i, "text": "a b c d e"}
+                           for i in range(10)])
+    out = kmv_distinct_tokens(small, k=64).to_pandas()
+    assert out.loc[0, "n_mins"] == 5 and out.loc[0, "est_distinct"] == 5
+    # large vocab (>> k): estimator accuracy + layout invariance
+    rows = [{"doc_id": i, "text": " ".join(f"tok{i}_{j}" for j in range(20))}
+            for i in range(500)]   # 10,000 distinct tokens
+    one = kmv_distinct_tokens(rd.from_items(rows).repartition(1),
+                              k=256).to_pandas()
+    many = kmv_distinct_tokens(rd.from_items(rows).repartition(13),
+                               k=256).to_pandas()
+    assert one.loc[0, "kth_min"] == many.loc[0, "kth_min"]
+    assert one.loc[0, "est_distinct"] == many.loc[0, "est_distinct"]
+    est = one.loc[0, "est_distinct"]
+    assert abs(est - 10_000) / 10_000 < 3 / np.sqrt(256)
