@@ -315,6 +315,19 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct_tokens(_sf_documents(sf_dir), k=64)
 
 
+def q_kmv_users(sf_dir: str):
+    """Grouped KMV sketch: estimated distinct users per event type —
+    the scalable COUNT(DISTINCT) GROUP BY shape (≤ k hashes per key per
+    block cross the exchange).  k=32 keeps the estimator branch (not
+    the exact small-set branch) under oracle test."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.stats import kmv_grouped_distinct
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+    return kmv_grouped_distinct(events, key_col="event_type",
+                                value_col="user_id", k=32)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction over a corpus with deterministically planted PII
     (synthetic email/IP/phone per doc — the test tables carry none, so
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "pii_redact": q_pii_redact,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_users": q_kmv_users,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1607,6 +1621,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "kmv_users": """
+            WITH v AS (
+              SELECT DISTINCT event_type,
+                     CAST(((md5_number(CAST(user_id AS VARCHAR))
+                            % 18446744073709551616)
+                           + 18446744073709551616) % 18446744073709551616
+                          AS UBIGINT) AS h
+              FROM events),
+            mins AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rk
+              FROM v),
+            agg AS (
+              SELECT event_type, COUNT(*) AS m, MAX(h) AS kth
+              FROM mins WHERE rk <= 32 GROUP BY 1)
+            SELECT event_type,
+                   CAST(m AS BIGINT) AS n_mins,
+                   CAST(kth AS UBIGINT) AS kth_min,
+                   CAST(CASE WHEN m < 32 THEN m
+                        ELSE (CAST(31 AS HUGEINT) * 18446744073709551616)
+                             // CAST(kth AS HUGEINT) END
+                        AS BIGINT) AS est_distinct
+            FROM agg
         """,
         "kmv_distinct": """
             WITH toks AS (

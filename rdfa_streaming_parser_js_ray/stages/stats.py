@@ -152,3 +152,50 @@ def kmv_distinct_tokens(ds, text_col: str = "text", k: int = 256):
 
     return ds.map_batches(partial, batch_format="pandas") \
              .groupby("_g").map_groups(fold, batch_format="pandas")
+
+
+def kmv_grouped_distinct(ds, key_col: str, value_col: str, k: int = 256):
+    """Per-key KMV distinct-count sketch — the scalable replacement for
+    ``COUNT(DISTINCT value) GROUP BY key`` (exact distinct per key needs
+    a value-level shuffle; the sketch ships ≤ k hashes per key per
+    block).
+
+    Same estimator and md5-low-64 hash convention as
+    :func:`kmv_distinct_tokens`; values are hashed as strings so any
+    dtype works and the SQL replay is one cast.  Returns one row per
+    key: (key, n_mins, kth_min, est_distinct) — exact when a key has
+    fewer than k distinct hashes.
+    """
+    import hashlib
+
+    mask = (1 << 64) - 1
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = pd.DataFrame({
+            "key": batch[key_col].to_numpy(),
+            "val": batch[value_col].astype(str).to_numpy()}) \
+            .drop_duplicates()
+        if not len(sub):
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype="uint64")})
+        sub["h"] = np.fromiter(
+            (int.from_bytes(hashlib.md5(v.encode()).digest(),
+                            "little") & mask for v in sub["val"]),
+            dtype=np.uint64, count=len(sub))
+        sub = sub.drop_duplicates(["key", "h"]).sort_values("h")
+        return sub.groupby("key", sort=False).head(k)[["key", "h"]]
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.unique(group["h"].to_numpy(dtype=np.uint64))[:k]
+        m = len(hashes)
+        kth = int(hashes[-1]) if m else 0
+        est = m if m < k else ((k - 1) * (1 << 64)) // kth
+        return pd.DataFrame({
+            key_col: [group["key"].iloc[0]],
+            "n_mins": pd.Series([m], dtype="int64"),
+            "kth_min": pd.Series([kth], dtype="uint64"),
+            "est_distinct": pd.Series([est], dtype="int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("key").map_groups(fold, batch_format="pandas")

@@ -1394,3 +1394,27 @@ def test_kmv_distinct_tokens(rd):
     assert one.loc[0, "est_distinct"] == many.loc[0, "est_distinct"]
     est = one.loc[0, "est_distinct"]
     assert abs(est - 10_000) / 10_000 < 3 / np.sqrt(256)
+
+
+def test_kmv_grouped_distinct(rd):
+    """Per-key sketch: exact below k per key, estimator sane above,
+    layout-invariant."""
+    import numpy as np
+    rows = []
+    for i in range(900):
+        rows.append({"k": "big", "v": i})          # 900 distinct
+    for i in range(10):
+        rows.append({"k": "small", "v": i % 3})    # 3 distinct
+    from rdfa_streaming_parser_js_ray.stages.stats import kmv_grouped_distinct
+    out = kmv_grouped_distinct(rd.from_items(rows).repartition(7),
+                               key_col="k", value_col="v", k=64) \
+        .to_pandas().set_index("k")
+    assert out.loc["small", "n_mins"] == 3
+    assert out.loc["small", "est_distinct"] == 3
+    assert out.loc["big", "n_mins"] == 64
+    est = out.loc["big", "est_distinct"]
+    assert abs(est - 900) / 900 < 3 / np.sqrt(64)
+    again = kmv_grouped_distinct(rd.from_items(rows).repartition(1),
+                                 key_col="k", value_col="v", k=64) \
+        .to_pandas().set_index("k")
+    assert (again["kth_min"] == out["kth_min"]).all()
