@@ -315,6 +315,18 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct_tokens(_sf_documents(sf_dir), k=64)
 
 
+def q_quantize(sf_dir: str):
+    """int8 embedding quantization (map-only, zero shuffle).  The oracle
+    compares the integer summaries; the q_vec list column itself stays
+    Arrow-side for downstream ANN stages (driver hash needs scalar
+    columns)."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.ann import quantize_embeddings_int8
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return quantize_embeddings_int8(vecs).drop_columns(["q_vec"])
+
+
 def q_kmv_users(sf_dir: str):
     """Grouped KMV sketch: estimated distinct users per event type —
     the scalable COUNT(DISTINCT) GROUP BY shape (≤ k hashes per key per
@@ -1037,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "kmv_distinct": q_kmv_distinct,
         "kmv_users": q_kmv_users,
+        "quantize_embeddings": q_quantize,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1621,6 +1634,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "quantize_embeddings": """
+            WITH x AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    v -> CAST(v AS DOUBLE)) AS xs
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, xs,
+                     list_max(list_transform(xs, v -> abs(v))) AS mx
+              FROM x),
+            q AS (
+              SELECT vec_id, mx,
+                     CASE WHEN mx > 0 THEN
+                       list_transform(xs,
+                         v -> CAST(trunc(127.0 * v / mx) AS BIGINT))
+                     ELSE list_transform(xs, v -> CAST(0 AS BIGINT))
+                     END AS qs
+              FROM m)
+            SELECT vec_id,
+                   CAST(len(qs) AS BIGINT) AS n_dims,
+                   CAST(FLOOR(mx * 1000000) AS BIGINT) AS scale_ppm,
+                   CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                   CAST(list_min(qs) AS BIGINT) AS q_min,
+                   CAST(list_max(qs) AS BIGINT) AS q_max,
+                   CAST(list_sum(list_transform(qs, v -> abs(v)))
+                       AS BIGINT) AS q_l1
+            FROM q
         """,
         "kmv_users": """
             WITH v AS (

@@ -389,3 +389,49 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
     return found.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")
+
+
+def quantize_embeddings_int8(ds, embedding_col: str = "embedding",
+                             id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization — the storage/compute
+    shrink step before an ANN index ships to a cluster (4× smaller than
+    float32, SIMD-friendly int dot products).
+
+    q_i = trunc(127 · x_i / max|x|) computed in float64, which is
+    bit-reproducible across engines (IEEE multiply/divide + trunc — no
+    rounding-mode hazard), so a SQL oracle replays every component.
+    Map-only, zero shuffle.  Emits the quantized vector plus integer
+    summaries (the oracle compares the summaries; list payloads stay in
+    Arrow for downstream stages): (id, n_dims, scale_ppm, q_sum, q_min,
+    q_max, q_l1).
+    """
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, qvecs = [], []
+        n_dims = np.empty(len(batch), dtype=np.int64)
+        scale_ppm = np.empty(len(batch), dtype=np.int64)
+        q_sum = np.empty(len(batch), dtype=np.int64)
+        q_min = np.empty(len(batch), dtype=np.int64)
+        q_max = np.empty(len(batch), dtype=np.int64)
+        q_l1 = np.empty(len(batch), dtype=np.int64)
+        for i, (vid, vec) in enumerate(
+                zip(batch[id_col], batch[embedding_col])):
+            x = np.asarray(vec, dtype=np.float64)
+            mx = float(np.abs(x).max()) if len(x) else 0.0
+            q = (np.trunc(127.0 * x / mx).astype(np.int64)
+                 if mx > 0 else np.zeros(len(x), dtype=np.int64))
+            ids.append(vid)
+            # plain list: pandas->Arrow block conversion rejects columns
+            # of numpy int8 ndarrays but handles list<int64> natively
+            qvecs.append(q.tolist())
+            n_dims[i] = len(x)
+            scale_ppm[i] = int(np.floor(mx * 1_000_000))
+            q_sum[i] = int(q.sum())
+            q_min[i] = int(q.min()) if len(q) else 0
+            q_max[i] = int(q.max()) if len(q) else 0
+            q_l1[i] = int(np.abs(q).sum())
+        return pd.DataFrame({
+            id_col: ids, "q_vec": qvecs, "n_dims": n_dims,
+            "scale_ppm": scale_ppm, "q_sum": q_sum, "q_min": q_min,
+            "q_max": q_max, "q_l1": q_l1})
+
+    return ds.map_batches(quant, batch_format="pandas")

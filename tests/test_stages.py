@@ -1418,3 +1418,22 @@ def test_kmv_grouped_distinct(rd):
                                  key_col="k", value_col="v", k=64) \
         .to_pandas().set_index("k")
     assert (again["kth_min"] == out["kth_min"]).all()
+
+
+def test_quantize_embeddings_int8(rd):
+    """Quantized components stay in [-127, 127], the max-|x| component
+    maps to ±127 exactly, and zero vectors quantize to zeros."""
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.ann import quantize_embeddings_int8
+    ds = rd.from_items([
+        {"vec_id": 1, "embedding": [0.5, -1.0, 0.25]},
+        {"vec_id": 2, "embedding": [0.0, 0.0, 0.0]},
+        {"vec_id": 3, "embedding": [2.0, 1.0]},
+    ])
+    out = quantize_embeddings_int8(ds).to_pandas().set_index("vec_id")
+    assert list(out.loc[1, "q_vec"]) == [63, -127, 31]
+    assert out.loc[1, "q_min"] == -127 and out.loc[1, "q_l1"] == 221
+    assert list(out.loc[2, "q_vec"]) == [0, 0, 0]
+    assert out.loc[2, "scale_ppm"] == 0
+    assert list(out.loc[3, "q_vec"]) == [127, 63]
+    assert out.loc[3, "q_max"] == 127
