@@ -315,6 +315,13 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct_tokens(_sf_documents(sf_dir), k=64)
 
 
+def q_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + lowercase + whitespace
+    collapse + trim), map-only."""
+    from rdfa_streaming_parser_js_ray.stages.text import normalize_text
+    return normalize_text(_sf_documents(sf_dir))
+
+
 def q_quantize(sf_dir: str):
     """int8 embedding quantization (map-only, zero shuffle).  The oracle
     compares the integer summaries; the q_vec list column itself stays
@@ -1050,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_users": q_kmv_users,
         "quantize_embeddings": q_quantize,
+        "normalize_text": q_normalize,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1634,6 +1642,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "normalize_text": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                         lower(nfc_normalize(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g')) AS norm_text
+              FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(len(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
         """,
         "quantize_embeddings": """
             WITH x AS (

@@ -463,3 +463,34 @@ def redact_pii(ds, concurrency: int = 4, **kwargs):
     return ds.map_batches(PiiRedactor, fn_constructor_kwargs=kwargs,
                           batch_format="pandas", concurrency=concurrency,
                           num_cpus=0.5)
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization — the first prep pass of a training
+    pipeline: Unicode NFC, default lowercase, whitespace collapsed to
+    single spaces, ends trimmed.  Vectorized (one C-regex pass per
+    batch; NFC via a str accessor only when the batch actually contains
+    non-ASCII, which keeps the common 100-TB path allocation-free).
+    Emits (id, norm_text, n_chars_norm); the steps mirror DuckDB's
+    ``nfc_normalize``/``lower``/``regexp_replace`` so the oracle
+    replays them in the same order.
+    """
+    import unicodedata
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        # NFC only where needed: ASCII rows are NFC by definition
+        ascii_mask = ~s.str.contains(r"[^\x00-\x7f]", regex=True)
+        if not ascii_mask.all():
+            fixed = s[~ascii_mask].map(
+                lambda t: unicodedata.normalize("NFC", t))
+            s = s.copy()
+            s[~ascii_mask] = fixed
+        s = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "norm_text": s.to_numpy(),
+            "n_chars_norm": s.str.len().to_numpy(dtype="int64"),
+        })
+
+    return ds.map_batches(norm, batch_format="pandas")

@@ -1437,3 +1437,20 @@ def test_quantize_embeddings_int8(rd):
     assert out.loc[2, "scale_ppm"] == 0
     assert list(out.loc[3, "q_vec"]) == [127, 63]
     assert out.loc[3, "q_max"] == 127
+
+
+def test_normalize_text(rd):
+    """NFC composition, lowercasing, whitespace collapse, and trim —
+    including a decomposed accent that must compose to one code point."""
+    from rdfa_streaming_parser_js_ray.stages.text import normalize_text
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "  Hello\t\tWORLD \n"},
+        {"doc_id": 2, "text": "Cafe\u0301 TIME"},  # e + combining acute
+        {"doc_id": 3, "text": ""},
+    ])
+    out = normalize_text(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "norm_text"] == "hello world"
+    assert out.loc[1, "n_chars_norm"] == 11
+    assert out.loc[2, "norm_text"] == "café time"   # composed é
+    assert out.loc[2, "n_chars_norm"] == 9
+    assert out.loc[3, "norm_text"] == "" and out.loc[3, "n_chars_norm"] == 0
