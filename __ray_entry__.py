@@ -315,6 +315,47 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct_tokens(_sf_documents(sf_dir), k=64)
 
 
+def q_token_band_filter(sf_dir: str):
+    """Per-language interquartile token-count filter (keep docs whose
+    length sits in [q25, q75] of their language) — the Gopher-style
+    length trim composed from the histogram-exact grouped_quantiles.
+    The quantile table is a handful of rows (one per language), so it
+    broadcasts; the corpus pass stays map-only."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.sources.documents import read_parquet_clean
+    from rdfa_streaming_parser_js_ray.stages.stats import grouped_quantiles
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+
+    def with_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "lang": batch["lang"].to_numpy(),
+            "n_tokens": batch["text"].fillna("").str.count(r"\S+")
+                        .to_numpy(dtype="int64")})
+
+    toks = docs.map_batches(with_tokens, batch_format="pandas")
+    bands = grouped_quantiles(toks, key_col="lang", value_col="n_tokens",
+                              qs=(0.25, 0.75)).to_pandas()
+    band_ref = ray.put(bands.set_index("lang")[["q25", "q75"]])
+
+    class BandFilter:
+        def __init__(self):
+            self.bands = ray.get(band_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            lo = self.bands["q25"].reindex(batch["lang"]).to_numpy()
+            hi = self.bands["q75"].reindex(batch["lang"]).to_numpy()
+            n = batch["n_tokens"].to_numpy()
+            return batch[(n >= lo) & (n <= hi)]
+
+    return toks.map_batches(BandFilter, batch_format="pandas",
+                            concurrency=2, num_cpus=0.5)
+
+
 def q_normalize(sf_dir: str):
     """Canonical text normalization (NFC + lowercase + whitespace
     collapse + trim), map-only."""
@@ -1058,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users": q_kmv_users,
         "quantize_embeddings": q_quantize,
         "normalize_text": q_normalize,
+        "token_band_filter": q_token_band_filter,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "knn_graph": q_knn_graph,
@@ -1642,6 +1684,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "token_band_filter": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\\S+'))
+                         AS BIGINT) AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT lang,
+                     quantile_disc(n_tokens, 0.25) AS q25,
+                     quantile_disc(n_tokens, 0.75) AS q75
+              FROM t GROUP BY lang)
+            SELECT doc_id, t.lang, n_tokens
+            FROM t JOIN q USING (lang)
+            WHERE n_tokens BETWEEN q25 AND q75
         """,
         "normalize_text": """
             WITH n AS (
