@@ -119,6 +119,31 @@ def q_corpus_prep(sf_dir: str):
     return final.select_columns(["doc_id", "split"])
 
 
+def q_corpus_prep_full(sf_dir: str):
+    """The WHOLE training-data prep chain with every optional stage on:
+    normalize → exact dedup → near-dup removal → benchmark
+    decontamination → quality filter → split — oracled end to end
+    (DuckDB replays normalization, normalized-text dedup, exact Jaccard
+    victims, gram-overlap contamination, quality arithmetic, and the
+    modulo split).  The benchmark side is the doc_id % 97 == 3 slice;
+    gram extraction is normalization-invariant (lower + \\S+ tokens), so
+    the raw slice and its normalized twin share grams."""
+    import numpy as np
+    import pyarrow as pa
+    from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
+
+    docs = _sf_documents(sf_dir)
+
+    def bench_slice(batch):
+        mask = batch["doc_id"].to_numpy() % 97 == 3
+        return batch.filter(pa.array(mask))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    final, _metrics = prepare_corpus(docs, normalize=True,
+                                     decontam_bench_ds=bench)
+    return final.select_columns(["doc_id", "split"])
+
+
 def q_token_counts(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.text import token_counts
     return token_counts(_sf_documents(sf_dir))
@@ -1081,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "dedup_corpus": q_dedup_corpus,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_full": q_corpus_prep_full,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality": q_quality,
@@ -1365,6 +1391,77 @@ def oracle_sql() -> dict[str, str]:
                      greatest(len(regexp_extract_all(lower(text), '[a-z]+')),
                               1) AS n_letter
               FROM kept)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END
+                       AS split
+            FROM scored
+            WHERE n_words >= 5 AND n_stop::DOUBLE / n_letter <= 0.9
+        """,
+        "corpus_prep_full": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                         lower(nfc_normalize(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g')) AS text
+              FROM documents),
+            uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM norm) WHERE rn = 1),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM uniq),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(1, len(t) - 2)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            victims AS (
+              SELECT DISTINCT b.doc_id AS doc_b
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                    / (len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g))) >= 0.8),
+            kept AS (
+              SELECT u.doc_id, u.text FROM uniq u
+              WHERE u.doc_id NOT IN (SELECT doc_b FROM victims)),
+            btoks AS (
+              SELECT regexp_extract_all(lower(text), '\\S+') AS t
+              FROM documents WHERE doc_id % 97 = 3),
+            bench_g AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS gr
+              FROM btoks),
+            dgrams AS (
+              SELECT doc_id,
+                CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END AS hs
+              FROM toks),
+            contaminated AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(hs)) AS gr
+                FROM dgrams)
+              JOIN bench_g USING (gr)),
+            decon AS (
+              SELECT k.doc_id, k.text FROM kept k
+              WHERE k.doc_id NOT IN
+                    (SELECT doc_id FROM contaminated)),
+            scored AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+                     greatest(len(regexp_extract_all(lower(text), '[a-z]+')),
+                              1) AS n_letter
+              FROM decon)
             SELECT doc_id,
                    CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END
                        AS split

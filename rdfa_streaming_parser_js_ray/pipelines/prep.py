@@ -23,11 +23,26 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
                    near_dup_threshold: float = 0.8,
                    min_words: int = 5, max_stop_ratio: float = 0.9,
                    train_mod: int = 10, train_buckets: int = 8,
-                   id_col: str = "doc_id", text_col: str = "text"):
+                   id_col: str = "doc_id", text_col: str = "text",
+                   normalize: bool = False,
+                   decontam_bench_ds=None, decontam_n: int = 3,
+                   decontam_threshold: int = 1):
     """Returns (prepared Dataset, metrics dict).
 
     Near-dup policy: within each verified near-dup pair the larger id is
     dropped (the smaller survives) — deterministic and order-free.
+
+    Optional stages (both default off so the round-2 oracle stays
+    byte-stable):
+
+    - ``normalize=True`` canonicalizes text FIRST (NFC + lowercase +
+      whitespace collapse + trim — stages.text.normalize_text order),
+      so dedup hashes and n-grams see canonical bytes.
+    - ``decontam_bench_ds`` drops documents sharing ≥ threshold distinct
+      word-``decontam_n``-grams with the benchmark set, after near-dup
+      removal.  Uses the md5-of-gram twin (SQL-replayable; collisions
+      negligible) — the crc-rolling production path is
+      ``stages.decontam.drop_contaminated``.
     """
     import numpy as np
     import pandas as pd
@@ -36,6 +51,23 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
 
     metrics: dict = {"stages": {}}
     t0 = time.monotonic()
+
+    if normalize:
+        import unicodedata
+
+        def norm(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch[text_col].fillna("")
+            ascii_mask = ~s.str.contains(r"[^\x00-\x7f]", regex=True)
+            if not ascii_mask.all():
+                s = s.copy()
+                s[~ascii_mask] = s[~ascii_mask].map(
+                    lambda t: unicodedata.normalize("NFC", t))
+            batch = batch.copy()
+            batch[text_col] = s.str.lower() \
+                .str.replace(r"\s+", " ", regex=True).str.strip()
+            return batch
+
+        docs_ds = docs_ds.map_batches(norm, batch_format="pandas")
 
     # 1. exact dedup, keeping full rows
     t_s = time.monotonic()
@@ -68,6 +100,31 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
     kept = anti_join(unique_docs, pairs, on=id_col, right_on="doc_b") \
         if pairs.count() else unique_docs
     metrics["stages"]["near_dup_sec"] = round(time.monotonic() - t_s, 3)
+
+    # 2b. optional benchmark decontamination (broadcast gram set, one
+    # map-only filter pass; the benchmark side is eval-set-sized)
+    if decontam_bench_ds is not None:
+        import ray
+
+        from ..stages.decontam import _md5_grams, benchmark_md5_hashes
+        t_s = time.monotonic()
+        bench_ref = ray.put(
+            benchmark_md5_hashes(decontam_bench_ds, n=decontam_n,
+                                 text_col=text_col))
+        n_gram, thresh = decontam_n, decontam_threshold
+
+        class _Drop:
+            def __init__(self):
+                self.bench = ray.get(bench_ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                keep = [len(set(_md5_grams(t, n_gram)) & self.bench)
+                        < thresh for t in batch[text_col]]
+                return batch[np.asarray(keep)]
+
+        kept = kept.map_batches(_Drop, batch_format="pandas",
+                                concurrency=2, num_cpus=0.5)
+        metrics["stages"]["decontam_sec"] = round(time.monotonic() - t_s, 3)
 
     # 3. quality filter — features computed inline per batch (no driver
     # round-trip; the scored columns are dropped after thresholding)

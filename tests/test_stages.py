@@ -1454,3 +1454,35 @@ def test_normalize_text(rd):
     assert out.loc[2, "norm_text"] == "café time"   # composed é
     assert out.loc[2, "n_chars_norm"] == 9
     assert out.loc[3, "norm_text"] == "" and out.loc[3, "n_chars_norm"] == 0
+
+
+def test_prepare_corpus_optional_stages(rd):
+    """normalize=True merges case/whitespace-variant duplicates before
+    dedup; decontam_bench_ds drops gram-overlapping docs; both stages
+    default off (round-2 behavior unchanged)."""
+    from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the dog"},
+        {"doc_id": 2, "text": "THE  quick   Brown fox jumps over the dog"},
+        {"doc_id": 3, "text": "a totally different clean document with "
+                              "plenty of fresh useful words inside"},
+        {"doc_id": 4, "text": "the quick brown fox appears here too with "
+                              "more trailing context words"},
+    ])
+    bench = rd.from_items([{"doc_id": 99,
+                            "text": "the quick brown fox jumps"}])
+    # default: docs 1/2 differ byte-wise (case+spacing) so they pass
+    # exact dedup and fall to the NEAR-dup stage (shingles lower/split)
+    base, mb = prepare_corpus(docs, min_words=3)
+    assert sorted(base.to_pandas()["doc_id"]) == [1, 3, 4]
+    assert mb["docs_after_exact"] == 4 and mb["near_dups_dropped"] == 1
+    # normalize: doc 2 collapses onto doc 1 already at the EXACT stage
+    normed, mn = prepare_corpus(docs, min_words=3, normalize=True)
+    assert sorted(normed.to_pandas()["doc_id"]) == [1, 3, 4]
+    assert mn["docs_after_exact"] == 3 and mn["near_dups_dropped"] == 0
+    # decontam: docs sharing a benchmark 3-gram are dropped (1 and 4
+    # both contain "the quick brown" / "quick brown fox")
+    clean, m = prepare_corpus(docs, min_words=3, normalize=True,
+                              decontam_bench_ds=bench)
+    assert sorted(clean.to_pandas()["doc_id"]) == [3]
+    assert "decontam_sec" in m["stages"]
