@@ -1486,3 +1486,38 @@ def test_prepare_corpus_optional_stages(rd):
                               decontam_bench_ds=bench)
     assert sorted(clean.to_pandas()["doc_id"]) == [3]
     assert "decontam_sec" in m["stages"]
+
+
+def test_decontaminate_hash_families_agree(rd):
+    """The production (crc rolling-hash) and md5-twin decontamination
+    paths give identical verdicts on a randomized corpus — verdicts are
+    a property of the gram SEQUENCES, not of the hash family (barring
+    astronomically unlikely collisions)."""
+    import numpy as np
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_gram_ref, benchmark_md5_hashes, decontaminate,
+        decontaminate_md5,
+    )
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(60)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    bench_rows = [{"doc_id": 1000 + i, "text": doc(12)} for i in range(8)]
+    corpus_rows = [{"doc_id": i, "text": doc(int(rng.randint(3, 30)))}
+                   for i in range(150)]
+    # plant guaranteed hits: two corpus docs embed a benchmark window
+    corpus_rows[7]["text"] = "zz " + bench_rows[0]["text"] + " yy"
+    corpus_rows[23]["text"] = bench_rows[3]["text"]
+    bench = rd.from_items(bench_rows)
+    corpus = rd.from_items(corpus_rows)
+
+    prod = decontaminate(corpus, benchmark_gram_ref(bench, n=3), n=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    twin = decontaminate_md5(corpus, benchmark_md5_hashes(bench, n=3), n=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert (prod["contaminated"] == twin["contaminated"]).all()
+    assert (prod["n_hit_grams"] == twin["n_hit_grams"]).all()
+    assert prod.loc[7, "contaminated"] == 1
+    assert prod.loc[23, "contaminated"] == 1
