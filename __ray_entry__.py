@@ -1090,6 +1090,25 @@ def q_span_audit(sf_dir: str):
     return span_audit(_wrapped_docs(sf_dir))
 
 
+def q_pack_docs(sf_dir: str):
+    """Token-budget contiguous packing (distributed prefix sum): pack_id
+    = global token prefix // budget under the deterministic
+    (md5-bucket, doc_id) order; the driver sees only the 16 per-bucket
+    totals.  SQL-replayable via md5_number + a window SUM."""
+    from rdfa_streaming_parser_js_ray.stages.pack import pack_documents
+    return pack_documents(_sf_documents(sf_dir), budget=2048,
+                          num_buckets=16)
+
+
+def q_chunk_windows(sf_dir: str):
+    """Map-only long-document windowing: 512-token windows with
+    64-token overlap, exact-integer chunk math, empty docs keep one
+    empty chunk."""
+    from rdfa_streaming_parser_js_ray.stages.pack import token_window_chunks
+    return token_window_chunks(_sf_documents(sf_dir), window=512,
+                               overlap=64)
+
+
 # --------------------------------------------------------------------- #
 # contract
 
@@ -1154,6 +1173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q_degree_histogram,
         "suppliers_by_region": q_suppliers_by_region,
         "train_val_split": q_train_val_split,
+        "pack_docs": q_pack_docs,
+        "chunk_windows": q_chunk_windows,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1237,6 +1258,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "pack_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(((md5_number(CAST(doc_id AS VARCHAR)) % 16) + 16)
+                          % 16 AS BIGINT) AS bucket
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens, bucket,
+                     SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum0
+              FROM t)
+            SELECT doc_id, n_tokens, bucket,
+                   CAST(cum0 // 2048 AS BIGINT) AS pack_id,
+                   CAST(cum0 - (cum0 // 2048) * 2048 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "chunk_windows": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n
+              FROM documents)
+            SELECT doc_id,
+                   CAST(gs AS BIGINT) AS chunk_index,
+                   CAST(gs * 448 AS BIGINT) AS tok_start,
+                   CAST(LEAST(gs * 448 + 512, n) AS BIGINT) AS tok_end
+            FROM (
+              SELECT doc_id, n,
+                     unnest(generate_series(
+                         0, (GREATEST(n - 512, 0) + 447) // 448)) AS gs
+              FROM t)
         """,
         "bpe_token_counts": """
             SELECT doc_id,

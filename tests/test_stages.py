@@ -1521,3 +1521,84 @@ def test_decontaminate_hash_families_agree(rd):
     assert (prod["n_hit_grams"] == twin["n_hit_grams"]).all()
     assert prod.loc[7, "contaminated"] == 1
     assert prod.loc[23, "contaminated"] == 1
+
+
+def test_pack_documents_matches_pandas_reference(rd):
+    """Distributed prefix-sum packing == single-process pandas reference
+    (same (md5-bucket, doc_id) order, same exact-int arithmetic),
+    independent of block layout; offsets stay inside the budget."""
+    import hashlib
+
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.pack import pack_documents
+
+    rng = np.random.RandomState(5)
+    rows = [{"doc_id": int(i),
+             "text": " ".join(f"t{j}" for j in range(int(rng.randint(0, 40))))}
+            for i in range(120)]
+    rows[3]["text"] = ""          # empty doc: 0 tokens, still packed
+    budget, nb = 64, 8
+
+    out = pack_documents(rd.from_items(rows).repartition(9), budget=budget,
+                         num_buckets=nb) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    ref = pd.DataFrame(rows)
+    ref["n_tokens"] = ref["text"].str.count(r"\S+").astype("int64")
+    ref["bucket"] = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest(), "little") % nb
+        for i in ref["doc_id"]]
+    ref = ref.sort_values(["bucket", "doc_id"], kind="mergesort")
+    start = ref["n_tokens"].cumsum() - ref["n_tokens"]
+    ref["pack_id"] = (start // budget).astype("int64")
+    ref["pack_offset"] = (start - ref["pack_id"] * budget).astype("int64")
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+
+    assert len(out) == len(ref)
+    for col in ("n_tokens", "bucket", "pack_id", "pack_offset"):
+        assert (out[col].to_numpy() == ref[col].to_numpy()).all(), col
+    assert (out["pack_offset"] < budget).all()
+    assert (out["pack_offset"] >= 0).all()
+    # pack_id is non-decreasing in the global (bucket, doc_id) order
+    ordered = out.sort_values(["bucket", "doc_id"], kind="mergesort")
+    assert (np.diff(ordered["pack_id"].to_numpy()) >= 0).all()
+
+    # block-layout invariance: one block == nine blocks
+    one = pack_documents(rd.from_items(rows).repartition(1), budget=budget,
+                         num_buckets=nb) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ("pack_id", "pack_offset"):
+        assert (one[col].to_numpy() == out[col].to_numpy()).all(), col
+
+
+def test_token_window_chunks_properties(rd):
+    """Window bounds, coverage, exact chunk counts, empty-doc row."""
+    import math
+
+    from rdfa_streaming_parser_js_ray.stages.pack import token_window_chunks
+
+    lens = [0, 1, 7, 8, 9, 15, 16, 17, 100]
+    rows = [{"doc_id": i, "text": " ".join(f"w{j}" for j in range(n))}
+            for i, n in enumerate(lens)]
+    window, overlap = 8, 3
+    stride = window - overlap
+    out = token_window_chunks(rd.from_items(rows), window=window,
+                              overlap=overlap).to_pandas()
+
+    for doc, grp in out.groupby("doc_id"):
+        n = lens[doc]
+        grp = grp.sort_values("chunk_index")
+        assert list(grp["chunk_index"]) == list(range(len(grp)))
+        assert len(grp) == 1 + max(0, math.ceil((n - window) / stride))
+        assert (grp["tok_start"].to_numpy()
+                == grp["chunk_index"].to_numpy() * stride).all()
+        assert (grp["tok_end"].to_numpy()
+                == np.minimum(grp["tok_start"].to_numpy() + window, n)).all()
+        assert grp["tok_end"].iloc[-1] == n
+        if n:
+            assert (grp["tok_end"] > grp["tok_start"]).all()
+        # neighbours share exactly `overlap` tokens (full windows)
+        full = grp[grp["tok_end"] - grp["tok_start"] == window]
+        if len(full) > 1:
+            s = full["tok_start"].to_numpy()
+            assert ((s[:-1] + window - s[1:]) == overlap).all()
