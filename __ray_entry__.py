@@ -1100,6 +1100,14 @@ def q_pack_docs(sf_dir: str):
                           num_buckets=16)
 
 
+def q_shard_manifest(sf_dir: str):
+    """Seeded epoch-shuffle shard manifest: shard + in-shard position
+    from a uint64 md5 rank — a reshufflable training permutation with
+    ONE slim grouped exchange instead of a payload random_shuffle."""
+    from rdfa_streaming_parser_js_ray.stages.pack import shard_documents
+    return shard_documents(_sf_documents(sf_dir), n_shards=8, seed="epoch0")
+
+
 def q_chunk_windows(sf_dir: str):
     """Map-only long-document windowing: 512-token windows with
     64-token overlap, exact-integer chunk math, empty docs keep one
@@ -1175,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q_train_val_split,
         "pack_docs": q_pack_docs,
         "chunk_windows": q_chunk_windows,
+        "shard_manifest": q_shard_manifest,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1277,6 +1286,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS pack_id,
                    CAST(cum0 - (cum0 // 2048) * 2048 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "shard_manifest": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(((md5_number('epoch0:' || CAST(doc_id AS VARCHAR))
+                            % 18446744073709551616) + 18446744073709551616)
+                          % 18446744073709551616 AS UBIGINT) AS rank
+              FROM documents)
+            SELECT doc_id,
+                   CAST(rank % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY rank % 8
+                                           ORDER BY rank, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM t
         """,
         "chunk_windows": """
             WITH t AS (

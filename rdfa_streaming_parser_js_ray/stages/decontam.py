@@ -192,3 +192,99 @@ def benchmark_md5_hashes(bench_ds, n: int = 3, text_col: str = "text",
         raise ValueError(
             f"benchmark gram set ({len(result)}) exceeds broadcast guard")
     return result
+
+
+# ------------------------------------------------------------- bloom --
+
+def benchmark_bloom_ref(bench_ds, n: int = 5, text_col: str = "text",
+                        bits_log2: int = 24, k_hashes: int = 4):
+    """Bloom-filter form of the broadcast benchmark side: ``2**bits_log2``
+    bits (2**24 = 2 MiB) instead of the sorted uint64 array (8 B/gram).
+
+    This is the broadcast-budget knob for large eval sets: at 50M grams
+    the sorted array is 400 MB per node; a 2**30-bit bloom is 128 MiB at
+    ~3% false-positive rate with k=4.  False positives only ever
+    OVER-flag (a clean document may be tagged contaminated) — the safe
+    direction for decontamination — and never under-flag, so the bloom
+    path's drop set is a superset of the exact path's (pinned by test).
+
+    Probe positions by double hashing the same rolling-crc gram hashes
+    the exact path uses: ``pos_j = (h + j * h2) mod m`` with
+    ``h2 = h * 0x9E3779B97F4A7C15 | 1`` (odd, so all m positions are
+    reachable).  Returns ``(ray.put(words), bits_log2, k_hashes)`` where
+    ``words`` is the packed uint64 bitset.
+    """
+    import ray
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = [_shingle_hashes(t or "", k=n) for t in batch[text_col]]
+        h = np.unique(np.concatenate(parts)) if parts else \
+            np.array([], dtype=np.uint64)
+        return pd.DataFrame({"gram": h})
+
+    pulled = bench_ds.map_batches(grams, batch_format="pandas").to_pandas()
+    h = np.unique(pulled["gram"].to_numpy(dtype=np.uint64))
+    m = np.uint64(1 << bits_log2)
+    words = np.zeros((1 << bits_log2) >> 6, dtype=np.uint64)
+    h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    for j in range(k_hashes):
+        pos = (h + np.uint64(j) * h2) % m
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return ray.put(words), bits_log2, k_hashes
+
+
+class _BloomDecontaminator:
+    """Actor-pool stage: packed bloom bitset in (once per actor),
+    per-doc bloom-positive gram counts out."""
+
+    def __init__(self, bloom_ref, bits_log2: int, k_hashes: int, n: int,
+                 id_col: str, text_col: str, threshold: int):
+        import ray
+        self.words = bloom_ref if isinstance(bloom_ref, np.ndarray) \
+            else ray.get(bloom_ref)
+        self.m = np.uint64(1 << bits_log2)
+        self.k = k_hashes
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+
+    def _member(self, h: np.ndarray) -> np.ndarray:
+        ok = np.ones(len(h), dtype=bool)
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        for j in range(self.k):
+            pos = (h + np.uint64(j) * h2) % self.m
+            bits = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= (bits >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return ok
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_grams = np.empty(len(batch), dtype=np.int64)
+        n_hits = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch[self.text_col]):
+            h = _shingle_hashes(text or "", k=self.n)
+            n_grams[i] = len(h)
+            n_hits[i] = int(np.count_nonzero(self._member(h))) if len(h) \
+                else 0
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col].to_numpy(),
+            "n_grams": n_grams,
+            "n_hit_grams": n_hits,
+            "contaminated": (n_hits >= self.threshold).astype("int64"),
+        })
+
+
+def decontaminate_bloom(corpus_ds, bloom, n: int = 5, threshold: int = 1,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        concurrency: int = 4):
+    """Bloom-broadcast decontamination tagging: same single map-only
+    corpus pass as :func:`decontaminate`, constant-size broadcast.
+    ``bloom`` is the tuple from :func:`benchmark_bloom_ref`."""
+    bloom_ref, bits_log2, k_hashes = bloom
+    return corpus_ds.map_batches(
+        _BloomDecontaminator,
+        fn_constructor_kwargs=dict(bloom_ref=bloom_ref, bits_log2=bits_log2,
+                                   k_hashes=k_hashes, n=n, id_col=id_col,
+                                   text_col=text_col, threshold=threshold),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)

@@ -165,3 +165,48 @@ def token_window_chunks(ds, *, window: int, overlap: int = 0,
         })
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def shard_documents(ds, *, n_shards: int, seed: str = "",
+                    id_col: str = "doc_id"):
+    """Deterministic epoch-shuffle shard manifest: every document gets a
+    ``(shard, pos)`` — which training shard it belongs to and its
+    position inside that shard — under a seeded pseudo-random
+    permutation, ``(doc_id, shard, pos)`` out.
+
+    ``rank = md5_number(seed ~ ':' ~ str(id))`` (uint64, little-endian
+    md5 convention); ``shard = rank % n_shards``; ``pos`` = the rank
+    order within the shard (doc_id tiebreak).  A different ``seed``
+    yields an independent permutation — epoch reshuffling without a
+    ``random_shuffle`` all-to-all over the payload: ONE grouped exchange
+    over slim (id, rank) rows, zero driver pulls, and the actual
+    document bytes are later fetched in manifest order (or joined
+    shard-locally), never globally shuffled.  SQL-replayable via
+    ``row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id)``.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        rank = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(f"{seed}:{v}".encode()).digest()
+            rank[i] = int.from_bytes(d, "little") & ((1 << 64) - 1)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rank": rank,
+            "shard": (rank % np.uint64(n_shards)).astype("int64"),
+        })
+
+    def enumerate_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rank", "doc_id"], kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shard": g["shard"].to_numpy(),
+            "pos": np.arange(len(g), dtype="int64"),
+        })
+
+    return ds.map_batches(project, batch_format="pandas") \
+             .groupby("shard").map_groups(enumerate_shard,
+                                          batch_format="pandas")

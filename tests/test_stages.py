@@ -1602,3 +1602,76 @@ def test_token_window_chunks_properties(rd):
         if len(full) > 1:
             s = full["tok_start"].to_numpy()
             assert ((s[:-1] + window - s[1:]) == overlap).all()
+
+
+def test_shard_documents_permutation_properties(rd):
+    """Shard manifest: every doc exactly once, positions are dense
+    0..len(shard)-1, assignment matches the md5-rank reference, and a
+    different seed yields a different permutation."""
+    import hashlib
+
+    from rdfa_streaming_parser_js_ray.stages.pack import shard_documents
+
+    rows = [{"doc_id": int(i), "text": "x"} for i in range(200)]
+    out = shard_documents(rd.from_items(rows).repartition(7), n_shards=4,
+                          seed="e0").to_pandas()
+    assert len(out) == 200
+    assert sorted(out["doc_id"]) == list(range(200))
+
+    def rank(seed, i):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest(), "little") \
+            % (1 << 64)
+
+    for _, r in out.sample(20, random_state=3).iterrows():
+        assert int(r["shard"]) == rank("e0", r["doc_id"]) % 4
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(len(grp)))
+        # pos order is md5-rank order
+        rs = [rank("e0", i) for i in grp["doc_id"]]
+        assert rs == sorted(rs)
+
+    other = shard_documents(rd.from_items(rows), n_shards=4,
+                            seed="e1").to_pandas()
+    merged = out.merge(other, on="doc_id", suffixes=("_0", "_1"))
+    assert (merged["shard_0"] != merged["shard_1"]).any()
+
+
+def test_bloom_decontaminate_superset_of_exact(rd):
+    """Bloom path flags every exactly-contaminated doc (no false
+    negatives) and its false-positive overcount is bounded on a random
+    corpus; the planted hit is flagged by both."""
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_bloom_ref, benchmark_gram_ref, decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(80)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    bench_rows = [{"doc_id": 1000 + i, "text": doc(15)} for i in range(6)]
+    corpus_rows = [{"doc_id": i, "text": doc(int(rng.randint(5, 40)))}
+                   for i in range(200)]
+    corpus_rows[11]["text"] = "aa " + bench_rows[2]["text"] + " bb"
+    bench = rd.from_items(bench_rows)
+    corpus = rd.from_items(corpus_rows)
+
+    exact = decontaminate(corpus, benchmark_gram_ref(bench, n=5), n=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    bloom = decontaminate_bloom(
+        corpus, benchmark_bloom_ref(bench, n=5, bits_log2=20), n=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    assert (exact["n_grams"] == bloom["n_grams"]).all()
+    # no false negatives, gram-level and doc-level
+    assert (bloom["n_hit_grams"] >= exact["n_hit_grams"]).all()
+    assert (bloom["contaminated"] >= exact["contaminated"]).all()
+    assert bloom.loc[11, "contaminated"] == 1
+    assert exact.loc[11, "contaminated"] == 1
+    # FP overcount bounded: 2^20 bits vs ~5k distinct grams -> tiny rate
+    over = int((bloom["n_hit_grams"] - exact["n_hit_grams"]).sum())
+    assert over <= 5
