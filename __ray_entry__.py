@@ -1108,6 +1108,29 @@ def q_shard_manifest(sf_dir: str):
     return shard_documents(_sf_documents(sf_dir), n_shards=8, seed="epoch0")
 
 
+def q_pack_chunks(sf_dir: str):
+    """Composed training-batch manifest: chunk to 512-token windows
+    (64 overlap) then pack the chunks into 1024-token training windows
+    — budget >= window guarantees single-boundary packs, and a doc's
+    chunks stay contiguous under the (bucket, doc_id, chunk_index)
+    order."""
+    from rdfa_streaming_parser_js_ray.stages.pack import pack_token_windows
+    return pack_token_windows(_sf_documents(sf_dir), window=512,
+                              overlap=64, budget=1024, num_buckets=16)
+
+
+def q_sample_per_source(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per source by seeded md5
+    rank; per-batch k-min combiner bounds what crosses the exchange."""
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        read_parquet_clean,
+    )
+    from rdfa_streaming_parser_js_ray.stages.pack import sample_per_group
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source"])
+    return sample_per_group(docs, group_col="source", k=5, seed="s0")
+
+
 def q_chunk_windows(sf_dir: str):
     """Map-only long-document windowing: 512-token windows with
     64-token overlap, exact-integer chunk math, empty docs keep one
@@ -1184,6 +1207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": q_pack_docs,
         "chunk_windows": q_chunk_windows,
         "shard_manifest": q_shard_manifest,
+        "sample_per_source": q_sample_per_source,
+        "pack_chunks": q_pack_chunks,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1286,6 +1311,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS pack_id,
                    CAST(cum0 - (cum0 // 2048) * 2048 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "pack_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n,
+                     CAST(((md5_number(CAST(doc_id AS VARCHAR)) % 16) + 16)
+                          % 16 AS BIGINT) AS bucket
+              FROM documents),
+            ch AS (
+              SELECT doc_id, bucket,
+                     CAST(gs AS BIGINT) AS chunk_index,
+                     CAST(LEAST(gs * 448 + 512, n) - gs * 448 AS BIGINT)
+                       AS n_tokens
+              FROM (
+                SELECT doc_id, n, bucket,
+                       unnest(generate_series(
+                           0, (GREATEST(n - 512, 0) + 447) // 448)) AS gs
+                FROM t)),
+            c AS (
+              SELECT doc_id, chunk_index, n_tokens, bucket,
+                     SUM(n_tokens) OVER (ORDER BY bucket, doc_id, chunk_index
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum0
+              FROM ch)
+            SELECT doc_id, chunk_index, n_tokens, bucket,
+                   CAST(cum0 // 1024 AS BIGINT) AS pack_id,
+                   CAST(cum0 - (cum0 // 1024) * 1024 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "sample_per_source": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(((md5_number('s0:' || CAST(doc_id AS VARCHAR))
+                            % 18446744073709551616) + 18446744073709551616)
+                          % 18446744073709551616 AS UBIGINT) AS rank
+              FROM documents)
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY rank, doc_id) AS rn
+              FROM t) WHERE rn <= 5
         """,
         "shard_manifest": """
             WITH t AS (

@@ -95,7 +95,16 @@ def pack_documents(ds, *, budget: int, num_buckets: int | None = None,
 
     # One text scan; slim (id, count, bucket) rows are what shuffles.
     slim = ds.map_batches(project, batch_format="pandas").materialize()
+    return _prefix_pack(slim, budget=budget, num_buckets=num_buckets,
+                        order_cols=["doc_id"])
 
+
+def _prefix_pack(slim, *, budget: int, num_buckets: int,
+                 order_cols: list[str]):
+    """Distributed-prefix-sum core shared by :func:`pack_documents` and
+    :func:`pack_token_windows`.  ``slim`` must carry ``n_tokens`` and
+    ``bucket`` plus the ``order_cols`` that define the within-bucket
+    order; adds exact-int64 ``pack_id`` / ``pack_offset``."""
     # Per-bucket totals: per-batch combiner -> tiny groupby -> driver
     # (num_buckets rows; at 10^12 docs this is still num_buckets rows).
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -114,7 +123,7 @@ def pack_documents(ds, *, budget: int, num_buckets: int | None = None,
 
     # ONE all-to-all: per-bucket stable sort + local cumsum + offset.
     def cum_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
+        g = g.sort_values(order_cols, kind="mergesort")
         n = g["n_tokens"].to_numpy(dtype="int64")
         start = offsets[int(g["bucket"].iloc[0])] + np.cumsum(n) - n
         pack_id = start // budget
@@ -210,3 +219,80 @@ def shard_documents(ds, *, n_shards: int, seed: str = "",
     return ds.map_batches(project, batch_format="pandas") \
              .groupby("shard").map_groups(enumerate_shard,
                                           batch_format="pandas")
+
+
+def sample_per_group(ds, *, group_col: str, k: int, seed: str = "",
+                     id_col: str = "doc_id"):
+    """Deterministic uniform k-per-group sample (stratified subsampling
+    / per-domain caps): keep the k documents with the smallest seeded
+    md5 rank inside each group, ``(id, group)`` out.
+
+    Uniform because the rank is a seeded hash of the id (independent of
+    the grouping); deterministic and retry-stable for the same seed.
+    Per-batch COMBINER keeps only the k smallest ranks per group, so at
+    most ``k × groups-present-in-block`` slim rows per block cross the
+    single grouped exchange — never the corpus.  SQL-replayable via
+    ``row_number() OVER (PARTITION BY group ORDER BY rank, id)``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        rank = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(f"{seed}:{v}".encode()).digest()
+            rank[i] = int.from_bytes(d, "little") & ((1 << 64) - 1)
+        df = pd.DataFrame({id_col: ids,
+                           group_col: batch[group_col].to_numpy(),
+                           "rank": rank})
+        df = df.sort_values(["rank", id_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rank", id_col], kind="mergesort").head(k)
+        return g[[id_col, group_col]].reset_index(drop=True)
+
+    return ds.map_batches(project, batch_format="pandas") \
+             .groupby(group_col).map_groups(finish, batch_format="pandas")
+
+
+def pack_token_windows(ds, *, window: int, overlap: int = 0, budget: int,
+                       num_buckets: int | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       rows_per_bucket: int = 500_000):
+    """Composed training-batch manifest: chunk long documents into token
+    windows, then pack the CHUNKS into token-budget training windows —
+    ``(doc_id, chunk_index, n_tokens, bucket, pack_id, pack_offset)``.
+
+    Because every chunk is at most ``window`` tokens, choosing
+    ``budget >= window`` guarantees no pack participant straddles more
+    than one boundary — the property :func:`pack_documents` alone
+    cannot give on heavy-tailed documents.  Order inside a bucket is
+    ``(doc_id, chunk_index)``, so a document's chunks stay contiguous
+    in the packed stream.  Same exchange budget as
+    :func:`pack_documents`: the chunk fan-out is map-only and the
+    prefix sum is one grouped exchange over slim rows.
+    """
+    if budget < window:
+        raise ValueError(f"budget ({budget}) must be >= window ({window}) "
+                         "so a chunk fits a pack")
+    from .joins import auto_buckets
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds, rows_per_bucket=rows_per_bucket,
+                                   fallback=64)
+    chunks = token_window_chunks(ds, window=window, overlap=overlap,
+                                 text_col=text_col, id_col=id_col)
+
+    def slim_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "chunk_index": batch["chunk_index"].to_numpy(),
+            "n_tokens": (batch["tok_end"] - batch["tok_start"])
+            .astype("int64").to_numpy(),
+            "bucket": md5_buckets(batch["doc_id"].to_numpy(), num_buckets),
+        })
+
+    slim = chunks.map_batches(slim_rows, batch_format="pandas").materialize()
+    return _prefix_pack(slim, budget=budget, num_buckets=num_buckets,
+                        order_cols=["doc_id", "chunk_index"])

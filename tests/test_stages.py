@@ -1675,3 +1675,76 @@ def test_bloom_decontaminate_superset_of_exact(rd):
     # FP overcount bounded: 2^20 bits vs ~5k distinct grams -> tiny rate
     over = int((bloom["n_hit_grams"] - exact["n_hit_grams"]).sum())
     assert over <= 5
+
+
+def test_sample_per_group_matches_reference(rd):
+    """k-per-group sample == pandas reference (same seeded md5 rank),
+    block-layout independent; small groups are taken whole."""
+    import hashlib
+
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.pack import sample_per_group
+
+    rng = np.random.RandomState(7)
+    groups = ["a", "b", "c", "tiny"]
+    rows = [{"doc_id": int(i),
+             "grp": "tiny" if i >= 117 else groups[int(rng.randint(0, 3))]}
+            for i in range(120)]
+
+    out = sample_per_group(rd.from_items(rows).repartition(8),
+                           group_col="grp", k=4, seed="s").to_pandas()
+
+    ref = pd.DataFrame(rows)
+    ref["rank"] = [int.from_bytes(
+        hashlib.md5(f"s:{i}".encode()).digest(), "little") % (1 << 64)
+        for i in ref["doc_id"]]
+    ref = ref.sort_values(["rank", "doc_id"], kind="mergesort") \
+             .groupby("grp", sort=False).head(4)
+
+    got = set(zip(out["doc_id"], out["grp"]))
+    want = set(zip(ref["doc_id"], ref["grp"]))
+    assert got == want
+    assert len(out[out["grp"] == "tiny"]) == 3   # whole tiny group kept
+    for _, grp in out.groupby("grp"):
+        assert len(grp) <= 4
+
+
+def test_pack_token_windows_composition(rd):
+    """chunk->pack composition: chunk counts match token_window_chunks,
+    every pack holds at most budget tokens STRICTLY when budget >= window
+    (no straddle beyond one boundary), and a doc's chunks are contiguous
+    in pack order."""
+    from rdfa_streaming_parser_js_ray.stages.pack import (
+        pack_token_windows, token_window_chunks,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [{"doc_id": int(i),
+             "text": " ".join(f"t{j}" for j in range(int(rng.randint(0, 60))))}
+            for i in range(80)]
+    window, overlap, budget = 16, 4, 32
+
+    out = pack_token_windows(rd.from_items(rows).repartition(5),
+                             window=window, overlap=overlap, budget=budget,
+                             num_buckets=4).to_pandas()
+    chunks = token_window_chunks(rd.from_items(rows), window=window,
+                                 overlap=overlap).to_pandas()
+    assert len(out) == len(chunks)
+    ref_counts = (chunks["tok_end"] - chunks["tok_start"]) \
+        .groupby([chunks["doc_id"], chunks["chunk_index"]]).sum()
+    got = out.set_index(["doc_id", "chunk_index"])["n_tokens"]
+    assert (got.sort_index() == ref_counts.sort_index()).all()
+
+    ordered = out.sort_values(["bucket", "doc_id", "chunk_index"],
+                              kind="mergesort")
+    # prefix-sum consistency: offset+n <= budget OR the chunk starts a
+    # new pack at offset 0 continuing from the previous pack boundary
+    start = ordered["pack_id"].to_numpy() * budget \
+        + ordered["pack_offset"].to_numpy()
+    n = ordered["n_tokens"].to_numpy()
+    assert (np.diff(start) == n[:-1]).all()      # gapless global stream
+    assert (ordered["pack_offset"] < budget).all()
+
+    with pytest.raises(ValueError):
+        pack_token_windows(rd.from_items(rows), window=64, overlap=0,
+                           budget=32)
