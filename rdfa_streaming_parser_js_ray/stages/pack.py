@@ -51,11 +51,44 @@ import pandas as pd
 _WORD = r"\S+"
 
 
-def md5_buckets(ids, num_buckets: int) -> np.ndarray:
-    """``md5_number(str(id)) % num_buckets`` — DuckDB's ``md5_number``
-    is the little-endian integer of the digest.  One short md5 per ROW
-    (not per token); ids are tens of bytes, so this is noise next to
-    the tokenization scan in the same pass."""
+def _id_ranks(ids: np.ndarray, seed: str, hash_impl: str) -> np.ndarray:
+    """uint64 rank per id.  ``hash_impl='md5'`` (default everywhere an
+    oracle replays the result) is the little-endian ``md5_number``
+    convention — one short md5 per ROW (not per token), so it is noise
+    next to any text scan in the same pass, but still a Python loop.
+    ``hash_impl='fast'`` is the production path: one multithreaded
+    polars xxhash call over the whole column (the same seed-pinned
+    kernel as joins._bucket_of, with the same caveat — stable across
+    processes for one pinned polars build, which is all a cluster
+    runs)."""
+    if hash_impl == "fast":
+        import zlib
+
+        import polars as pl
+        seed_int = zlib.crc32(seed.encode())
+        arr = np.asarray(ids)
+        # int ids hash without any per-row string formatting; the seed
+        # folds in through polars' seed parameter
+        s = pl.Series(arr.astype(np.int64, copy=False)) \
+            if arr.dtype.kind in "iu" else pl.Series(arr.astype(str))
+        return s.hash(seed=seed_int).to_numpy().astype(np.uint64,
+                                                       copy=False)
+    if hash_impl != "md5":
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
+    out = np.empty(len(ids), dtype=np.uint64)
+    for i, v in enumerate(ids):
+        d = hashlib.md5(f"{seed}:{v}".encode()).digest()
+        out[i] = int.from_bytes(d, "little") & ((1 << 64) - 1)
+    return out
+
+
+def md5_buckets(ids, num_buckets: int, hash_impl: str = "md5") -> np.ndarray:
+    """``md5_number(str(id)) % num_buckets`` (or the polars fast path —
+    see :func:`_id_ranks`).  The md5 seed is empty and unprefixed to
+    match the DuckDB oracle expression exactly."""
+    if hash_impl == "fast":
+        return (_id_ranks(np.asarray(ids), "", "fast")
+                % np.uint64(num_buckets)).astype("int64")
     out = np.empty(len(ids), dtype=np.int64)
     for i, v in enumerate(ids):
         h = int.from_bytes(hashlib.md5(str(v).encode()).digest(), "little")
@@ -65,7 +98,7 @@ def md5_buckets(ids, num_buckets: int) -> np.ndarray:
 
 def pack_documents(ds, *, budget: int, num_buckets: int | None = None,
                    text_col: str = "text", id_col: str = "doc_id",
-                   rows_per_bucket: int = 500_000):
+                   rows_per_bucket: int = 500_000, hash_impl: str = "md5"):
     """Token-budget contiguous packing: returns a Dataset with columns
     ``(doc_id, n_tokens, bucket, pack_id, pack_offset)`` where
     ``pack_id = global_prefix_tokens // budget`` (the training window
@@ -90,7 +123,8 @@ def pack_documents(ds, *, budget: int, num_buckets: int | None = None,
             "doc_id": batch[id_col].to_numpy(),
             "n_tokens": batch[text_col].fillna("").str.count(_WORD)
                                        .astype("int64").to_numpy(),
-            "bucket": md5_buckets(batch[id_col].to_numpy(), num_buckets),
+            "bucket": md5_buckets(batch[id_col].to_numpy(), num_buckets,
+                                  hash_impl),
         })
 
     # One text scan; slim (id, count, bucket) rows are what shuffles.
@@ -177,7 +211,7 @@ def token_window_chunks(ds, *, window: int, overlap: int = 0,
 
 
 def shard_documents(ds, *, n_shards: int, seed: str = "",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", hash_impl: str = "md5"):
     """Deterministic epoch-shuffle shard manifest: every document gets a
     ``(shard, pos)`` — which training shard it belongs to and its
     position inside that shard — under a seeded pseudo-random
@@ -198,10 +232,7 @@ def shard_documents(ds, *, n_shards: int, seed: str = "",
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()
-        rank = np.empty(len(ids), dtype=np.uint64)
-        for i, v in enumerate(ids):
-            d = hashlib.md5(f"{seed}:{v}".encode()).digest()
-            rank[i] = int.from_bytes(d, "little") & ((1 << 64) - 1)
+        rank = _id_ranks(ids, seed, hash_impl)
         return pd.DataFrame({
             "doc_id": ids,
             "rank": rank,
@@ -222,7 +253,7 @@ def shard_documents(ds, *, n_shards: int, seed: str = "",
 
 
 def sample_per_group(ds, *, group_col: str, k: int, seed: str = "",
-                     id_col: str = "doc_id"):
+                     id_col: str = "doc_id", hash_impl: str = "md5"):
     """Deterministic uniform k-per-group sample (stratified subsampling
     / per-domain caps): keep the k documents with the smallest seeded
     md5 rank inside each group, ``(id, group)`` out.
@@ -239,10 +270,7 @@ def sample_per_group(ds, *, group_col: str, k: int, seed: str = "",
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()
-        rank = np.empty(len(ids), dtype=np.uint64)
-        for i, v in enumerate(ids):
-            d = hashlib.md5(f"{seed}:{v}".encode()).digest()
-            rank[i] = int.from_bytes(d, "little") & ((1 << 64) - 1)
+        rank = _id_ranks(ids, seed, hash_impl)
         df = pd.DataFrame({id_col: ids,
                            group_col: batch[group_col].to_numpy(),
                            "rank": rank})
@@ -260,7 +288,8 @@ def sample_per_group(ds, *, group_col: str, k: int, seed: str = "",
 def pack_token_windows(ds, *, window: int, overlap: int = 0, budget: int,
                        num_buckets: int | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
-                       rows_per_bucket: int = 500_000):
+                       rows_per_bucket: int = 500_000,
+                       hash_impl: str = "md5"):
     """Composed training-batch manifest: chunk long documents into token
     windows, then pack the CHUNKS into token-budget training windows —
     ``(doc_id, chunk_index, n_tokens, bucket, pack_id, pack_offset)``.
@@ -290,7 +319,8 @@ def pack_token_windows(ds, *, window: int, overlap: int = 0, budget: int,
             "chunk_index": batch["chunk_index"].to_numpy(),
             "n_tokens": (batch["tok_end"] - batch["tok_start"])
             .astype("int64").to_numpy(),
-            "bucket": md5_buckets(batch["doc_id"].to_numpy(), num_buckets),
+            "bucket": md5_buckets(batch["doc_id"].to_numpy(), num_buckets,
+                                  hash_impl),
         })
 
     slim = chunks.map_batches(slim_rows, batch_format="pandas").materialize()

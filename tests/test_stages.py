@@ -1748,3 +1748,33 @@ def test_pack_token_windows_composition(rd):
     with pytest.raises(ValueError):
         pack_token_windows(rd.from_items(rows), window=64, overlap=0,
                            budget=32)
+
+
+def test_fast_hash_paths_keep_invariants(rd):
+    """hash_impl='fast' (polars xxhash column kernel) changes the
+    assignment but keeps every structural invariant: dense per-shard
+    positions, k-caps, offsets inside the budget."""
+    from rdfa_streaming_parser_js_ray.stages.pack import (
+        pack_documents, sample_per_group, shard_documents,
+    )
+
+    rows = [{"doc_id": int(i), "text": "a b c d e",
+             "grp": ["x", "y"][i % 2]} for i in range(100)]
+    ds = rd.from_items(rows).repartition(6)
+
+    sh = shard_documents(ds, n_shards=4, seed="e", hash_impl="fast") \
+        .to_pandas()
+    assert sorted(sh["doc_id"]) == list(range(100))
+    for _, grp in sh.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+
+    sm = sample_per_group(ds, group_col="grp", k=7, seed="s",
+                          hash_impl="fast").to_pandas()
+    assert (sm.groupby("grp").size() <= 7).all()
+    assert len(sm) == 14
+
+    pk = pack_documents(ds, budget=16, num_buckets=4,
+                        hash_impl="fast").to_pandas()
+    assert len(pk) == 100
+    assert (pk["pack_offset"] < 16).all()
+    assert int(pk["n_tokens"].sum()) == 500
