@@ -1108,6 +1108,53 @@ def q_shard_manifest(sf_dir: str):
     return shard_documents(_sf_documents(sf_dir), n_shards=8, seed="epoch0")
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-ingest delta: compare the corpus against a
+    deterministically perturbed second snapshot (drop %50==7, edit
+    %37==0, add %100==3 under new ids) by md5 content hash; only
+    added/removed/changed rows leave the outer hash-join stage."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        read_parquet_clean,
+    )
+    from rdfa_streaming_parser_js_ray.stages.snapshot import snapshot_diff
+    old = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    def make_new(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["doc_id"] % 50 != 7].copy()
+        mod = keep["doc_id"] % 37 == 0
+        keep.loc[mod, "text"] = keep.loc[mod, "text"] + " v2"
+        add = batch[batch["doc_id"] % 100 == 3]
+        added = pd.DataFrame({
+            "doc_id": add["doc_id"] + 1_000_000,
+            "text": "new doc " + add["doc_id"].astype(str),
+        })
+        return pd.concat([keep[["doc_id", "text"]], added],
+                         ignore_index=True)
+
+    new = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(make_new, batch_format="pandas")
+    return snapshot_diff(old, new, num_buckets=16)
+
+
+def q_validate_columns(sf_dir: str):
+    """Data-quality gate over events: per-(column, rule) violation
+    counts; one partial row per rule per batch crosses the wire."""
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.snapshot import validate_columns
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type", "value"])
+    return validate_columns(events, {
+        "user_id": {"not_null": True, "min": 0},
+        "event_type": {"allowed": ["click", "view", "purchase"]},
+        "value": {"not_null": True, "min": 0.0, "max": 200.0},
+    })
+
+
 def q_pack_chunks(sf_dir: str):
     """Composed training-batch manifest: chunk to 512-token windows
     (64 overlap) then pack the chunks into 1024-token training windows
@@ -1209,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": q_shard_manifest,
         "sample_per_source": q_sample_per_source,
         "pack_chunks": q_pack_chunks,
+        "snapshot_diff": q_snapshot_diff,
+        "validate_columns": q_validate_columns,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1311,6 +1360,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS pack_id,
                    CAST(cum0 - (cum0 // 2048) * 2048 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(text) AS h FROM documents),
+            neww AS (
+              SELECT doc_id,
+                     md5(text || CASE WHEN doc_id % 37 = 0
+                                      THEN ' v2' ELSE '' END) AS h
+              FROM documents WHERE doc_id % 50 <> 7
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents WHERE doc_id % 100 = 3),
+            j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     o.h AS h_old, n.h AS h_new
+              FROM old o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
+        """,
+        "validate_columns": """
+            SELECT 'user_id' AS col, 'not_null' AS rule,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+            UNION ALL
+            SELECT 'user_id', 'min',
+                   CAST(SUM(CASE WHEN user_id IS NOT NULL AND user_id < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'event_type', 'allowed',
+                   CAST(SUM(CASE WHEN event_type IS NOT NULL
+                                  AND event_type NOT IN
+                                      ('click', 'view', 'purchase')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', 'not_null',
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', 'min',
+                   CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0.0
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', 'max',
+                   CAST(SUM(CASE WHEN value IS NOT NULL AND value > 200.0
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM events
         """,
         "pack_chunks": """
             WITH t AS (

@@ -1778,3 +1778,52 @@ def test_fast_hash_paths_keep_invariants(rd):
     assert len(pk) == 100
     assert (pk["pack_offset"] < 16).all()
     assert int(pk["n_tokens"].sum()) == 500
+
+
+def test_snapshot_diff_planted(rd):
+    """Planted added/removed/changed/unchanged rows classify exactly;
+    unchanged rows never appear."""
+    from rdfa_streaming_parser_js_ray.stages.snapshot import snapshot_diff
+
+    old = rd.from_items([{"doc_id": i, "text": f"doc {i}"}
+                         for i in range(50)]).repartition(4)
+    new_rows = []
+    for i in range(50):
+        if i in (3, 17):                       # removed
+            continue
+        text = f"doc {i} EDITED" if i in (5, 9, 40) else f"doc {i}"
+        new_rows.append({"doc_id": i, "text": text})
+    new_rows += [{"doc_id": 100, "text": "brand new"},
+                 {"doc_id": 101, "text": "another"}]
+    new = rd.from_items(new_rows).repartition(3)
+
+    out = snapshot_diff(old, new, num_buckets=8).to_pandas()
+    got = {(int(r.doc_id), r.status) for r in out.itertuples()}
+    assert got == {(3, "removed"), (17, "removed"),
+                   (5, "changed"), (9, "changed"), (40, "changed"),
+                   (100, "added"), (101, "added")}
+
+
+def test_validate_columns_counts(rd):
+    """Each rule's violation count matches a hand count; nulls only hit
+    the not_null rule."""
+    from rdfa_streaming_parser_js_ray.stages.snapshot import validate_columns
+
+    rows = [
+        {"a": 5, "b": "x", "c": "ab12"},
+        {"a": -1, "b": "y", "c": "zz"},       # a<0; c regex fail
+        {"a": None, "b": "x", "c": "cd34"},   # a null
+        {"a": 20, "b": "q", "c": None},       # b not allowed; c null ignored
+        {"a": 7, "b": "x", "c": "ef56"},
+    ]
+    out = validate_columns(rd.from_items(rows).repartition(3), {
+        "a": {"not_null": True, "min": 0, "max": 10},
+        "b": {"allowed": ["x", "y"]},
+        "c": {"regex": r"[a-z]{2}[0-9]{2}"},
+    }).to_pandas().set_index(["col", "rule"])["violations"]
+
+    assert out[("a", "not_null")] == 1
+    assert out[("a", "min")] == 1
+    assert out[("a", "max")] == 1             # a=20
+    assert out[("b", "allowed")] == 1
+    assert out[("c", "regex")] == 1
