@@ -33,7 +33,10 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                  skip_linking: bool = False,
                  broadcast_max_entities: int = 1_000_000,
                  joined_token_fallback: bool = False,
-                 pin_triples: bool = True):
+                 pin_triples: bool = True,
+                 write_doc_manifest: bool = True,
+                 _pre_extracted=None,
+                 _doc_manifest_ds=None):
     """Run the full pipeline; returns (canonical_triples_ds, metrics dict).
 
     When ``out_dir`` is given, materializes partitioned parquet with
@@ -100,7 +103,11 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
             metrics["wall_sec"] = round(time.monotonic() - t0, 3)
             return ds, metrics
 
-    triples = extract_triples(docs_ds, num_partitions=num_partitions)
+    # _pre_extracted (construct_kg_incremental) supplies merged triples
+    # from a prior run's checkpoint + a delta re-parse; everything below
+    # — checkpoint, manifest, linking, tail — is shared unchanged.
+    triples = _pre_extracted if _pre_extracted is not None \
+        else extract_triples(docs_ds, num_partitions=num_partitions)
 
     # Checkpointed stage boundary: extraction output is consumed by three
     # downstream passes (alias build, mention→link, final rewrite).  Parse
@@ -145,6 +152,37 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                     json.dump({"input_fingerprint": input_fingerprint}, f)
         metrics["extract_resumed"] = reuse
         metrics["stages"]["extract_sec"] = round(time.monotonic() - t_x, 3)
+
+        # Per-document identity manifest (doc_id, md5 content hash of the
+        # span sequence) — what construct_kg_incremental diffs against to
+        # re-parse only the delta next time.  Same fingerprint-marker
+        # resume discipline as the extraction checkpoint.
+        if write_doc_manifest:
+            from ..stages.extract import doc_manifest
+            man_dir = os.path.join(out_dir, "doc_manifest")
+            man_marker = os.path.join(out_dir, "doc_manifest._MANIFEST.json")
+            man_reuse = False
+            if resume and input_fingerprint and os.path.exists(man_marker):
+                try:
+                    with open(man_marker) as f:
+                        man_reuse = json.load(f).get("input_fingerprint") \
+                            == input_fingerprint
+                except (OSError, json.JSONDecodeError):
+                    man_reuse = False
+            if not man_reuse:
+                shutil.rmtree(man_dir, ignore_errors=True)
+                try:
+                    os.remove(man_marker)
+                except OSError:
+                    pass
+                # incremental calls pass the manifest they already
+                # computed for the diff — don't re-hash the corpus
+                (doc_manifest(docs_ds) if _doc_manifest_ds is None
+                 else _doc_manifest_ds).write_parquet(man_dir)
+                if input_fingerprint:
+                    with open(man_marker, "w") as f:
+                        json.dump({"input_fingerprint": input_fingerprint},
+                                  f)
         # pin the (re-)read once: three downstream passes consume it, and
         # object-store blocks (spillable) beat re-reading the many small
         # files a wide write_parquet produces.  pin_triples=False is the
@@ -336,3 +374,166 @@ def materialize_partitioned(keyed_ds, out_dir: str, *, num_partitions: int,
         "stale_pruned": stale,
     })
     return deduped, written
+
+
+def construct_kg_incremental(docs_ds, out_dir: str, *, prev_dir: str,
+                             input_fingerprint: str = "",
+                             num_partitions: int = 64,
+                             broadcast_max_delta: int = 5_000_000,
+                             **kwargs):
+    """Incremental re-ingest: diff the new corpus against ``prev_dir``'s
+    per-document manifest, RE-PARSE ONLY added/changed documents, splice
+    their triples into the prior extraction checkpoint (stale doc ids
+    anti-filtered), then run the normal tail (linking, canonicalization,
+    dedup, partitioned write) into ``out_dir``.
+
+    The tail reruns globally because it IS global — one changed document
+    can alter the alias dictionary and the canonical closure — but the
+    corpus-scale cost center is the parse, and that now costs O(delta).
+    The output is identical to a full ``construct_kg`` over the new
+    corpus (pinned by test), and ``out_dir`` (with its own checkpoint +
+    manifest) becomes a valid ``prev_dir`` for the next increment.
+
+    Scale shape: the manifest diff is one outer hash-join over slim
+    (id, 128-bit hash) rows; the delta/stale id filters broadcast as
+    numpy arrays when the delta holds at most ``broadcast_max_delta``
+    ids, else they run as partitioned hash/anti joins — nothing
+    corpus-sized ever lands on the driver.
+    """
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.extract import doc_manifest
+    from ..stages.joins import anti_join
+    from ..stages.snapshot import hashed_diff
+
+    t0 = time.monotonic()
+
+    def rename(col):
+        def f(batch):
+            return batch.rename(columns={"content_hash": col})
+        return f
+
+    old_slim = rd.read_parquet(os.path.join(prev_dir, "doc_manifest")) \
+        .map_batches(rename("h_old"), batch_format="pandas")
+    new_man = doc_manifest(docs_ds).materialize()   # one hash pass, reused
+    new_slim = new_man.map_batches(rename("h_new"), batch_format="pandas")
+    delta = hashed_diff(old_slim, new_slim, id_col="doc_id").materialize()
+
+    prev_raw = rd.read_parquet(os.path.join(prev_dir, "triples_raw"))
+    raw_cols = list(prev_raw.schema().names)
+
+    n_delta = delta.count()
+    inc_metrics: dict = {"delta_rows": n_delta}
+    if n_delta == 0:
+        merged = prev_raw
+        inc_metrics.update(added=0, changed=0, removed=0, reparsed_docs=0)
+    elif n_delta <= broadcast_max_delta:
+        pdf = delta.to_pandas()
+        counts = pdf["status"].value_counts()
+        inc_metrics.update(added=int(counts.get("added", 0)),
+                           changed=int(counts.get("changed", 0)),
+                           removed=int(counts.get("removed", 0)))
+        reparse_ids = pdf.loc[pdf["status"].isin(("added", "changed")),
+                              "doc_id"].to_numpy()
+        stale_ids = pdf.loc[pdf["status"].isin(("removed", "changed")),
+                            "doc_id"].to_numpy()
+        inc_metrics["reparsed_docs"] = len(reparse_ids)
+
+        # pyarrow filters: zero-copy and they keep the nested spans
+        # column intact (a pandas round-trip of list<struct> does not
+        # survive conversion back to Arrow)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        reparse_set = pa.array(list(reparse_ids))
+        stale_set = pa.array(list(stale_ids))
+
+        def keep_docs(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["doc_id"], value_set=reparse_set))
+
+        def drop_stale(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(
+                pc.is_in(batch["doc_id"], value_set=stale_set)))
+
+        kept = prev_raw.map_batches(drop_stale, batch_format="pyarrow") \
+            if len(stale_ids) else prev_raw
+        if len(reparse_ids):
+            reparse_docs = docs_ds.map_batches(keep_docs,
+                                               batch_format="pyarrow")
+            delta_triples = extract_triples(reparse_docs,
+                                            num_partitions=num_partitions)
+            merged = kept.select_columns(raw_cols) \
+                .union(delta_triples.select_columns(raw_cols))
+        else:
+            merged = kept
+    else:
+        # Oversized-delta fallback.  The stale filter stays fully
+        # distributed (anti-join on the flat triples table).  The
+        # reparse side cannot go through a pandas hash-join (the nested
+        # spans column does not survive the pandas round-trip), so the
+        # reparse id set is processed in hash-SLICES: the driver holds
+        # at most broadcast_max_delta ids at a time and each slice is
+        # the same zero-copy pyarrow is_in filter as the broadcast
+        # path.  Each slice re-scans the docs metadata — acceptable,
+        # because a delta this large means the incremental run is
+        # approaching a full rebuild anyway.
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..stages.joins import _bucket_of
+
+        def status_filter(statuses):
+            def f(batch):
+                return batch[batch["status"].isin(statuses)][["doc_id"]]
+            return f
+
+        stale_keys = delta.map_batches(status_filter(("removed", "changed")),
+                                       batch_format="pandas")
+        n_stale = stale_keys.count()
+        reparse_keys = delta.map_batches(
+            status_filter(("added", "changed")),
+            batch_format="pandas").materialize()
+        n_reparse = reparse_keys.count()
+        # delta = added + removed + changed; stale = removed + changed;
+        # reparse = added + changed  =>  changed = stale + reparse - delta
+        n_changed = n_stale + n_reparse - n_delta
+        inc_metrics.update(changed=n_changed, removed=n_stale - n_changed,
+                           added=n_reparse - n_changed,
+                           reparsed_docs=n_reparse)
+
+        kept = anti_join(prev_raw, stale_keys, on="doc_id") if n_stale \
+            else prev_raw
+        merged = kept.select_columns(raw_cols)
+        n_slices = max(1, math.ceil(n_reparse / broadcast_max_delta))
+        for s in range(n_slices):
+            def take_slice(batch, s=s):
+                return batch[_bucket_of(batch["doc_id"], n_slices) == s]
+
+            ids_s = reparse_keys.map_batches(
+                take_slice, batch_format="pandas").to_pandas()
+            if not len(ids_s):
+                continue
+            id_set = pa.array(list(ids_s["doc_id"].to_numpy()))
+
+            def keep_docs(batch, id_set=id_set):
+                return batch.filter(
+                    pc.is_in(batch["doc_id"], value_set=id_set))
+
+            slice_triples = extract_triples(
+                docs_ds.map_batches(keep_docs, batch_format="pyarrow"),
+                num_partitions=num_partitions)
+            merged = merged.union(slice_triples.select_columns(raw_cols))
+
+    result, metrics = construct_kg(docs_ds, out_dir,
+                                   num_partitions=num_partitions,
+                                   input_fingerprint=input_fingerprint,
+                                   _pre_extracted=merged,
+                                   _doc_manifest_ds=new_man, **kwargs)
+    inc_metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+    metrics["incremental"] = inc_metrics
+    return result, metrics

@@ -186,3 +186,29 @@ def span_audit(docs_ds):
         return pa.table(rows)
 
     return docs_ds.map_batches(audit, batch_format="pyarrow")
+
+
+def doc_manifest(docs_ds):
+    """Per-document identity record for incremental re-ingest:
+    ``(doc_id, content_hash)`` where content_hash is the md5 hex of the
+    ordered ``(kind, text, media_ref)`` span serialization — the same
+    serialization :func:`span_audit` fingerprints, but 128-bit so
+    cross-snapshot equality is collision-safe at 10^12 documents
+    (crc32's birthday bound is ~10^5).  Written next to the extraction
+    checkpoint by ``construct_kg`` so a later run can diff against it
+    and re-parse only the delta."""
+    import hashlib
+
+    def manifest(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        hashes = []
+        for spans in spans_col:
+            ordered = sorted(spans, key=lambda s: s["offset"])
+            payload = "\x1f".join(
+                f"{s['kind']}\x1e{s['text']}\x1e{s['media_ref']}"
+                for s in ordered)
+            hashes.append(hashlib.md5(payload.encode()).hexdigest())
+        return pa.table({"doc_id": doc_ids, "content_hash": hashes})
+
+    return docs_ds.map_batches(manifest, batch_format="pyarrow")

@@ -35,31 +35,27 @@ from .dedup import _md5_hex
 from .joins import auto_buckets, hash_join
 
 
-def snapshot_diff(old_ds, new_ds, *, id_col: str = "doc_id",
-                  text_col: str = "text", num_buckets: int | None = None):
-    """Delta between two corpus snapshots → ``(doc_id, status)`` with
-    status in ``added`` (id only in new), ``removed`` (id only in old),
-    ``changed`` (id in both, md5(text) differs).  Unchanged rows never
-    leave the join stage.
+def hashed_diff(old_slim, new_slim, *, id_col: str = "doc_id",
+                num_buckets: int | None = None):
+    """Delta classification over two slim ``(id, hash)`` datasets whose
+    hash columns are named ``h_old`` / ``h_new`` → ``(id, status)`` with
+    status in ``added`` / ``removed`` / ``changed``; unchanged rows are
+    dropped inside the join stage.  One outer hash-join exchange."""
+    # Slim (id, hash) rows inherit ONE block per upstream corpus block —
+    # at any scale that is thousands of near-empty blocks whose per-task
+    # fixed costs dwarf the join (measured 6.9 s → 2.1 s on 16k rows in
+    # 200 blocks).  Materialize (they are ~50 B/row) and coalesce to
+    # ~1M-row blocks before the exchange.
+    def coalesce(ds):
+        ds = ds.materialize()
+        blocks = max(1, min(512, ds.count() // 1_000_000 + 1))
+        return ds.repartition(blocks) if ds.num_blocks() > blocks else ds
 
-    The md5-hex content hash matches DuckDB's ``md5(text)`` so an
-    oracle replays the diff exactly.
-    """
+    old_slim = coalesce(old_slim)
+    new_slim = coalesce(new_slim)
     if num_buckets is None:
-        num_buckets = auto_buckets(old_ds, new_ds, rows_per_bucket=500_000,
-                                   fallback=64)
-
-    def slim(col):
-        def project(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                id_col: batch[id_col].to_numpy(),
-                col: [_md5_hex(t or "") for t in batch[text_col]],
-            })
-        return project
-
-    old_slim = old_ds.map_batches(slim("h_old"), batch_format="pandas")
-    new_slim = new_ds.map_batches(slim("h_new"), batch_format="pandas")
-
+        num_buckets = auto_buckets(old_slim, new_slim,
+                                   rows_per_bucket=500_000, fallback=64)
     joined = hash_join(old_slim, new_slim, on=id_col, how="outer",
                        num_buckets=num_buckets)
 
@@ -75,6 +71,30 @@ def snapshot_diff(old_ds, new_ds, *, id_col: str = "doc_id",
         return out[out["status"] != "unchanged"]
 
     return joined.map_batches(classify, batch_format="pandas")
+
+
+def snapshot_diff(old_ds, new_ds, *, id_col: str = "doc_id",
+                  text_col: str = "text", num_buckets: int | None = None):
+    """Delta between two corpus snapshots → ``(doc_id, status)`` with
+    status in ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (id in both, md5(text) differs).  Unchanged rows never
+    leave the join stage.
+
+    The md5-hex content hash matches DuckDB's ``md5(text)`` so an
+    oracle replays the diff exactly.
+    """
+    def slim(col):
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                col: [_md5_hex(t or "") for t in batch[text_col]],
+            })
+        return project
+
+    old_slim = old_ds.map_batches(slim("h_old"), batch_format="pandas")
+    new_slim = new_ds.map_batches(slim("h_new"), batch_format="pandas")
+    return hashed_diff(old_slim, new_slim, id_col=id_col,
+                       num_buckets=num_buckets)
 
 
 def validate_columns(ds, rules: dict):

@@ -1827,3 +1827,128 @@ def test_validate_columns_counts(rd):
     assert out[("a", "max")] == 1             # a=20
     assert out[("b", "allowed")] == 1
     assert out[("c", "regex")] == 1
+
+
+def test_incremental_kg_matches_full_rebuild(rd, tmp_path):
+    """construct_kg_incremental: only added/changed docs re-parse, and the
+    final partitioned output is identical to a full construct_kg over the
+    new corpus."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.pipelines.kg import (
+        construct_kg, construct_kg_incremental,
+    )
+
+    v1_tab = synthesize_documents(60, seed=11)
+    v1 = rd.from_arrow(v1_tab).repartition(4).materialize()
+    out1 = str(tmp_path / "v1")
+    construct_kg(v1, out_dir=out1, num_partitions=8,
+                 input_fingerprint="v1")
+
+    # v2: drop 2, edit 2 (append a text span), add 3 new docs
+    rows = v1_tab.to_pylist()
+    by_id = {r["doc_id"]: r for r in rows}
+    ids = sorted(by_id)
+    removed = {ids[3], ids[17]}
+    edited = {ids[5], ids[40]}
+    v2_rows = []
+    for r in rows:
+        if r["doc_id"] in removed:
+            continue
+        if r["doc_id"] in edited:
+            spans = list(r["spans"])
+            last_off = max(s["offset"] for s in spans) + 1
+            spans.append({"kind": "text",
+                          "text": "<p property=\"http://p/extra\">E</p>",
+                          "media_ref": "", "offset": last_off})
+            r = {"doc_id": r["doc_id"], "spans": spans}
+        v2_rows.append(r)
+    extra = synthesize_documents(3, seed=77).to_pylist()
+    for i, r in enumerate(extra):
+        v2_rows.append({"doc_id": f"doc-new-{i}", "spans": r["spans"]})
+    v2 = rd.from_items(v2_rows).repartition(4).materialize()
+
+    out_full = str(tmp_path / "full")
+    full, _ = construct_kg(v2, out_dir=out_full, num_partitions=8,
+                           input_fingerprint="v2")
+    out_inc = str(tmp_path / "inc")
+    inc, metrics = construct_kg_incremental(
+        v2, out_inc, prev_dir=out1, num_partitions=8,
+        input_fingerprint="v2")
+
+    im = metrics["incremental"]
+    assert im["added"] == 3
+    assert im["changed"] == 2
+    assert im["removed"] == 2
+    assert im["reparsed_docs"] == 5
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(full), canon(inc))
+
+    # out_inc is a valid prev_dir for the NEXT increment: a no-change
+    # rerun re-parses nothing and still matches
+    out_inc2 = str(tmp_path / "inc2")
+    inc2, m2 = construct_kg_incremental(
+        v2, out_inc2, prev_dir=out_inc, num_partitions=8,
+        input_fingerprint="v2")
+    assert m2["incremental"]["reparsed_docs"] == 0
+    pd.testing.assert_frame_equal(canon(full), canon(inc2))
+
+
+def test_incremental_kg_sliced_fallback_matches(rd, tmp_path):
+    """broadcast_max_delta smaller than the delta forces the sliced
+    fallback (anti-join stale filter + hash-sliced reparse): output and
+    status counts must match the broadcast path."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.pipelines.kg import (
+        construct_kg, construct_kg_incremental,
+    )
+
+    v1_tab = synthesize_documents(40, seed=21)
+    v1 = rd.from_arrow(v1_tab).repartition(3).materialize()
+    out1 = str(tmp_path / "v1")
+    construct_kg(v1, out_dir=out1, num_partitions=4,
+                 input_fingerprint="v1")
+
+    rows = v1_tab.to_pylist()
+    ids = sorted(r["doc_id"] for r in rows)
+    removed = {ids[1]}
+    edited = {ids[8], ids[20]}
+    v2_rows = []
+    for r in rows:
+        if r["doc_id"] in removed:
+            continue
+        if r["doc_id"] in edited:
+            spans = list(r["spans"])
+            off = max(s["offset"] for s in spans) + 1
+            spans.append({"kind": "text",
+                          "text": "<b property=\"http://p/e2\">x</b>",
+                          "media_ref": "", "offset": off})
+            r = {"doc_id": r["doc_id"], "spans": spans}
+        v2_rows.append(r)
+    v2_rows.append({"doc_id": "doc-extra-0",
+                    "spans": synthesize_documents(1, seed=99)
+                    .to_pylist()[0]["spans"]})
+    v2 = rd.from_items(v2_rows).repartition(3).materialize()
+
+    out_full = str(tmp_path / "full")
+    full, _ = construct_kg(v2, out_dir=out_full, num_partitions=4,
+                           input_fingerprint="v2")
+    out_inc = str(tmp_path / "inc")
+    inc, metrics = construct_kg_incremental(
+        v2, out_inc, prev_dir=out1, num_partitions=4,
+        input_fingerprint="v2", broadcast_max_delta=2)
+
+    im = metrics["incremental"]
+    assert (im["added"], im["changed"], im["removed"]) == (1, 2, 1)
+    assert im["reparsed_docs"] == 3
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(full), canon(inc))
