@@ -74,6 +74,11 @@ OPEN_IMPLIES_CLOSE.update({name: OPEN_IMPLIES_CLOSE.get(name, frozenset()) | fro
 class HtmlTokenizer(HTMLParser):
     """HTML-mode tokenizer with htmlparser2-compatible tree discipline."""
 
+    # htmlparser2 parses no tags inside these; stdlib calls them CDATA.
+    # title/textarea are RCDATA — their text is entity-decoded in
+    # handle_data below (stdlib skips convert_charrefs in cdata mode)
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+
     def __init__(self, sink: SaxSink):
         super().__init__(convert_charrefs=True)
         self.sink = sink
@@ -133,6 +138,8 @@ class HtmlTokenizer(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
+            if self._stack and self._stack[-1] in _RCDATA_ELEMENTS:
+                data = _html_unescape(data)
             self.sink.on_text(data)
 
     # comments / declarations / PIs produce no events
@@ -160,6 +167,9 @@ _HTML_ATTR_RE = re.compile(
 # htmlparser2/stdlib raw-text elements: content is plain text (no entity
 # decoding, no nested tags) until the matching end tag
 _RAWTEXT_ELEMENTS = frozenset(("script", "style"))
+# htmlparser2 RCDATA elements (tokenizer TitleEnd/TextareaEnd sequences):
+# no nested tags until the matching end tag, but entities ARE decoded
+_RCDATA_ELEMENTS = frozenset(("title", "textarea"))
 # a trailing '/' that terminates an unquoted attribute value
 # (`<a href=http://e.org/dir/>`) is part of the value, not a self-closing
 # marker.  This right-anchored regex is a cheap PRE-FILTER only: it can
@@ -264,10 +274,13 @@ class FastHtmlTokenizer:
         sink = self.sink
         while pos < n:
             if self._rawtext is not None:
-                # inside <script>/<style>: scan for the matching end tag;
-                # the name must be followed by whitespace, '/', or '>'
-                # ('</scripty>' does NOT close a <script> — htmlparser2
-                # and stdlib both require a name boundary)
+                # inside <script>/<style> (raw) or <title>/<textarea>
+                # (RCDATA — entities decoded): scan for the matching end
+                # tag; the name must be followed by whitespace, '/', or
+                # '>' ('</scripty>' does NOT close a <script> —
+                # htmlparser2 and stdlib both require a name boundary)
+                dec = _html_unescape \
+                    if self._rawtext in _RCDATA_ELEMENTS else None
                 closer = "</" + self._rawtext
                 clen = len(closer)
                 lower = buf.lower()
@@ -279,23 +292,34 @@ class FastHtmlTokenizer:
                     # closer found flush at buffer end: the boundary char
                     # is not visible yet — hold from here
                     if idx > pos:
-                        sink.on_text(buf[pos:idx])
+                        text = buf[pos:idx]
+                        sink.on_text(dec(text) if dec else text)
                     pos = idx
                     break
                 if idx < 0:
                     if final:
                         if pos < n:
-                            sink.on_text(buf[pos:])
+                            text = buf[pos:]
+                            sink.on_text(dec(text) if dec else text)
                         pos = n
                         break
-                    # hold back a possible split '</scrip' tail
+                    # hold back a possible split '</scrip' tail — and in
+                    # RCDATA also a possible split entity ('&am' + 'p;'),
+                    # so chunked decoding equals single-shot
                     keep = max(pos, n - clen)
+                    if dec:
+                        amp = buf.rfind("&", pos, keep)
+                        if amp >= 0 and ";" not in buf[amp:keep] \
+                                and keep - amp < 32:
+                            keep = amp
                     if pos < keep:
-                        sink.on_text(buf[pos:keep])
+                        text = buf[pos:keep]
+                        sink.on_text(dec(text) if dec else text)
                     pos = keep
                     break
                 if idx > pos:
-                    sink.on_text(buf[pos:idx])  # raw: no entity decoding
+                    text = buf[pos:idx]
+                    sink.on_text(dec(text) if dec else text)
                 gt = buf.find(">", idx)
                 if gt < 0:
                     if final:
@@ -409,7 +433,7 @@ class FastHtmlTokenizer:
                 if self_closing or name in VOID_ELEMENTS:
                     self._stack.pop()
                     sink.on_tag_close()
-                elif name in _RAWTEXT_ELEMENTS:
+                elif name in _RAWTEXT_ELEMENTS or name in _RCDATA_ELEMENTS:
                     self._rawtext = name
                 pos = end
             else:

@@ -48,6 +48,14 @@ _FRAGMENTS = st.sampled_from([
     "<p PROPERTY=\"p\" Property=\"q\">", "<span about=\"[_:b]\">",
     "<a href='mix\"q'>", "<td property=\"p\">c", "<table><tr>", "</table>",
     "<div xml:base=\"http://xb.org/\">", "<span datatype=\"\">",
+    # round-3: RCDATA elements (htmlparser2 TitleEnd/TextareaEnd) — no
+    # tags parsed inside, entities decoded, name-boundary closers.
+    # Only BALANCED fragments here: stdlib swallows pending RCDATA text
+    # at EOF where htmlparser2 flushes it (see the pinned test), so
+    # bare openers live in the non-differential nasty pool.
+    "</title>", "</textarea>", "</titlex>",
+    "<title>a &amp; <div property=\"p\">v</div></title>",
+    "<textarea><b property=\"z\">q</b>&#65;</textarea>",
 ])
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
 
@@ -135,6 +143,9 @@ _NASTY = st.sampled_from([
     # value in htmlparser2's state machine (Eq → BeforeAttributeValue);
     # stdlib requires a name, so this lives in the non-differential pool
     "<t property=\":\"='>'>",
+    # unterminated RCDATA at EOF: fast flushes the pending text like
+    # htmlparser2; stdlib swallows it — non-differential only
+    "<title>", "<textarea>",
 ])
 _NASTY_SOUP = st.lists(st.one_of(_FRAGMENTS, _NASTY),
                        min_size=0, max_size=30).map("".join)
@@ -298,3 +309,48 @@ def test_parser_api_matches_evaluator(html):
     p.write(html)
     p.end()
     assert p.triples == _parse(html)
+
+
+def test_rcdata_title_textarea_like_htmlparser2():
+    """htmlparser2 RCDATA: no tags parse inside <title>/<textarea>,
+    entities ARE decoded (unlike script/style), '</titlex>' does not
+    close, and chunked parsing equals single-shot across a split
+    entity."""
+    html = ('<title>a &amp; <div property="http://p/x">v</div></title>'
+            '<span property="http://p/y">w</span>')
+    full = _parse(html)
+    assert full == _parse(html, HtmlTokenizer)
+    assert [str(p) for _, p, _ in full] == ["<http://p/y>"]
+
+    inner = '<div property="http://p/t"><title>t &lt;x&gt;</title></div>'
+    got = _parse(inner)
+    assert got == _parse(inner, HtmlTokenizer)
+    assert str(got[0][2]) == '"t <x>"'
+
+    # split entity across chunks inside RCDATA
+    out_chunks, out_full = [], []
+    for sink_out, chunks in ((out_full, [inner]),
+                             (out_chunks, [inner[:28], inner[28:31],
+                                           inner[31:]])):
+        ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                           emit=lambda s, p, o, _o=sink_out:
+                           _o.append((str(s), str(p), str(o))))
+        tk = FastHtmlTokenizer(ev)
+        for c in chunks:
+            tk.write(c)
+        tk.end()
+    assert out_chunks == out_full
+
+    # script keeps RAW semantics: entities NOT decoded
+    raw = '<div property="http://p/s"><script>&amp;</script>x</div>'
+    tr = _parse(raw)
+    assert any(str(v) == '"&amp;x"' for _, _, v in tr), tr
+
+
+def test_unterminated_rcdata_flushed_like_htmlparser2():
+    """Pending RCDATA text at EOF is flushed as text (htmlparser2
+    onend); the stdlib-based tokenizer swallows it — a known stdlib
+    quirk, which is why bare <title>/<textarea> openers live only in
+    the non-differential pool."""
+    out = _parse('<p property="http://p/x"><title>tail')
+    assert [str(v) for _, _, v in out] == ['"tail"']
