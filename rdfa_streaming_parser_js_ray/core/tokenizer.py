@@ -309,8 +309,11 @@ class FastHtmlTokenizer:
                     keep = max(pos, n - clen)
                     if dec:
                         amp = buf.rfind("&", pos, keep)
+                        # 33 = the longest named entity incl. '&' and ';'
+                        # ('&CounterClockwiseContourIntegral;'): a split
+                        # one char before its ';' leaves a 32-char prefix
                         if amp >= 0 and ";" not in buf[amp:keep] \
-                                and keep - amp < 32:
+                                and keep - amp < 33:
                             keep = amp
                     if pos < keep:
                         text = buf[pos:keep]
@@ -335,10 +338,11 @@ class FastHtmlTokenizer:
             if lt < 0:
                 text = buf[pos:]
                 if not final:
-                    # hold back a possible split entity ('&am' + 'p;')
+                    # hold back a possible split entity ('&am' + 'p;');
+                    # 33 = longest named entity incl. '&' and ';'
                     amp = text.rfind("&")
                     if amp >= 0 and ";" not in text[amp:] \
-                            and len(text) - amp < 32:
+                            and len(text) - amp < 33:
                         held = text[amp:]
                         text = text[:amp]
                         if text:

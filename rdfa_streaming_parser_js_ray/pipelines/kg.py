@@ -529,6 +529,15 @@ def construct_kg_incremental(docs_ds, out_dir: str, *, prev_dir: str,
                 num_partitions=num_partitions)
             merged = merged.union(slice_triples.select_columns(raw_cols))
 
+    if os.path.realpath(out_dir) == os.path.realpath(prev_dir):
+        # In-place rolling snapshot: construct_kg clears
+        # out_dir/triples_raw before writing, and the lazy `merged`
+        # pipeline still READS prev_dir/triples_raw — identical here.
+        # Pin the merged triples in the object store first so the
+        # delete cannot race the read (without this the run crashes
+        # AND destroys the previous checkpoint).
+        merged = merged.materialize()
+
     result, metrics = construct_kg(docs_ds, out_dir,
                                    num_partitions=num_partitions,
                                    input_fingerprint=input_fingerprint,

@@ -40,16 +40,10 @@ from .dedup import _shingle_hashes
 _DEFAULT_MAX_BENCH_GRAMS = 50_000_000      # ~400 MB of uint64 — node-safe
 
 
-def benchmark_gram_ref(bench_ds, n: int = 5, text_col: str = "text",
-                       max_grams: int = _DEFAULT_MAX_BENCH_GRAMS):
-    """Distinct shingle hashes of the benchmark set → ``ray.put`` ref of
-    one sorted uint64 array.
-
-    Uniquing happens per batch BEFORE the driver pull, so the driver
-    never sees duplicate grams; the guard raises rather than silently
-    truncating (the caller must shrink n or the eval set)."""
-    import ray
-
+def _collect_bench_grams(bench_ds, n: int, text_col: str) -> np.ndarray:
+    """Distinct rolling-crc shingle hashes of the benchmark set as one
+    sorted uint64 array (uniqued per batch BEFORE the driver pull) —
+    shared by the exact and bloom broadcast builders."""
     def grams(batch: pd.DataFrame) -> pd.DataFrame:
         parts = [_shingle_hashes(t or "", k=n) for t in batch[text_col]]
         h = np.unique(np.concatenate(parts)) if parts else \
@@ -57,7 +51,19 @@ def benchmark_gram_ref(bench_ds, n: int = 5, text_col: str = "text",
         return pd.DataFrame({"gram": h})
 
     pulled = bench_ds.map_batches(grams, batch_format="pandas").to_pandas()
-    arr = np.unique(pulled["gram"].to_numpy(dtype=np.uint64))
+    return np.unique(pulled["gram"].to_numpy(dtype=np.uint64))
+
+
+def benchmark_gram_ref(bench_ds, n: int = 5, text_col: str = "text",
+                       max_grams: int = _DEFAULT_MAX_BENCH_GRAMS):
+    """Distinct shingle hashes of the benchmark set → ``ray.put`` ref of
+    one sorted uint64 array.
+
+    The guard raises rather than silently truncating (the caller must
+    shrink n or the eval set)."""
+    import ray
+
+    arr = _collect_bench_grams(bench_ds, n, text_col)
     if len(arr) > max_grams:
         raise ValueError(
             f"benchmark gram set ({len(arr)}) exceeds broadcast guard "
@@ -197,7 +203,8 @@ def benchmark_md5_hashes(bench_ds, n: int = 3, text_col: str = "text",
 # ------------------------------------------------------------- bloom --
 
 def benchmark_bloom_ref(bench_ds, n: int = 5, text_col: str = "text",
-                        bits_log2: int = 24, k_hashes: int = 4):
+                        bits_log2: int = 24, k_hashes: int = 4,
+                        grams: np.ndarray | None = None):
     """Bloom-filter form of the broadcast benchmark side: ``2**bits_log2``
     bits (2**24 = 2 MiB) instead of the sorted uint64 array (8 B/gram).
 
@@ -212,18 +219,14 @@ def benchmark_bloom_ref(bench_ds, n: int = 5, text_col: str = "text",
     the exact path uses: ``pos_j = (h + j * h2) mod m`` with
     ``h2 = h * 0x9E3779B97F4A7C15 | 1`` (odd, so all m positions are
     reachable).  Returns ``(ray.put(words), bits_log2, k_hashes)`` where
-    ``words`` is the packed uint64 bitset.
+    ``words`` is the packed uint64 bitset.  Pass a precomputed gram
+    array via ``grams`` to skip the benchmark scan (e.g. when the exact
+    builder already ran).
     """
     import ray
 
-    def grams(batch: pd.DataFrame) -> pd.DataFrame:
-        parts = [_shingle_hashes(t or "", k=n) for t in batch[text_col]]
-        h = np.unique(np.concatenate(parts)) if parts else \
-            np.array([], dtype=np.uint64)
-        return pd.DataFrame({"gram": h})
-
-    pulled = bench_ds.map_batches(grams, batch_format="pandas").to_pandas()
-    h = np.unique(pulled["gram"].to_numpy(dtype=np.uint64))
+    h = grams if grams is not None \
+        else _collect_bench_grams(bench_ds, n, text_col)
     m = np.uint64(1 << bits_log2)
     words = np.zeros((1 << bits_log2) >> 6, dtype=np.uint64)
     h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)

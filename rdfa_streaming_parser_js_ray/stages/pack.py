@@ -253,36 +253,46 @@ def shard_documents(ds, *, n_shards: int, seed: str = "",
 
 
 def sample_per_group(ds, *, group_col: str, k: int, seed: str = "",
-                     id_col: str = "doc_id", hash_impl: str = "md5"):
+                     id_col: str = "doc_id", hash_impl: str = "md5",
+                     num_buckets: int = 64):
     """Deterministic uniform k-per-group sample (stratified subsampling
     / per-domain caps): keep the k documents with the smallest seeded
     md5 rank inside each group, ``(id, group)`` out.
 
     Uniform because the rank is a seeded hash of the id (independent of
     the grouping); deterministic and retry-stable for the same seed.
-    Per-batch COMBINER keeps only the k smallest ranks per group, so at
+    Per-batch COMBINER keeps only the k smallest ranks per group
+    (``dropna=False`` — a null group is its own partition, matching the
+    SQL ``row_number() OVER (PARTITION BY group ...)`` replay), so at
     most ``k × groups-present-in-block`` slim rows per block cross the
-    single grouped exchange — never the corpus.  SQL-replayable via
-    ``row_number() OVER (PARTITION BY group ORDER BY rank, id)``.
+    exchange — never the corpus.  The exchange keys on a polars hash
+    BUCKET of the group value rather than the raw value, so null groups
+    shuffle safely and a skewed group count never makes million-group
+    exchanges (each of the ``num_buckets`` tasks re-caps its groups).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _bucket_of
         ids = batch[id_col].to_numpy()
         rank = _id_ranks(ids, seed, hash_impl)
+        grp = batch[group_col]
+        key = grp.astype(str).where(grp.notna(), "\x00__null__")
         df = pd.DataFrame({id_col: ids,
-                           group_col: batch[group_col].to_numpy(),
-                           "rank": rank})
+                           group_col: grp.to_numpy(),
+                           "rank": rank,
+                           "_gb": _bucket_of(key, num_buckets)})
         df = df.sort_values(["rank", id_col], kind="mergesort")
-        return df.groupby(group_col, sort=False).head(k)
+        return df.groupby(group_col, sort=False, dropna=False).head(k)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["rank", id_col], kind="mergesort").head(k)
+        g = g.sort_values(["rank", id_col], kind="mergesort")
+        g = g.groupby(group_col, sort=False, dropna=False).head(k)
         return g[[id_col, group_col]].reset_index(drop=True)
 
     return ds.map_batches(project, batch_format="pandas") \
-             .groupby(group_col).map_groups(finish, batch_format="pandas")
+             .groupby("_gb").map_groups(finish, batch_format="pandas")
 
 
 def pack_token_windows(ds, *, window: int, overlap: int = 0, budget: int,

@@ -1708,6 +1708,12 @@ def test_sample_per_group_matches_reference(rd):
     for _, grp in out.groupby("grp"):
         assert len(grp) <= 4
 
+    # null groups are their own partition (SQL parity), not dropped
+    nrows = rows + [{"doc_id": 500 + i, "grp": None} for i in range(6)]
+    nout = sample_per_group(rd.from_items(nrows).repartition(5),
+                            group_col="grp", k=4, seed="s").to_pandas()
+    assert nout["grp"].isna().sum() == 4
+
 
 def test_pack_token_windows_composition(rd):
     """chunk->pack composition: chunk counts match token_window_chunks,
@@ -1945,6 +1951,41 @@ def test_incremental_kg_sliced_fallback_matches(rd, tmp_path):
     im = metrics["incremental"]
     assert (im["added"], im["changed"], im["removed"]) == (1, 2, 1)
     assert im["reparsed_docs"] == 3
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(full), canon(inc))
+
+
+def test_incremental_kg_in_place(rd, tmp_path):
+    """Rolling in-place snapshot: out_dir == prev_dir must not destroy
+    the prior checkpoint (merged triples are pinned before the rewrite)
+    and must match a full rebuild."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.pipelines.kg import (
+        construct_kg, construct_kg_incremental,
+    )
+
+    v1_tab = synthesize_documents(30, seed=31)
+    v1 = rd.from_arrow(v1_tab).repartition(3).materialize()
+    out = str(tmp_path / "rolling")
+    construct_kg(v1, out_dir=out, num_partitions=4, input_fingerprint="v1")
+
+    rows = [r for r in v1_tab.to_pylist()
+            if r["doc_id"] != "doc-00000002"]
+    v2 = rd.from_items(rows).repartition(3).materialize()
+
+    inc, metrics = construct_kg_incremental(
+        v2, out, prev_dir=out, num_partitions=4, input_fingerprint="v2")
+    assert metrics["incremental"]["removed"] == 1
+    assert metrics["incremental"]["reparsed_docs"] == 0
+
+    out_full = str(tmp_path / "full")
+    full, _ = construct_kg(v2, out_dir=out_full, num_partitions=4,
+                           input_fingerprint="v2")
 
     def canon(ds):
         df = ds.to_pandas()
