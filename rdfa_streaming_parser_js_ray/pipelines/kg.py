@@ -277,9 +277,18 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                 token_fallback=joined_token_fallback).materialize()
             n_mentions = mentions.count()
             metrics["mention_rows"] = n_mentions
-            metrics["link_rows"] = links.count()
+            n_links = links.count()
+            metrics["link_rows"] = n_links
+            # recall metric = DISTINCT mentions matched / mentions (one
+            # mention can yield several link rows when an alias maps to
+            # several entities — raw link_rows/mentions can exceed 1)
+            uid = ["doc_id", "subj", "pred", "surface"]
+            n_matched = links.map_batches(
+                lambda b: b[uid].drop_duplicates(),
+                batch_format="pandas").groupby(uid).count().count() \
+                if n_links else 0
             metrics["link_matched_fraction"] = round(
-                links.count() / n_mentions, 4) if n_mentions else 0.0
+                n_matched / n_mentions, 4) if n_mentions else 0.0
             mapping_ds = transitive_closure_joined(
                 canonical_pairs(links)).materialize()
             n_map = mapping_ds.count()

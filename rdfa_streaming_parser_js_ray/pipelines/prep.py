@@ -53,18 +53,11 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
     t0 = time.monotonic()
 
     if normalize:
-        import unicodedata
+        from ..stages.text import normalize_series
 
         def norm(batch: pd.DataFrame) -> pd.DataFrame:
-            s = batch[text_col].fillna("")
-            ascii_mask = ~s.str.contains(r"[^\x00-\x7f]", regex=True)
-            if not ascii_mask.all():
-                s = s.copy()
-                s[~ascii_mask] = s[~ascii_mask].map(
-                    lambda t: unicodedata.normalize("NFC", t))
             batch = batch.copy()
-            batch[text_col] = s.str.lower() \
-                .str.replace(r"\s+", " ", regex=True).str.strip()
+            batch[text_col] = normalize_series(batch[text_col])
             return batch
 
         docs_ds = docs_ds.map_batches(norm, batch_format="pandas")

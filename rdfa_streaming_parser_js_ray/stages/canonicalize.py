@@ -199,11 +199,20 @@ def transitive_closure_joined(pairs_ds, num_buckets: int | None = None,
 
     Pointer doubling halves every chain per round, so rounds are
     O(log diameter) instead of the previous O(diameter) — and the old
-    third exchange (a convergence-check join) is folded away.  Values
-    are monotone non-increasing and bounded by the component min, so the
-    fixpoint is exact, deterministic, and retry-stable.  Returns a
-    Dataset (term, canonical), identity rows dropped — feed to
-    :func:`apply_canonical_map_joined`.
+    third exchange (a convergence-check join) is folded away.
+    Correctness: every value always stays inside its component (min
+    over component members is a component member), and the component
+    MINIMUM itself is a fixed point that propagates outward monotonically
+    — each round every node within doubling distance of a
+    minimum-labelled node adopts the minimum, so all nodes hold it
+    within O(log d) rounds.  (Individual non-minimum values can
+    transiently RISE — e.g. the 2-cycle {1,2} maps 2: 1→2 in round one
+    before settling at 1 — so per-node monotonicity must NOT be assumed
+    for early-exit tricks; the changed-count fixpoint check below is the
+    correct termination test, simulation-checked over random graphs,
+    long paths and cycles.)  The fixpoint is exact, deterministic, and
+    retry-stable.  Returns a Dataset (term, canonical), identity rows
+    dropped — feed to :func:`apply_canonical_map_joined`.
     """
     import pandas as pd
     from ray.data.aggregate import Min

@@ -108,17 +108,14 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
 _TOK_MIX = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
 
 
-def _shingle_hashes(text: str, k: int = 3, unique: bool = True) -> np.ndarray:
-    """k-word shingles → uint64 hash array, vectorized.
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles → unique sorted uint64 hash array, vectorized.
 
     One crc32 per TOKEN (not per shingle string), then a numpy rolling
     polynomial combine over each k-window — no per-shingle ``" ".join``
     allocations; identical token sequences hash identically, so set
     Jaccard over these hashes is k-gram Jaccard (up to hash collisions,
     as before).  Deterministic.
-
-    ``unique=False`` keeps document order and duplicates — the shape the
-    winnowing fingerprint kernel (stages.text) slides its window over.
     """
     tokens = text.lower().split()
     n = len(tokens)
@@ -133,8 +130,6 @@ def _shingle_hashes(text: str, k: int = 3, unique: bool = True) -> np.ndarray:
     acc = tok[0:m].copy()
     for j in range(1, k):                    # k-1 vectorized passes
         acc = acc * _TOK_MIX ^ tok[j:j + m]
-    if not unique:
-        return acc
     # Jaccard is set-valued: duplicate shingles never change a min, so
     # uniquing up front shrinks the minhash matrix for free
     return np.unique(acc)

@@ -71,7 +71,14 @@ def _bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
         return (key.to_numpy() % num_buckets).astype("int32")
     vals = key.to_numpy()
     n = len(vals)
-    if n and all(isinstance(v, (int, np.integer)) for v in vals):
+    if n and all(isinstance(v, (bool, np.bool_)) for v in vals):
+        # bool keys: Python bool is an int subclass, so without this
+        # branch an OBJECT column of bools took the int path while a
+        # native bool-dtype column stringified through polars — equal
+        # keys landed in different buckets and joins silently dropped
+        # matches.  Stringify both shapes identically.
+        vals = vals.astype(str)
+    elif n and all(isinstance(v, (int, np.integer)) for v in vals):
         # object column holding plain ints: match the int-dtype path
         return (vals.astype(np.int64) % num_buckets).astype("int32")
     import polars as pl
@@ -190,10 +197,12 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
 
     Left rows with no qualifying right row keep NA right columns (i.e.
     a LEFT as-of join, matching DuckDB's ``ASOF LEFT JOIN``).  When
-    several right rows share the qualifying timestamp, the pick is the
-    one greatest by ``tiebreak`` (a right column) — pass it to make the
-    result deterministic without pre-reducing the right side; left
-    unset, the pick is whichever duplicate sorts last in the bucket.
+    several right rows share the qualifying timestamp, ``tiebreak`` (a
+    right column) makes the pick deterministic without pre-reducing the
+    right side: ``merge_asof`` takes the LAST duplicate for
+    ``backward`` (greatest tiebreak wins) and the FIRST for ``forward``
+    (smallest tiebreak wins).  Left unset, the pick is whichever
+    duplicate sorts last/first in the bucket — nondeterministic.
     Partitioning assumption: all rows of one key land in one bucket
     (hash of the key guarantees it); per-bucket memory is
     |left_bucket| + |right_bucket| — ``num_buckets`` is the salt knob.

@@ -257,9 +257,13 @@ def link_entities_joined(mentions_ds, alias_pairs_ds,
         return batch
 
     def best_per_mention(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(uid_cols + ["_w", "_pos"],
+        # 'entity' is the final tiebreak: a pairs table mapping one
+        # alias to several entities would otherwise pick whichever row
+        # arrived first in the bucket — nondeterministic across block
+        # layouts and retries
+        g = group.sort_values(uid_cols + ["_w", "_pos", "entity"],
                               ascending=[True] * len(uid_cols)
-                              + [False, True])
+                              + [False, True, True])
         g = g.drop_duplicates(uid_cols, keep="first")
         return finish(g)
 

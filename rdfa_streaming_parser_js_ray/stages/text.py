@@ -37,9 +37,11 @@ class LangId:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized: lowercase once (C), findall per row (C regex loop),
         # then ONE explode + isin per language over the whole batch —
-        # no Python token scan per document (the regex class covers both
-        # cases, so lowering first yields identical token boundaries;
-        # this is also exactly the SQL oracle's formulation)
+        # no Python token scan per document.  Lowering BEFORE findall is
+        # a deliberate behavior choice, not a no-op: the word class only
+        # lists lowercase accented letters, so 'ÉTÉ' tokenizes as 'été'
+        # here where findall-on-raw split it at the accents — this is
+        # exactly the SQL oracle's formulation and the better tokenizer
         s = batch[self.text_col].fillna("").reset_index(drop=True)
         tokens = s.str.lower().str.findall(self.word).str[:2000]
         n_tok = tokens.str.len().to_numpy()
@@ -465,6 +467,23 @@ def redact_pii(ds, concurrency: int = 4, **kwargs):
                           num_cpus=0.5)
 
 
+def normalize_series(s: pd.Series) -> pd.Series:
+    """The shared NFC → lower → whitespace-collapse → strip kernel (step
+    order is load-bearing: the DuckDB oracles replay it verbatim).  NFC
+    only where needed — ASCII rows are NFC by definition, which keeps
+    the common 100-TB path allocation-free."""
+    import unicodedata
+
+    s = s.fillna("")
+    ascii_mask = ~s.str.contains(r"[^\x00-\x7f]", regex=True)
+    if not ascii_mask.all():
+        fixed = s[~ascii_mask].map(
+            lambda t: unicodedata.normalize("NFC", t))
+        s = s.copy()
+        s[~ascii_mask] = fixed
+    return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+
 def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Canonical text normalization — the first prep pass of a training
     pipeline: Unicode NFC, default lowercase, whitespace collapsed to
@@ -475,18 +494,8 @@ def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
     ``nfc_normalize``/``lower``/``regexp_replace`` so the oracle
     replays them in the same order.
     """
-    import unicodedata
-
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("")
-        # NFC only where needed: ASCII rows are NFC by definition
-        ascii_mask = ~s.str.contains(r"[^\x00-\x7f]", regex=True)
-        if not ascii_mask.all():
-            fixed = s[~ascii_mask].map(
-                lambda t: unicodedata.normalize("NFC", t))
-            s = s.copy()
-            s[~ascii_mask] = fixed
-        s = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        s = normalize_series(batch[text_col])
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "norm_text": s.to_numpy(),

@@ -694,6 +694,11 @@ def test_transitive_closure_joined_logarithmic_rounds(rd):
     got = dict(zip(mapping["term"], mapping["canonical"]))
     assert len(got) == n  # every non-root member mapped
     assert set(got.values()) == {"http://x/n000"}
+
+
+def test_apply_canonical_map_joined_matches_broadcast(rd):
+    """Joined-mode triple rewrite == broadcast rewrite (literals
+    untouched, IRIs in subj and obj rewritten)."""
     from rdfa_streaming_parser_js_ray.stages.canonicalize import (
         apply_canonical_map, apply_canonical_map_joined, mapping_to_dataset,
     )
@@ -1993,3 +1998,24 @@ def test_incremental_kg_in_place(rd, tmp_path):
         return df[cols].sort_values(cols).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(full), canon(inc))
+
+
+def test_hash_join_bool_keys_cross_dtype(rd):
+    """Bool join keys bucket identically whether the column is native
+    bool dtype or object dtype (Python bool is an int subclass — the
+    old object path took the int branch and equal keys missed each
+    other)."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    left = rd.from_items([{"flag": bool(i % 2), "l": i} for i in range(20)])
+
+    def to_object(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["flag"] = batch["flag"].astype(object)
+        return batch
+
+    right = rd.from_items([{"flag": True, "r": 1}, {"flag": False, "r": 0}]) \
+        .map_batches(to_object, batch_format="pandas")
+    out = hash_join(left, right, on="flag", num_buckets=8).to_pandas()
+    assert len(out) == 20
+    assert (out["r"].to_numpy() == out["flag"].astype(int).to_numpy()).all()
