@@ -2019,3 +2019,50 @@ def test_hash_join_bool_keys_cross_dtype(rd):
     out = hash_join(left, right, on="flag", num_buckets=8).to_pandas()
     assert len(out) == 20
     assert (out["r"].to_numpy() == out["flag"].astype(int).to_numpy()).all()
+
+
+def test_chunk_and_pack_properties_random(rd):
+    """Randomized property check (seeded, deterministic): for random
+    window/overlap/budget and random doc lengths, chunk bounds cover
+    [0, n) exactly with the declared overlap, and packing yields a
+    gapless global token stream with in-budget offsets."""
+    import random as _random
+
+    from rdfa_streaming_parser_js_ray.stages.pack import (
+        pack_token_windows, token_window_chunks,
+    )
+
+    rng = _random.Random(123)
+    for trial in range(5):
+        window = rng.randint(2, 24)
+        overlap = rng.randint(0, window - 1)
+        stride = window - overlap
+        budget = window + rng.randint(0, 40)
+        lens = [rng.randint(0, 60) for _ in range(40)]
+        rows = [{"doc_id": i, "text": " ".join(f"w{j}" for j in range(n))}
+                for i, n in enumerate(lens)]
+        ds = rd.from_items(rows).repartition(rng.randint(1, 6))
+
+        chunks = token_window_chunks(ds, window=window,
+                                     overlap=overlap).to_pandas()
+        for doc, grp in chunks.groupby("doc_id"):
+            n = lens[doc]
+            grp = grp.sort_values("chunk_index")
+            starts = grp["tok_start"].to_numpy()
+            ends = grp["tok_end"].to_numpy()
+            assert starts[0] == 0 and ends[-1] == n
+            assert (ends - starts <= window).all()
+            if len(grp) > 1:
+                assert (starts[1:] == starts[:-1] + stride).all()
+                assert (ends[:-1] - starts[1:] == overlap).all()
+
+        packed = pack_token_windows(ds, window=window, overlap=overlap,
+                                    budget=budget, num_buckets=4) \
+            .to_pandas().sort_values(["bucket", "doc_id", "chunk_index"],
+                                     kind="mergesort")
+        start = packed["pack_id"].to_numpy() * budget \
+            + packed["pack_offset"].to_numpy()
+        n_tok = packed["n_tokens"].to_numpy()
+        assert (np.diff(start) == n_tok[:-1]).all()
+        assert (packed["pack_offset"] >= 0).all()
+        assert (packed["pack_offset"] < budget).all()
