@@ -1108,6 +1108,36 @@ def q_shard_manifest(sf_dir: str):
     return shard_documents(_sf_documents(sf_dir), n_shards=8, seed="epoch0")
 
 
+def q_k_core(sf_dir: str):
+    """k-core decomposition (k=40, iterative degree peeling, 3 rounds
+    max) of the undirected customer–supplier purchase graph; the oracle
+    replays the same peels unrolled — converged extra rounds are
+    no-ops, so early exit equals the full unroll."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.graph import k_core
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: b.rename(columns={"l_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    joined = hash_join(orders, lineitem, on="orderkey")
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "c" + batch["o_custkey"].astype(str),
+            "dst": "s" + batch["l_suppkey"].astype(str),
+        })
+
+    edges = joined.map_batches(to_edges, batch_format="pandas")
+    return k_core(edges, k=40, max_rounds=3)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Incremental-ingest delta: compare the corpus against a
     deterministically perturbed second snapshot (drop %50==7, edit
@@ -1256,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": q_shard_manifest,
         "sample_per_source": q_sample_per_source,
         "pack_chunks": q_pack_chunks,
+        "k_core": q_k_core,
         "snapshot_diff": q_snapshot_diff,
         "validate_columns": q_validate_columns,
         "media_manifest": q_media_manifest,
@@ -1360,6 +1391,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS pack_id,
                    CAST(cum0 - (cum0 // 2048) * 2048 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "k_core": """
+            WITH e0 AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM (
+                SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                       's' || CAST(l_suppkey AS VARCHAR) AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+              WHERE src <> dst),
+            d1 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT a AS node FROM e0
+                     UNION ALL SELECT b FROM e0) GROUP BY node),
+            a1 AS (SELECT node FROM d1 WHERE deg >= 40),
+            e1 AS (SELECT e0.a, e0.b FROM e0
+                   JOIN a1 x ON e0.a = x.node JOIN a1 y ON e0.b = y.node),
+            d2 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT a AS node FROM e1
+                     UNION ALL SELECT b FROM e1) GROUP BY node),
+            a2 AS (SELECT node FROM d2 WHERE deg >= 40),
+            e2 AS (SELECT e1.a, e1.b FROM e1
+                   JOIN a2 x ON e1.a = x.node JOIN a2 y ON e1.b = y.node),
+            d3 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT a AS node FROM e2
+                     UNION ALL SELECT b FROM e2) GROUP BY node),
+            a3 AS (SELECT node FROM d3 WHERE deg >= 40),
+            e3 AS (SELECT e2.a, e2.b FROM e2
+                   JOIN a3 x ON e2.a = x.node JOIN a3 y ON e2.b = y.node)
+            SELECT node, CAST(deg AS BIGINT) AS degree FROM (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM e3
+                UNION ALL SELECT b FROM e3) GROUP BY node)
+            WHERE deg >= 40
         """,
         "snapshot_diff": """
             WITH old AS (

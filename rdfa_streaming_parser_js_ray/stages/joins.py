@@ -359,3 +359,35 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     return both.groupby("_bucket").map_groups(filter_bucket,
                                               batch_format="pandas")
+
+
+def bucketed_fold(ds, key_cols, fold, num_buckets: int = 64):
+    """Grouped reduction routed through an INT hash bucket of the key:
+    per-batch rows get ``_gb = hash(key) % num_buckets`` and ONE
+    ``groupby("_gb").map_groups`` runs the caller's vectorized pandas
+    ``fold`` per bucket (the fold sees all rows of every key that
+    hashes into its bucket, ``_gb`` already dropped).
+
+    Why: Ray's sort-based groupby on STRING keys costs ~10× a bucketed
+    fold at node-table sizes (measured 15.8 s → 1.5 s for a 60k-row
+    distinct on one string pair key) — sorting long keys across blocks
+    dominates.  Callers must make ``fold`` a per-key-correct reduction
+    (e.g. a pandas ``groupby(key).agg`` or ``drop_duplicates``), since
+    a bucket holds MANY keys.  ``key_cols`` may be multiple columns;
+    they join with an unambiguous separator before hashing.
+    """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        k = batch[cols[0]].astype(str)
+        for c in cols[1:]:
+            k = k + "\x1f" + batch[c].astype(str)
+        batch["_gb"] = _bucket_of(k, num_buckets)
+        return batch
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return fold(group.drop(columns="_gb"))
+
+    return ds.map_batches(add, batch_format="pandas") \
+             .groupby("_gb").map_groups(run, batch_format="pandas")

@@ -2066,3 +2066,33 @@ def test_chunk_and_pack_properties_random(rd):
         assert (np.diff(start) == n_tok[:-1]).all()
         assert (packed["pack_offset"] >= 0).all()
         assert (packed["pack_offset"] < budget).all()
+
+
+def test_k_core_clique_and_chain(rd):
+    """3-core of K4-plus-pendant-chain is exactly the clique; the
+    2-core keeps a planted cycle; peeling can cascade (a chain peels
+    end-in)."""
+    from rdfa_streaming_parser_js_ray.stages.graph import k_core
+
+    edges = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    edges += [("z", "p1"), ("p1", "p2"), ("p2", "p3")]
+    edges += [("c1", "c2"), ("c2", "c3"), ("c3", "c1")]   # triangle
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges]) \
+        .repartition(3)
+
+    core3 = k_core(ds, k=3).to_pandas().sort_values("node")
+    assert list(core3["node"]) == ["w", "x", "y", "z"]
+    assert (core3["degree"] == 3).all()
+
+    core2 = k_core(ds, k=2).to_pandas()
+    got = set(core2["node"])
+    # the pendant chain peels away over multiple rounds (cascade); the
+    # clique and the triangle survive
+    assert got == {"w", "x", "y", "z", "c1", "c2", "c3"}
+
+    # duplicate + reversed + self-loop edges don't change the core
+    noisy = ds.union(rd.from_items(
+        [{"src": b, "dst": a} for a, b in edges[:5]]
+        + [{"src": "w", "dst": "w"}]))
+    core3n = k_core(noisy, k=3).to_pandas().sort_values("node")
+    assert list(core3n["node"]) == ["w", "x", "y", "z"]
