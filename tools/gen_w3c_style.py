@@ -1054,6 +1054,139 @@ case("svg tag names are case-sensitive (rdfa1.0 svg)", "xml",
      label="rdfa1.0")
 
 
+# ----------------------------------------------------- generic xml cases --
+# The reference's spec-xml manifest (rdfa1.1/xml/manifest.ttl, profile
+# "xml" in /root/reference/package.json:61) runs RDFa over arbitrary
+# (non-SVG, non-XHTML) XML documents: xml:base/xml:lang instead of
+# <base>/<lang>, case-sensitive names, CDATA/PI handling, no head/body
+# subject inheritance, no rdfa:Pattern copying, no rdf:HTML datatype
+# (feature table: lib/RdfaProfile.ts "xml" row).
+
+case("RDFa attributes on a generic xml root", "xml",
+     f'<doc prefix="ex: {EX}"><item property="ex:p">v</item></doc>',
+     [[B, EX + "p", '"v"']],
+     label="xml")
+
+case("root @typeof acts as empty @about (generic xml)", "xml",
+     f'<doc prefix="ex: {EX}" typeof="ex:T">'
+     '<item property="ex:p">v</item></doc>',
+     [[B, RDF + "type", EX + "T"],
+      [B, EX + "p", '"v"']],
+     label="xml")
+
+case("xml:base on a generic root rebases relative IRIs", "xml",
+     f'<doc xml:base="http://xbase.example.com/" prefix="ex: {EX}">'
+     '<item about="#x" property="ex:p">v</item></doc>',
+     [["http://xbase.example.com/#x", EX + "p", '"v"']],
+     label="xml")
+
+case("scoped xml:base with carrier @about (generic xml)", "xml",
+     f'<doc prefix="ex: {EX}">'
+     '<g xml:base="http://scoped.example.com/" about="#g">'
+     '<item property="ex:p" resource="rel">v</item></g></doc>',
+     [["http://scoped.example.com/#g", EX + "p",
+       "http://scoped.example.com/rel"]],
+     label="xml")
+
+case("base element has no effect in generic xml (baseTag off)", "xml",
+     f'<doc prefix="ex: {EX}"><base href="http://nope.example.com/"/>'
+     '<item property="ex:p">v</item></doc>',
+     [[B, EX + "p", '"v"']],
+     label="xml")
+
+case("xml:lang inherited from a generic root", "xml",
+     f'<doc prefix="ex: {EX}" xml:lang="en">'
+     '<item property="ex:p">v</item></doc>',
+     [[B, EX + "p", '"v"@en']],
+     label="xml")
+
+case("XMLLiteral captures child markup with xmlns injection "
+     "(generic xml)", "xml",
+     f'<doc xmlns:ex="{EX}" xmlns:rdf="{RDF}">'
+     '<item property="ex:d" datatype="rdf:XMLLiteral">a<b>x</b></item>'
+     '</doc>',
+     [[B, EX + "d",
+       f'"a<b xmlns:ex="{EX}" xmlns:rdf="{RDF}">x</b>"^^{RDF}XMLLiteral']],
+     label="xml")
+
+case("CDATA section in a generic xml literal", "xml",
+     f'<doc prefix="ex: {EX}">'
+     '<item property="ex:p"><![CDATA[A & B]]></item></doc>',
+     [[B, EX + "p", '"A & B"']],
+     label="xml")
+
+case("self-closing child @resource completes an incomplete triple "
+     "(generic xml)", "xml",
+     f'<doc prefix="ex: {EX}"><item about="#a" rel="ex:r">'
+     '<sub resource="#b"/></item></doc>',
+     [[B + "#a", EX + "r", B + "#b"]],
+     label="xml")
+
+case("@vocab on a generic root emits usesVocabulary", "xml",
+     f'<doc vocab="{SCHEMA}"><item property="name">N</item></doc>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, SCHEMA + "name", '"N"']],
+     label="xml")
+
+case("@inlist literal list in generic xml", "xml",
+     f'<doc prefix="ex: {EX}"><item about="#a">'
+     '<x inlist="" property="ex:p">one</x>'
+     '<x inlist="" property="ex:p">two</x></item></doc>',
+     [["_:l0", RDF + "first", '"one"'],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", '"two"'],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "p", "_:l0"]],
+     label="xml")
+
+case("attribute names are case-sensitive in generic xml", "xml",
+     f'<doc prefix="ex: {EX}"><item PROPERTY="ex:p">v</item></doc>',
+     [],
+     label="xml")
+
+case("comment inside literal text is transparent (generic xml)", "xml",
+     f'<doc prefix="ex: {EX}">'
+     '<item property="ex:p">a<!--zap-->b</item></doc>',
+     [[B, EX + "p", '"ab"']],
+     label="xml")
+
+case("processing instruction inside text is transparent (generic xml)",
+     "xml",
+     f'<doc prefix="ex: {EX}">'
+     '<item property="ex:p">a<?pi data?>b</item></doc>',
+     [[B, EX + "p", '"ab"']],
+     label="xml")
+
+case("child markup without @datatype yields a plain text literal "
+     "(htmlDatatype off in xml)", "xml",
+     f'<doc prefix="ex: {EX}">'
+     '<item property="ex:p">a<b>c</b>d</item></doc>',
+     [[B, EX + "p", '"acd"']],
+     label="xml")
+
+case("time element with bare date text (timeTag on in xml)", "xml",
+     f'<doc><time property="{SCHEMA}startDate">2021-07-01</time></doc>',
+     [[B, SCHEMA + "startDate", f'"2021-07-01"^^{XSD}date']],
+     label="xml")
+
+case("rdfa:Pattern is NOT copied in generic xml (copyRdfaPatterns off)",
+     "xml",
+     f'<doc prefix="ex: {EX} rdfa: {RDFA}">'
+     '<item typeof="rdfa:Pattern" resource="#p">'
+     '<x property="ex:q">v</x></item>'
+     '<item about="#a" property="rdfa:copy" resource="#p"/></doc>',
+     [[B + "#p", RDF + "type", RDFA + "Pattern"],
+      [B + "#p", EX + "q", '"v"'],
+      [B + "#a", RDFA + "copy", B + "#p"]],
+     label="xml")
+
+case("xmlns: prefix mapping on a generic root", "xml",
+     f'<doc xmlns:ex="{EX}">'
+     '<item about="#a" property="ex:p">v</item></doc>',
+     [[B + "#a", EX + "p", '"v"']],
+     label="xml")
+
+
 # ------------------------------------------------------------ role cases --
 # The reference also runs the rdfa1.1-role manifests (spec-role-html5 /
 # -xhtml5 / -xhtml1 / -xml in /root/reference/package.json): the W3C
