@@ -11,6 +11,12 @@ the job-submission contract is identical):
 
     python driver.py --input /root/testdata/sf0.001 --out /tmp/kg_out
 
+Incremental re-ingest against a previous run's output (its doc manifest
+is diffed; only added/changed documents re-parse):
+
+    python driver.py --input /data/sf_v2 --out /data/kg_v2 \
+        --prev-dir /data/kg_v1
+
 The run is resumable: partitions whose ``_MANIFEST.json`` matches the
 input fingerprint are skipped on rerun.  Prints one JSON line of metrics
 (stage walls, docs/s, partitions written, canonical-map size).
@@ -36,6 +42,10 @@ def main() -> None:
                     help="input fingerprint for resume (defaults to the "
                          "input path)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--prev-dir", default="",
+                    help="previous run's output dir: switch to incremental "
+                         "re-ingest (diff its doc manifest, re-parse only "
+                         "added/changed docs, rerun the global tail)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="local-mode CPU count (0 = cluster default)")
     args = ap.parse_args()
@@ -68,12 +78,23 @@ def main() -> None:
 
     t0 = time.monotonic()
     n_docs = docs.count()
-    triples, metrics = construct_kg(
-        docs, out_dir=args.out,
-        actor_concurrency=args.actor_concurrency,
-        num_partitions=args.partitions,
-        input_fingerprint=args.fingerprint or args.input,
-        resume=not args.no_resume)
+    if args.prev_dir:
+        from rdfa_streaming_parser_js_ray.pipelines.kg import (
+            construct_kg_incremental,
+        )
+        triples, metrics = construct_kg_incremental(
+            docs, args.out, prev_dir=args.prev_dir,
+            actor_concurrency=args.actor_concurrency,
+            num_partitions=args.partitions,
+            input_fingerprint=args.fingerprint or args.input,
+            resume=not args.no_resume)
+    else:
+        triples, metrics = construct_kg(
+            docs, out_dir=args.out,
+            actor_concurrency=args.actor_concurrency,
+            num_partitions=args.partitions,
+            input_fingerprint=args.fingerprint or args.input,
+            resume=not args.no_resume)
     wall = time.monotonic() - t0
     metrics.update({
         "docs": n_docs,
