@@ -92,6 +92,30 @@ def q_kg_construct(sf_dir: str):
         ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"])
 
 
+def q_kg_lineage(sf_dir: str):
+    """Per-partition lineage of a checkpointed flagship run (north_rule:
+    'checkpoints per-partition triple outputs with lineage + throughput
+    metrics') surfaced as a queryable table — one row per partition with
+    its row count and the input fingerprint that wrote it.  Rows-only
+    (the partition key is a pandas uint64 hash, not SQL-replayable);
+    tests pin sum(rows) == total canonical triples and key coverage."""
+    import re
+
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.pipelines.kg import construct_kg
+    from rdfa_streaming_parser_js_ray.state.checkpoints import (
+        completed_partitions,
+    )
+    out = "/tmp/kg_lineage_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    construct_kg(_wrapped_docs(sf_dir), out_dir=out,
+                 input_fingerprint=f"lineage-{sf_dir}")
+    rows = [{"part_key": k, "rows": m["rows"],
+             "input_fingerprint": m["input_fingerprint"]}
+            for k, m in sorted(completed_partitions(out).items())]
+    return rd.from_items(rows)
+
+
 def q_exact_dedup(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.dedup import exact_dedup
     return exact_dedup(_sf_documents(sf_dir))
@@ -1230,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfa_extract": q_rdfa_extract,
         "rdfa_triple_counts": q_rdfa_triple_counts,
         "kg_construct": q_kg_construct,
+        "kg_lineage": q_kg_lineage,
         "exact_dedup": q_exact_dedup,
         "dedup_corpus": q_dedup_corpus,
         "corpus_prep": q_corpus_prep,

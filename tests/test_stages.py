@@ -2096,3 +2096,21 @@ def test_k_core_clique_and_chain(rd):
         + [{"src": "w", "dst": "w"}]))
     core3n = k_core(noisy, k=3).to_pandas().sort_values("node")
     assert list(core3n["node"]) == ["w", "x", "y", "z"]
+
+
+def test_kg_lineage_query_covers_all_partitions(rd):
+    """The kg_lineage query surfaces one manifest row per written
+    partition; row counts add up to the canonical triple total and every
+    manifest carries the run's input fingerprint (north_rule lineage)."""
+    import shutil
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/kg_lineage__root_testdata_sf0_001",
+                  ignore_errors=True)
+    df = entrymod.q_kg_lineage(sf).to_pandas()
+    assert len(df) > 0
+    assert df["part_key"].is_unique
+    assert (df["input_fingerprint"] == f"lineage-{sf}").all()
+    assert df["rows"].sum() == entrymod.q_kg_construct(sf).count()
