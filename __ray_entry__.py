@@ -610,6 +610,32 @@ def q_sessionize(sf_dir: str):
     return out.map_batches(to_ints, batch_format="pandas")
 
 
+def q_rolling_features(sf_dir: str):
+    """Per-user ordered rolling features (lag + rolling 3-event sum) —
+    LAG/SUM-OVER-ROWS replay in the oracle; integer-cents output so both
+    engines agree bit-for-bit.  Missing lag → -1 sentinel (SQL
+    COALESCE) to keep the column integer."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.windows import rolling_per_key
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts", "value"])
+    out = rolling_per_key(events, k=3)
+
+    def to_ints(batch: pd.DataFrame) -> pd.DataFrame:
+        prev_cents = (batch["prev_value"] * 100).round()
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "event_id": batch["event_id"].astype("int64"),
+            "prev_cents": prev_cents.fillna(-1).astype("int64"),
+            "roll_sum_cents": batch["roll_sum_cents"].astype("int64"),
+            "roll_n": batch["roll_n"].astype("int64"),
+        })
+    return out.map_batches(to_ints, batch_format="pandas")
+
+
 def q_sliding_window(sf_dir: str):
     """Hopping windows (3h windows advancing hourly) over the events
     stream — each event lands in exactly 3 windows via a vectorized
@@ -1289,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": q_window_agg,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
+        "rolling_features": q_rolling_features,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -1992,6 +2019,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "rolling_features": """
+            SELECT user_id, event_id,
+                   CAST(COALESCE(ROUND(LAG(value) OVER w * 100), -1)
+                        AS BIGINT) AS prev_cents,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_sum_cents,
+                   CAST(COUNT(*)
+                        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "join_broadcast": """
             SELECT c_mktsegment,

@@ -165,3 +165,59 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
 
     return events_ds.map_batches(add_bucket, batch_format="pandas") \
         .groupby("_bucket").map_groups(bucket_sessions, batch_format="pandas")
+
+
+def rolling_per_key(events_ds, k: int = 3,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id", value_col: str = "value",
+                    num_buckets: int | None = None):
+    """Per-key ordered rolling features: previous value (lag 1) and the
+    rolling sum/count of the last ``k`` events including the current one
+    — the classic event-featurization shape (SQL: LAG / SUM OVER ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW).
+
+    Same partitioning shape as :func:`sessionize`: keys hash-bucket into
+    a bounded number of uniform groups (all rows of one key land in one
+    bucket), ONE grouped exchange, then one vectorized pandas pass per
+    bucket — sort by (key, order), per-key lag via a key-change-masked
+    shift, rolling sum via pandas' C-implemented grouped rolling.  The
+    rolling sum is computed on integer cents (round(value*100)) so the
+    result is exact-integer and engine-independent (same discipline as
+    tfidf/quantize).  Ordering ties break on ``order_col`` for
+    determinism.  Returns (key, order, prev_value, roll_sum_cents,
+    roll_n).
+    """
+    import numpy as np
+
+    from .joins import _bucket_of, auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(events_ds, rows_per_bucket=50_000,
+                                   fallback=256)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key_col, ts_col, order_col, value_col]].copy()
+        batch["_bucket"] = _bucket_of(batch[key_col], num_buckets)
+        return batch
+
+    def bucket_roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col]) \
+            .reset_index(drop=True)
+        key_change = g[key_col] != g[key_col].shift()
+        prev = g[value_col].shift()
+        prev[key_change] = np.nan
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        g["_cents"] = cents
+        rolled = g.groupby(key_col, sort=False)["_cents"] \
+            .rolling(k, min_periods=1)
+        out = pd.DataFrame({
+            key_col: g[key_col],
+            order_col: g[order_col],
+            "prev_value": prev,
+            "roll_sum_cents": rolled.sum().to_numpy().astype("int64"),
+            "roll_n": rolled.count().to_numpy().astype("int32"),
+        })
+        return out
+
+    return events_ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(bucket_roll, batch_format="pandas")

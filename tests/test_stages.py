@@ -2114,3 +2114,33 @@ def test_kg_lineage_query_covers_all_partitions(rd):
     assert df["part_key"].is_unique
     assert (df["input_fingerprint"] == f"lineage-{sf}").all()
     assert df["rows"].sum() == entrymod.q_kg_construct(sf).count()
+
+
+def test_rolling_per_key_hand_computed(rd):
+    """Lag masks at key boundaries; rolling sum/count over the last k
+    events match a hand-computed trace; ties on ts break by order col."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.windows import rolling_per_key
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": t0, "value": 1.0},
+        {"user_id": 1, "event_id": 2, "ts": t0 + pd.Timedelta("1h"),
+         "value": 2.0},
+        {"user_id": 1, "event_id": 3, "ts": t0 + pd.Timedelta("2h"),
+         "value": 3.0},
+        {"user_id": 1, "event_id": 4, "ts": t0 + pd.Timedelta("3h"),
+         "value": 4.0},
+        # same-ts tie for user 2: order must break on event_id
+        {"user_id": 2, "event_id": 6, "ts": t0, "value": 20.0},
+        {"user_id": 2, "event_id": 5, "ts": t0, "value": 10.0},
+    ]
+    out = rolling_per_key(rd.from_items(rows), k=3, num_buckets=4) \
+        .to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    assert list(out["roll_sum_cents"]) == [100, 300, 600, 900, 1000, 3000]
+    assert list(out["roll_n"]) == [1, 2, 3, 3, 1, 2]
+    prev = out["prev_value"].tolist()
+    assert pd.isna(prev[0]) and prev[1:4] == [1.0, 2.0, 3.0]
+    assert pd.isna(prev[4]) and prev[5] == 10.0
