@@ -508,6 +508,21 @@ def q_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_source_rollup(sf_dir: str):
+    """ROLLUP(source, lang) over the corpus in ONE exchange (grouping
+    sets combiner) — per-(source,lang), per-source, and grand-total doc
+    counts + char sums; SQL GROUP BY ROLLUP is the oracle (NULLs
+    coalesced to the same sentinel the combiner emits)."""
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        read_parquet_clean,
+    )
+    from rdfa_streaming_parser_js_ray.stages.stats import grouping_sets_agg
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "lang", "n_chars"])
+    return grouping_sets_agg(docs, [("source", "lang"), ("source",), ()],
+                             "n_chars")
+
+
 def q_simhash(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.dedup import simhash_documents
     return simhash_documents(_sf_documents(sf_dir), concurrency=2)
@@ -1316,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
         "rolling_features": q_rolling_features,
+        "source_rollup": q_source_rollup,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -2019,6 +2035,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "source_rollup": """
+            SELECT COALESCE(source, '__ALL__') AS source,
+                   COALESCE(lang, '__ALL__') AS lang,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
         """,
         "rolling_features": """
             SELECT user_id, event_id,

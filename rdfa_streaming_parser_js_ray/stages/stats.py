@@ -199,3 +199,49 @@ def kmv_grouped_distinct(ds, key_col: str, value_col: str, k: int = 256):
 
     return ds.map_batches(partial, batch_format="pandas") \
              .groupby("key").map_groups(fold, batch_format="pandas")
+
+
+def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
+                      sentinel: str = "__ALL__"):
+    """ROLLUP / CUBE / GROUPING SETS aggregation in ONE exchange.
+
+    ``sets`` lists the grouping sets, e.g. SQL ``ROLLUP(source, lang)``
+    = ``[("source", "lang"), ("source",), ()]``.  The combiner emits,
+    per batch, one partial (n_rows, sum) row per grouping set per key
+    combo present — rolled-up dimensions carry ``sentinel`` (the SQL
+    replay COALESCEs its NULLs to the same sentinel) — and a single
+    grouped exchange sums the partials.  The shuffle carries
+    |sets| × (combos per batch) rows, never the data.  Sums stay on the
+    input dtype, so integer columns are engine-exact.
+
+    Returns (dim columns in first-set order, n_rows, sum_<value_col>).
+    """
+    from ray.data.aggregate import Sum
+
+    cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in cols:
+                cols.append(c)
+    sum_col = f"sum_{value_col}"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s in sets:
+            if s:
+                g = batch.groupby(list(s), as_index=False).agg(
+                    n_rows=(value_col, "size"),
+                    **{sum_col: (value_col, "sum")})
+            else:
+                g = pd.DataFrame({"n_rows": [len(batch)],
+                                  sum_col: [batch[value_col].sum()]})
+            for c in cols:
+                if c not in s:
+                    g[c] = sentinel
+            outs.append(g[cols + ["n_rows", sum_col]])
+        return pd.concat(outs, ignore_index=True)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(cols).aggregate(Sum("n_rows", alias_name="n_rows"),
+                                 Sum(sum_col, alias_name=sum_col))
+    return out

@@ -2144,3 +2144,37 @@ def test_rolling_per_key_hand_computed(rd):
     prev = out["prev_value"].tolist()
     assert pd.isna(prev[0]) and prev[1:4] == [1.0, 2.0, 3.0]
     assert pd.isna(prev[4]) and prev[5] == 10.0
+
+
+def test_grouping_sets_agg_matches_pandas(rd):
+    """ROLLUP partials compose across blocks: totals per grouping set
+    equal a single-node pandas replay, and rolled-up dims carry the
+    sentinel."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import grouping_sets_agg
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "source": rng.choice(["a", "b", "c"], 500),
+        "lang": rng.choice(["en", "de"], 500),
+        "v": rng.integers(0, 100, 500),
+    })
+    out = grouping_sets_agg(rd.from_pandas(df).repartition(7),
+                            [("source", "lang"), ("source",), ()], "v") \
+        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+
+    fine = df.groupby(["source", "lang"], as_index=False).agg(
+        n_rows=("v", "size"), sum_v=("v", "sum"))
+    per_src = df.groupby("source", as_index=False).agg(
+        n_rows=("v", "size"), sum_v=("v", "sum")).assign(lang="__ALL__")
+    total = pd.DataFrame({"source": ["__ALL__"], "lang": ["__ALL__"],
+                          "n_rows": [len(df)], "sum_v": [df["v"].sum()]})
+    want = pd.concat([fine, per_src, total], ignore_index=True) \
+        .sort_values(["source", "lang"]).reset_index(drop=True) \
+        [["source", "lang", "n_rows", "sum_v"]]
+    got = out[["source", "lang", "n_rows", "sum_v"]].astype(
+        {"n_rows": "int64", "sum_v": "int64"})
+    pd.testing.assert_frame_equal(got, want.astype(
+        {"n_rows": "int64", "sum_v": "int64"}))
