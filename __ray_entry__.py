@@ -508,6 +508,56 @@ def q_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_embedding_dedup_clusters(sf_dir: str):
+    """Semantic (embedding-space) dedup CLUSTERING: LSH-bucketed cosine
+    near-dup pairs → hash-to-min connected components → every vector
+    tagged (cluster_id, is_canonical) via a partitioned left join — the
+    embedding twin of `dedup_clusters`.  Planted exact duplicates (ids
+    +100000 of vec_id < 20, as in `embedding_near_dups`) make the whole
+    composition DuckDB-oracleable: expected clusters are exactly the 20
+    planted pairs, everything else a singleton."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.ann import (
+        embedding_near_dup_pairs,
+    )
+    from rdfa_streaming_parser_js_ray.stages.graph import (
+        connected_components,
+    )
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch[batch["vec_id"] < 20].copy()
+        dup["vec_id"] = dup["vec_id"] + 100_000
+        return pd.concat([batch, dup], ignore_index=True)
+
+    planted = emb.map_batches(plant, batch_format="pandas")
+    pairs = embedding_near_dup_pairs(planted, threshold=0.9, concurrency=2)
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b",
+                                num_buckets=16)
+    comp = comp.map_batches(
+        lambda b: b.rename(columns={"node": "vec_id",
+                                    "component": "cluster_id"}),
+        batch_format="pandas")
+    ids = planted.select_columns(["vec_id"])
+    joined = hash_join(ids, comp, on="vec_id", how="left", num_buckets=16)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["cluster_id"].fillna(b["vec_id"]).astype("int64")
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "cluster_id": cl,
+            "is_canonical": (cl == b["vec_id"].astype("int64"))
+                            .astype("int64")})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_source_rollup(sf_dir: str):
     """ROLLUP(source, lang) over the corpus in ONE exchange (grouping
     sets combiner) — per-(source,lang), per-source, and grand-total doc
@@ -1332,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "rolling_features": q_rolling_features,
         "source_rollup": q_source_rollup,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -2127,6 +2178,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "embedding_dedup_clusters": """
+            SELECT vec_id, vec_id AS cluster_id,
+                   CAST(1 AS BIGINT) AS is_canonical
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, vec_id AS cluster_id,
+                   CAST(0 AS BIGINT) AS is_canonical
             FROM embeddings WHERE vec_id < 20
         """,
         "lang_id": f"""
