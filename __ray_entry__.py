@@ -508,6 +508,22 @@ def q_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_lang_pivot(sf_dir: str):
+    """Pivot the corpus wide: per source, doc count + char sum per
+    pinned language column (en/de/es/fr, remainder folded to __OTHER__)
+    — conditional-aggregation replay in SQL (FILTER clauses).  The
+    pinned-vocabulary contract keeps the schema data-independent at
+    scale."""
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        read_parquet_clean,
+    )
+    from rdfa_streaming_parser_js_ray.stages.stats import pivot_agg
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "lang", "n_chars"])
+    return pivot_agg(docs, "source", "lang", "n_chars",
+                     ["en", "de", "es", "fr"])
+
+
 def q_embedding_dedup_clusters(sf_dir: str):
     """Semantic (embedding-space) dedup CLUSTERING: LSH-bucketed cosine
     near-dup pairs → hash-to-min connected components → every vector
@@ -1383,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_features": q_rolling_features,
         "source_rollup": q_source_rollup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "lang_pivot": q_lang_pivot,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -2086,6 +2103,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
                    COUNT(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        "lang_pivot": """
+            SELECT source,
+                   COUNT(*) FILTER (lang = 'en') AS n_en,
+                   CAST(COALESCE(SUM(n_chars) FILTER (lang = 'en'), 0)
+                        AS BIGINT) AS sum_en,
+                   COUNT(*) FILTER (lang = 'de') AS n_de,
+                   CAST(COALESCE(SUM(n_chars) FILTER (lang = 'de'), 0)
+                        AS BIGINT) AS sum_de,
+                   COUNT(*) FILTER (lang = 'es') AS n_es,
+                   CAST(COALESCE(SUM(n_chars) FILTER (lang = 'es'), 0)
+                        AS BIGINT) AS sum_es,
+                   COUNT(*) FILTER (lang = 'fr') AS n_fr,
+                   CAST(COALESCE(SUM(n_chars) FILTER (lang = 'fr'), 0)
+                        AS BIGINT) AS sum_fr,
+                   COUNT(*) FILTER (lang NOT IN ('en','de','es','fr'))
+                       AS n___OTHER__,
+                   CAST(COALESCE(SUM(n_chars)
+                        FILTER (lang NOT IN ('en','de','es','fr')), 0)
+                        AS BIGINT) AS sum___OTHER__
+            FROM documents GROUP BY source
         """,
         "source_rollup": """
             SELECT COALESCE(source, '__ALL__') AS source,

@@ -245,3 +245,54 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
         .groupby(cols).aggregate(Sum("n_rows", alias_name="n_rows"),
                                  Sum(sum_col, alias_name=sum_col))
     return out
+
+
+def pivot_agg(ds, row_key: str, col_key: str, value_col: str,
+              columns: list[str], other: str | None = "__OTHER__"):
+    """Pivot to wide: one row per ``row_key``, one (count, sum) column
+    pair per pinned ``columns`` value of ``col_key``.
+
+    The column vocabulary is an explicit argument — the scale-safe
+    pivot contract (a discovered vocabulary would make the schema
+    data-dependent and unboundedly wide).  Values outside it fold into
+    ``other`` (or are dropped when ``other=None``).  Per batch the
+    combiner emits one wide partial row per row_key (vectorized
+    crosstab via groupby-unstack); ONE grouped exchange sums partials.
+    Sums stay on the input dtype — integer inputs are engine-exact.
+
+    Returns (row_key, n_<col>, sum_<col>, ... [, n_other, sum_other]).
+    """
+    from ray.data.aggregate import Sum
+
+    vocab = list(columns) + ([other] if other is not None else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[row_key, col_key, value_col]].copy()
+        known = b[col_key].isin(columns)
+        if other is None:
+            b = b[known]
+        else:
+            b.loc[~known, col_key] = other
+        g = b.groupby([row_key, col_key]).agg(
+            n=(value_col, "size"), s=(value_col, "sum"))
+        wide = g.unstack(col_key)
+        int_vals = pd.api.types.is_integer_dtype(batch[value_col])
+        out = pd.DataFrame(index=wide.index)
+        for c in vocab:
+            n = wide["n"][c] if ("n", c) in wide.columns else 0
+            s = wide["s"][c] if ("s", c) in wide.columns else 0
+            out[f"n_{c}"] = pd.Series(n, index=wide.index).fillna(0) \
+                .astype("int64")
+            sum_series = pd.Series(s, index=wide.index).fillna(0)
+            # unstack's NaN fill silently floats integer sums — cast back
+            # so integer inputs stay engine-exact end to end
+            out[f"sum_{c}"] = sum_series.astype("int64") if int_vals \
+                else sum_series
+        return out.reset_index()
+
+    aggs = []
+    for c in vocab:
+        aggs.append(Sum(f"n_{c}", alias_name=f"n_{c}"))
+        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(row_key).aggregate(*aggs)

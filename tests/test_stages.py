@@ -2178,3 +2178,36 @@ def test_grouping_sets_agg_matches_pandas(rd):
         {"n_rows": "int64", "sum_v": "int64"})
     pd.testing.assert_frame_equal(got, want.astype(
         {"n_rows": "int64", "sum_v": "int64"}))
+
+
+def test_pivot_agg_matches_pandas(rd):
+    """Wide partials compose across blocks; out-of-vocabulary values fold
+    to __OTHER__ (or drop with other=None); integer sums stay integer."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import pivot_agg
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "src": rng.choice(["a", "b"], 400),
+        "lang": rng.choice(["en", "de", "xx", "yy"], 400),
+        "v": rng.integers(0, 50, 400),
+    })
+    out = pivot_agg(rd.from_pandas(df).repartition(5), "src", "lang", "v",
+                    ["en", "de"]).to_pandas() \
+        .sort_values("src").reset_index(drop=True)
+    for src in ("a", "b"):
+        sub = df[df["src"] == src]
+        row = out[out["src"] == src].iloc[0]
+        for c in ("en", "de"):
+            m = sub[sub["lang"] == c]
+            assert row[f"n_{c}"] == len(m) and row[f"sum_{c}"] == m["v"].sum()
+        oth = sub[~sub["lang"].isin(["en", "de"])]
+        assert row["n___OTHER__"] == len(oth)
+        assert row["sum___OTHER__"] == oth["v"].sum()
+    assert out["sum_en"].dtype == "int64"
+
+    dropped = pivot_agg(rd.from_pandas(df).repartition(5), "src", "lang",
+                        "v", ["en", "de"], other=None).to_pandas()
+    assert "n___OTHER__" not in dropped.columns
