@@ -116,6 +116,32 @@ def q_kg_lineage(sf_dir: str):
     return rd.from_items(rows)
 
 
+def q_kg_incremental(sf_dir: str):
+    """Incremental re-ingest correctness, driver-visible: build the KG
+    once (checkpoint + doc manifest), then run
+    ``construct_kg_incremental`` of the SAME corpus against it (delta 0
+    — nothing re-parses; the global tail reruns) and return its triples.
+    The oracle is the SAME SQL as `kg_construct`: an increment must be
+    indistinguishable from a full rebuild.  (Perturbed-delta equality is
+    pinned bit-for-bit by the pytest suite; the sf tables are fixed so a
+    perturbation can't be SQL-replayed here.)"""
+    import re
+
+    from rdfa_streaming_parser_js_ray.pipelines.kg import (
+        construct_kg, construct_kg_incremental,
+    )
+    prev = "/tmp/kg_inc_prev_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    construct_kg(_wrapped_docs(sf_dir), out_dir=prev,
+                 input_fingerprint=f"inc-prev-{sf_dir}")
+    out = "/tmp/kg_inc_next_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    triples, _metrics = construct_kg_incremental(
+        _wrapped_docs(sf_dir), out, prev_dir=prev,
+        input_fingerprint=f"inc-next-{sf_dir}")
+    return triples.select_columns(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
+         "obj_datatype"])
+
+
 def q_exact_dedup(sf_dir: str):
     from rdfa_streaming_parser_js_ray.stages.dedup import exact_dedup
     return exact_dedup(_sf_documents(sf_dir))
@@ -1362,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfa_triple_counts": q_rdfa_triple_counts,
         "kg_construct": q_kg_construct,
         "kg_lineage": q_kg_lineage,
+        "kg_incremental": q_kg_incremental,
         "exact_dedup": q_exact_dedup,
         "dedup_corpus": q_dedup_corpus,
         "corpus_prep": q_corpus_prep,
@@ -1472,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kg_construct": _KG_SQL,
+        "kg_incremental": _KG_SQL,
         "bgp_titles": f"""
             WITH kg AS ({_KG_SQL})
             SELECT a.subj AS d, b.obj_value AS title
