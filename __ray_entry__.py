@@ -600,6 +600,17 @@ def q_embedding_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_winnow_pairs(sf_dir: str):
+    """Shared-substring near-dup pairs via winnowing fingerprints — the
+    containment-sensitive complement to MinHash (long verbatim excerpts
+    share window minima even at low whole-document Jaccard).  Two slim
+    bucketed exchanges, df band [2, 64] bounds every pair expansion;
+    the oracle replays the winnow selection + fp self-join in SQL."""
+    from rdfa_streaming_parser_js_ray.stages.text import winnow_dedup_pairs
+    return winnow_dedup_pairs(_sf_documents(sf_dir), min_shared=2,
+                              max_df=64)
+
+
 def q_source_rollup(sf_dir: str):
     """ROLLUP(source, lang) over the corpus in ONE exchange (grouping
     sets combiner) — per-(source,lang), per-source, and grand-total doc
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rollup": q_source_rollup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "lang_pivot": q_lang_pivot,
+        "winnow_pairs": q_winnow_pairs,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -2310,6 +2322,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "winnow_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                END AS grams
+              FROM t),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams, x -> md5(x)) AS hashes
+              FROM g),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(hashes) >= 8 THEN
+                  list_distinct(list_transform(range(1, len(hashes) - 6),
+                    i -> list_aggregate(list_slice(hashes, i, i + 7), 'min')))
+                ELSE list_distinct(hashes) END AS mins
+              FROM h),
+            f AS (SELECT doc_id, unnest(mins) AS fp FROM w),
+            keep AS (
+              SELECT fp FROM f GROUP BY fp
+              HAVING COUNT(*) BETWEEN 2 AND 64)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS shared
+            FROM f a JOIN keep USING (fp) JOIN f b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
         """,
         "token_band_filter": """
             WITH t AS (

@@ -503,3 +503,92 @@ def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def winnow_fingerprint_sets(ds, id_col: str = "doc_id",
+                            text_col: str = "text", window: int = 8):
+    """Exploded winnowing fingerprints: one (id, fp) row per DISTINCT
+    window-min md5 gram hash per document — the joinable form of
+    :func:`winnow_profile` (same selection logic, so the same SQL
+    reformulation replays it row for row)."""
+    import hashlib
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            tokens = (text or "").lower().split()
+            grams = [" ".join(tokens[i:i + 4])
+                     for i in range(max(1, len(tokens) - 3))]
+            hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            if len(hashes) >= window:
+                mins = {min(hashes[i:i + window])
+                        for i in range(len(hashes) - window + 1)}
+            else:
+                mins = set(hashes)
+            ids.extend([doc_id] * len(mins))
+            fps.extend(sorted(mins))
+        return pd.DataFrame({id_col: ids, "fp": fps})
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+def winnow_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                       window: int = 8, min_shared: int = 2,
+                       max_df: int = 64, num_buckets: int | None = None):
+    """Shared-substring near-dup pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints — the containment-sensitive complement to
+    MinHash (a long verbatim excerpt shares window minima even when
+    whole-document Jaccard is low).
+
+    Scale shape: fingerprints explode to slim (id, fp) rows;
+    fingerprints with document frequency outside [2, ``max_df``] are
+    dropped INSIDE the first bucketed exchange (boilerplate phrases are
+    stop-fingerprints, exactly the inverted-index df band), which bounds
+    every pair expansion at ``max_df``²/2; a vectorized self-merge emits
+    the pairs; a second bucketed exchange sums shared-fp counts per
+    pair.  Two exchanges total, both over slim rows, every group
+    bounded.
+    """
+    from .joins import _bucket_of, auto_buckets
+
+    fps = winnow_fingerprint_sets(ds, id_col=id_col, text_col=text_col,
+                                  window=window)
+    if num_buckets is None:
+        num_buckets = auto_buckets(fps, rows_per_bucket=100_000,
+                                   fallback=64)
+
+    def add_fp_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = _bucket_of(batch["fp"], num_buckets)
+        return batch
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        df_per_fp = group.groupby("fp")[id_col].transform("size")
+        kept = group[(df_per_fp >= 2) & (df_per_fp <= max_df)]
+        if not len(kept):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=group[id_col].dtype),
+                                 "doc_b": pd.Series([], dtype=group[id_col].dtype),
+                                 "shared": pd.Series([], dtype="int64")})
+        m = kept.merge(kept, on="fp", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.groupby([f"{id_col}_a", f"{id_col}_b"], as_index=False) \
+            .agg(shared=("fp", "size"))
+        return out.rename(columns={f"{id_col}_a": "doc_a",
+                                   f"{id_col}_b": "doc_b"})
+
+    partial = fps.map_batches(add_fp_bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    def add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = _bucket_of(
+            batch["doc_a"].astype(str) + "|" + batch["doc_b"].astype(str),
+            num_buckets)
+        return batch
+
+    def fold_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["doc_a", "doc_b"], as_index=False) \
+            .agg(shared=("shared", "sum"))
+        return out[out["shared"] >= min_shared]
+
+    return partial.map_batches(add_pair_bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(fold_pairs, batch_format="pandas")

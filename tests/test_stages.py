@@ -2211,3 +2211,33 @@ def test_pivot_agg_matches_pandas(rd):
     dropped = pivot_agg(rd.from_pandas(df).repartition(5), "src", "lang",
                         "v", ["en", "de"], other=None).to_pandas()
     assert "n___OTHER__" not in dropped.columns
+
+
+def test_winnow_dedup_pairs_planted(rd):
+    """A long verbatim excerpt inside an otherwise different document
+    still pairs (containment case MinHash misses at low Jaccard); docs
+    with no shared 4-grams don't; the df band drops boilerplate
+    fingerprints shared by everything."""
+    from rdfa_streaming_parser_js_ray.stages.text import winnow_dedup_pairs
+
+    excerpt = " ".join(f"tok{i}" for i in range(40))
+    filler_a = " ".join(f"aaa{i}" for i in range(200))
+    filler_b = " ".join(f"bbb{i}" for i in range(200))
+    boiler = " ".join(f"footer{i % 4}" for i in range(12))
+    rows = [
+        {"doc_id": 1, "text": filler_a + " " + excerpt + " " + boiler},
+        {"doc_id": 2, "text": filler_b + " " + excerpt + " " + boiler},
+        {"doc_id": 3, "text": " ".join(f"ccc{i}" for i in range(150))
+                              + " " + boiler},
+    ] + [{"doc_id": 10 + i,
+          "text": " ".join(f"x{10+i}_{j}" for j in range(100))
+                  + " " + boiler}
+         for i in range(8)]
+    pairs = winnow_dedup_pairs(rd.from_items(rows).repartition(3),
+                               min_shared=2, max_df=4, num_buckets=8) \
+        .to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got                       # excerpt containment pairs
+    # boilerplate footer is shared by ALL 11 docs -> df band (max_df=4)
+    # drops it, so unrelated docs never pair through it
+    assert all(a == 1 and b == 2 for a, b in got)
