@@ -600,6 +600,15 @@ def q_embedding_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_kg_predicate_stats(sf_dir: str):
+    """VoID-style KG profile: per predicate, triple count + exact
+    distinct subject/object counts over the constructed graph — the
+    dataset-statistics step of KG publishing.  Oracle wraps the full KG
+    SQL replay in a GROUP BY with COUNT(DISTINCT ...)."""
+    from rdfa_streaming_parser_js_ray.stages.graph import predicate_stats
+    return predicate_stats(q_kg_construct(sf_dir))
+
+
 def q_winnow_pairs(sf_dir: str):
     """Shared-substring near-dup pairs via winnowing fingerprints — the
     containment-sensitive complement to MinHash (long verbatim excerpts
@@ -1439,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "lang_pivot": q_lang_pivot,
         "winnow_pairs": q_winnow_pairs,
+        "kg_predicate_stats": q_kg_predicate_stats,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -1512,6 +1522,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_construct": _KG_SQL,
         "kg_incremental": _KG_SQL,
+        "kg_predicate_stats": f"""
+            WITH kg AS ({_KG_SQL})
+            SELECT pred, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subj,
+                   COUNT(DISTINCT obj_value) AS n_obj
+            FROM kg GROUP BY pred
+        """,
         "bgp_titles": f"""
             WITH kg AS ({_KG_SQL})
             SELECT a.subj AS d, b.obj_value AS title

@@ -390,3 +390,73 @@ def k_core(edges_ds, k: int, max_rounds: int = 8,
         lambda b: b[b["degree"] >= k].assign(
             degree=lambda x: x["degree"].astype("int64")),
         batch_format="pandas")
+
+
+def predicate_stats(triples_ds, pred_col: str = "pred",
+                    subj_col: str = "subj", obj_col: str = "obj_value",
+                    num_buckets: int | None = None):
+    """VoID-style dataset statistics per predicate: triple count,
+    distinct subjects, distinct objects — the KG profile every
+    link-discovery / vocabulary-audit step starts from.
+
+    Scale shape: triple counts are a combiner + one small grouped Sum;
+    the distinct counts explode each triple to two slim tagged rows
+    ((pred, 's'|'o', value), batch-locally deduped), hash-bucket on the
+    full key so the ONE wide exchange has bounded uniform groups, dedup
+    + count inside each bucket, then a second constant-size Sum fold per
+    (pred, kind).  Nothing corpus-sized crosses undeduped; no driver
+    pulls.  Returns (pred, n_triples, n_subj, n_obj), int64-exact.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .joins import _bucket_of, auto_buckets, hash_join
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(triples_ds, rows_per_bucket=200_000,
+                                   fallback=64)
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(pred_col, as_index=False) \
+            .agg(n_triples=(pred_col, "size"))
+
+    n_triples = triples_ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby(pred_col).aggregate(Sum("n_triples",
+                                         alias_name="n_triples"))
+
+    def tagged(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[[pred_col, subj_col]].drop_duplicates()
+        s = pd.DataFrame({pred_col: s[pred_col], "kind": "s",
+                          "val": s[subj_col]})
+        o = batch[[pred_col, obj_col]].drop_duplicates()
+        o = pd.DataFrame({pred_col: o[pred_col], "kind": "o",
+                          "val": o[obj_col]})
+        both = pd.concat([s, o], ignore_index=True)
+        both["_bucket"] = _bucket_of(
+            both[pred_col] + "\x1f" + both["kind"] + "\x1f"
+            + both["val"].astype(str), num_buckets)
+        return both
+
+    def bucket_distinct_counts(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates([pred_col, "kind", "val"])
+        return d.groupby([pred_col, "kind"], as_index=False) \
+            .agg(n=("val", "size"))
+
+    counts = triples_ds.map_batches(tagged, batch_format="pandas") \
+        .groupby("_bucket") \
+        .map_groups(bucket_distinct_counts, batch_format="pandas") \
+        .groupby([pred_col, "kind"]).aggregate(Sum("n", alias_name="n"))
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch.pivot_table(index=pred_col, columns="kind", values="n",
+                              aggfunc="sum", fill_value=0).reset_index()
+        return pd.DataFrame({
+            pred_col: w[pred_col],
+            "n_subj": w["s"].astype("int64") if "s" in w else 0,
+            "n_obj": w["o"].astype("int64") if "o" in w else 0,
+        })
+
+    # per-pred tables are vocabulary-sized (small); repartition(1) makes
+    # the pivot see every (pred, kind) row, then a slim hash join
+    wide = counts.repartition(1).map_batches(widen, batch_format="pandas")
+    return hash_join(n_triples, wide, on=pred_col, num_buckets=8)

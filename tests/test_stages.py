@@ -2241,3 +2241,25 @@ def test_winnow_dedup_pairs_planted(rd):
     # boilerplate footer is shared by ALL 11 docs -> df band (max_df=4)
     # drops it, so unrelated docs never pair through it
     assert all(a == 1 and b == 2 for a, b in got)
+
+
+def test_predicate_stats_hand_computed(rd):
+    """Exact distinct subject/object counts per predicate compose across
+    blocks (batch-local dedup can't double-count across blocks)."""
+    from rdfa_streaming_parser_js_ray.stages.graph import predicate_stats
+
+    rows = []
+    # p1: 6 triples, 3 subjects, 2 objects — duplicated values split
+    # across blocks on purpose (repartition(4))
+    for s in ("a", "b", "c"):
+        for o in ("x", "y"):
+            rows.append({"pred": "p1", "subj": s, "obj_value": o})
+    # p2: 2 identical triples -> 2 triples, 1 subject, 1 object
+    rows += [{"pred": "p2", "subj": "s", "obj_value": "o"}] * 2
+    out = predicate_stats(rd.from_items(rows).repartition(4),
+                          num_buckets=4) \
+        .to_pandas().sort_values("pred").reset_index(drop=True)
+    assert list(out["pred"]) == ["p1", "p2"]
+    assert list(out["n_triples"]) == [6, 2]
+    assert list(out["n_subj"]) == [3, 1]
+    assert list(out["n_obj"]) == [2, 1]
