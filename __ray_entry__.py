@@ -550,6 +550,26 @@ def q_lang_pivot(sf_dir: str):
                      ["en", "de", "es", "fr"])
 
 
+def _planted_embeddings(sf_dir: str):
+    """Embeddings table + planted exact duplicates (ids +100000 of
+    vec_id < 20) — the ONE definition of the planted-ids contract that
+    both `embedding_near_dups` and `embedding_dedup_clusters` oracles
+    assert (their SQL hardcodes the same +100000 / <20 constants)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch[batch["vec_id"] < 20].copy()
+        dup["vec_id"] = dup["vec_id"] + 100_000
+        return pd.concat([batch, dup], ignore_index=True)
+
+    return emb.map_batches(plant, batch_format="pandas")
+
+
 def q_embedding_dedup_clusters(sf_dir: str):
     """Semantic (embedding-space) dedup CLUSTERING: LSH-bucketed cosine
     near-dup pairs → hash-to-min connected components → every vector
@@ -560,8 +580,6 @@ def q_embedding_dedup_clusters(sf_dir: str):
     planted pairs, everything else a singleton."""
     import pandas as pd
 
-    import ray.data as rd
-
     from rdfa_streaming_parser_js_ray.stages.ann import (
         embedding_near_dup_pairs,
     )
@@ -570,15 +588,7 @@ def q_embedding_dedup_clusters(sf_dir: str):
     )
     from rdfa_streaming_parser_js_ray.stages.joins import hash_join
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-
-    def plant(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = batch[batch["vec_id"] < 20].copy()
-        dup["vec_id"] = dup["vec_id"] + 100_000
-        return pd.concat([batch, dup], ignore_index=True)
-
-    planted = emb.map_batches(plant, batch_format="pandas")
+    planted = _planted_embeddings(sf_dir)
     pairs = embedding_near_dup_pairs(planted, threshold=0.9, concurrency=2)
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b",
                                 num_buckets=16)
@@ -684,18 +694,8 @@ def q_embedding_near_dups(sf_dir: str):
     exactly those 20 pairs, which makes the whole LSH-co-bucket +
     in-bucket pair-scan path DuckDB-oracleable (ids only — the float32
     cosine of an exact dup is 1.0 ± fp error, not SQL-reproducible)."""
-    import pandas as pd
-    import ray.data as rd
     from rdfa_streaming_parser_js_ray.stages.ann import embedding_near_dup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-
-    def plant(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = batch[batch["vec_id"] < 20].copy()
-        dup["vec_id"] = dup["vec_id"] + 100_000
-        return pd.concat([batch, dup], ignore_index=True)
-
-    pairs = embedding_near_dup_pairs(emb.map_batches(plant, batch_format="pandas"),
+    pairs = embedding_near_dup_pairs(_planted_embeddings(sf_dir),
                                      threshold=0.9, concurrency=2)
     return pairs.select_columns(["id_a", "id_b"])
 

@@ -431,6 +431,30 @@ def construct_kg_incremental(docs_ds, out_dir: str, *, prev_dir: str,
     new_slim = new_man.map_batches(rename("h_new"), batch_format="pandas")
     delta = hashed_diff(old_slim, new_slim, id_col="doc_id").materialize()
 
+    # Resume keys must be CONTENT-derived here: the whole point of an
+    # incremental run is "same input path, changed content", so a
+    # path-derived fingerprint (driver.py's default) would match the
+    # previous run's markers and full-resume to the STALE output,
+    # silently discarding the delta.  Fold an order-independent XOR of
+    # the per-doc identity hashes into the fingerprint: identical corpus
+    # -> identical key (fast resume stays correct), any content change
+    # -> new key.  One tiny partial row per block reaches the driver.
+    def _sig_partial(batch) -> "pd.DataFrame":
+        import pandas as pd
+        h = pd.util.hash_array(
+            (batch["doc_id"].astype(str) + ":"
+             + batch["content_hash"]).to_numpy(dtype=object))
+        return pd.DataFrame({"x": [int(np.bitwise_xor.reduce(h))
+                                   if len(h) else 0]})
+
+    parts = new_man.map_batches(_sig_partial,
+                                batch_format="pandas").take_all()
+    corpus_sig = 0
+    for row in parts:
+        corpus_sig ^= int(row["x"])
+    effective_fp = (f"{input_fingerprint}|corpus:{corpus_sig:016x}"
+                    if input_fingerprint else f"corpus:{corpus_sig:016x}")
+
     prev_raw = rd.read_parquet(os.path.join(prev_dir, "triples_raw"))
     raw_cols = list(prev_raw.schema().names)
 
@@ -549,7 +573,7 @@ def construct_kg_incremental(docs_ds, out_dir: str, *, prev_dir: str,
 
     result, metrics = construct_kg(docs_ds, out_dir,
                                    num_partitions=num_partitions,
-                                   input_fingerprint=input_fingerprint,
+                                   input_fingerprint=effective_fp,
                                    _pre_extracted=merged,
                                    _doc_manifest_ds=new_man, **kwargs)
     inc_metrics["wall_sec"] = round(time.monotonic() - t0, 3)

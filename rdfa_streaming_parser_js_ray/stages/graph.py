@@ -412,6 +412,12 @@ def predicate_stats(triples_ds, pred_col: str = "pred",
 
     from .joins import _bucket_of, auto_buckets, hash_join
 
+    # two branches (triple counts, distinct counts) consume the input —
+    # pin it once or a lazy upstream (e.g. the whole KG pipeline)
+    # re-executes per branch (same convention as the other multi-consumer
+    # stages in this module)
+    triples_ds = triples_ds.materialize()
+
     if num_buckets is None:
         num_buckets = auto_buckets(triples_ds, rows_per_bucket=200_000,
                                    fallback=64)

@@ -229,7 +229,13 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
         outs = []
         for s in sets:
             if s:
-                g = batch.groupby(list(s), as_index=False).agg(
+                # dropna=False: a null dim value is its own group (SQL
+                # ROLLUP keeps a NULL group too) — the default would
+                # drop those rows from fine sets while the () grand
+                # total still counts them, making the output
+                # self-contradictory
+                g = batch.groupby(list(s), as_index=False,
+                                  dropna=False).agg(
                     n_rows=(value_col, "size"),
                     **{sum_col: (value_col, "sum")})
             else:
@@ -273,7 +279,9 @@ def pivot_agg(ds, row_key: str, col_key: str, value_col: str,
             b = b[known]
         else:
             b.loc[~known, col_key] = other
-        g = b.groupby([row_key, col_key]).agg(
+        # dropna=False: a null row_key keeps its rows (its own group)
+        # instead of silently vanishing from the pivot
+        g = b.groupby([row_key, col_key], dropna=False).agg(
             n=(value_col, "size"), s=(value_col, "sum"))
         wide = g.unstack(col_key)
         int_vals = pd.api.types.is_integer_dtype(batch[value_col])

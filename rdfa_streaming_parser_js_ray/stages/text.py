@@ -229,6 +229,24 @@ def sample_sources(ds, weights: dict[str, float], default: float = 1.0,
     return ds.map_batches(f, batch_format="pandas")
 
 
+def _winnow_mins(text: str, window: int) -> tuple[set[str], int]:
+    """Per-doc winnowing kernel shared by :func:`winnow_profile` and
+    :func:`winnow_fingerprint_sets`: md5 over word 4-grams, distinct
+    sliding-``window`` minima.  ONE definition on purpose — the same
+    DuckDB SQL reformulation oracles both callers, so the selection
+    logic must not be able to drift between them."""
+    import hashlib
+
+    tokens = (text or "").lower().split()
+    grams = [" ".join(tokens[i:i + 4])
+             for i in range(max(1, len(tokens) - 3))]
+    hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if len(hashes) >= window:
+        return {min(hashes[i:i + window])
+                for i in range(len(hashes) - window + 1)}, len(hashes)
+    return set(hashes), len(hashes)
+
+
 def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
                    window: int = 8):
     """SQL-oracleable winnowing profile: md5 over word 4-grams, sliding
@@ -240,21 +258,11 @@ def winnow_profile(ds, id_col: str = "doc_id", text_col: str = "text",
     pure-SQL reformulation.  Lexicographic min over hex digests ==
     numeric min over the digests' big-endian value, so the two agree.
     """
-    import hashlib
-
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         n_grams, n_winnow, min_hash = [], [], []
         for text in batch[text_col]:
-            tokens = (text or "").lower().split()
-            grams = [" ".join(tokens[i:i + 4])
-                     for i in range(max(1, len(tokens) - 3))]
-            hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
-            if len(hashes) >= window:
-                mins = {min(hashes[i:i + window])
-                        for i in range(len(hashes) - window + 1)}
-            else:
-                mins = set(hashes)
-            n_grams.append(len(hashes))
+            mins, gram_count = _winnow_mins(text, window)
+            n_grams.append(gram_count)
             n_winnow.append(len(mins))
             min_hash.append(min(mins))
         return pd.DataFrame({id_col: batch[id_col],
@@ -511,20 +519,10 @@ def winnow_fingerprint_sets(ds, id_col: str = "doc_id",
     window-min md5 gram hash per document — the joinable form of
     :func:`winnow_profile` (same selection logic, so the same SQL
     reformulation replays it row for row)."""
-    import hashlib
-
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         ids, fps = [], []
         for doc_id, text in zip(batch[id_col], batch[text_col]):
-            tokens = (text or "").lower().split()
-            grams = [" ".join(tokens[i:i + 4])
-                     for i in range(max(1, len(tokens) - 3))]
-            hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
-            if len(hashes) >= window:
-                mins = {min(hashes[i:i + window])
-                        for i in range(len(hashes) - window + 1)}
-            else:
-                mins = set(hashes)
+            mins, _ = _winnow_mins(text, window)
             ids.extend([doc_id] * len(mins))
             fps.extend(sorted(mins))
         return pd.DataFrame({id_col: ids, "fp": fps})

@@ -2263,3 +2263,49 @@ def test_predicate_stats_hand_computed(rd):
     assert list(out["n_triples"]) == [6, 2]
     assert list(out["n_subj"]) == [3, 1]
     assert list(out["n_obj"]) == [2, 1]
+
+
+def test_incremental_same_fingerprint_no_stale_resume(rd, tmp_path):
+    """Regression: an in-place incremental rerun with the SAME caller
+    fingerprint (driver.py's path-derived default) must rebuild from the
+    delta, not full-resume to the stale output — the resume key is now
+    content-derived."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.pipelines.kg import (
+        construct_kg, construct_kg_incremental,
+    )
+
+    v1_tab = synthesize_documents(40, seed=21)
+    v1 = rd.from_arrow(v1_tab).repartition(4).materialize()
+    out = str(tmp_path / "kg")
+    construct_kg(v1, out_dir=out, num_partitions=8,
+                 input_fingerprint="/same/path")
+
+    rows = v1_tab.to_pylist()
+    for r in rows[:3]:                          # change 3 docs in place
+        spans = list(r["spans"])
+        spans.append({"kind": "text",
+                      "text": '<p property="http://p/new">N</p>',
+                      "media_ref": "",
+                      "offset": max(s["offset"] for s in spans) + 1})
+        r["spans"] = spans
+    v2 = rd.from_items(rows).repartition(4).materialize()
+
+    inc, metrics = construct_kg_incremental(
+        v2, out, prev_dir=out, num_partitions=8,
+        input_fingerprint="/same/path")        # same caller fingerprint!
+    assert metrics["incremental"]["changed"] == 3
+
+    out_full = str(tmp_path / "full")
+    full, _ = construct_kg(v2, out_dir=out_full, num_partitions=8,
+                           input_fingerprint="v2-full")
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(full), canon(inc))
+    # the new triples from the edited docs must be present (stale output
+    # would lack them)
+    assert (inc.to_pandas()["pred"] == "http://p/new").sum() == 3
