@@ -2309,3 +2309,23 @@ def test_incremental_same_fingerprint_no_stale_resume(rd, tmp_path):
     # the new triples from the edited docs must be present (stale output
     # would lack them)
     assert (inc.to_pandas()["pred"] == "http://p/new").sum() == 3
+
+
+def test_grouping_sets_keeps_null_dim_rows(rd):
+    """Review-fix regression: a null dim value is its own group and the
+    grand total equals the sum of the fine groups (pandas' default
+    dropna=True used to drop null-keyed rows from fine sets only)."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import grouping_sets_agg
+
+    df = pd.DataFrame({"k": ["a", "a", None, "b"],
+                       "v": [1, 2, 4, 8]})
+    out = grouping_sets_agg(rd.from_pandas(df).repartition(2),
+                            [("k",), ()], "v").to_pandas()
+    total = out[out["k"] == "__ALL__"]
+    fine = out[out["k"] != "__ALL__"]
+    assert int(total["n_rows"].iloc[0]) == 4
+    assert int(total["sum_v"].iloc[0]) == 15
+    assert int(fine["n_rows"].sum()) == 4          # null row kept
+    assert int(fine["sum_v"].sum()) == 15
