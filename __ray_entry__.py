@@ -610,6 +610,48 @@ def q_embedding_dedup_clusters(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_interval_overlap(sf_dir: str):
+    """KEYLESS interval-overlap join: 10-minute event intervals
+    [ts, ts+600s) against the distinct hour windows [h, h+3600s) present
+    in the stream — axis-bucketed with canonical-bucket dedup (no dedup
+    exchange); each event overlaps 1–2 windows so output stays linear.
+    SQL replays the overlap predicate over the same derived windows."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.joins import interval_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts"])
+
+    def to_interval(b: pd.DataFrame) -> pd.DataFrame:
+        lo = b["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        return pd.DataFrame({"event_id": b["event_id"].astype("int64"),
+                             "lo": lo.astype("float64"),
+                             "hi": (lo + 600).astype("float64")})
+
+    def to_windows(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+             // 3600 * 3600).drop_duplicates()
+        return pd.DataFrame({"wlo": h.astype("float64"),
+                             "whi": (h + 3600).astype("float64")})
+
+    intervals = events.map_batches(to_interval, batch_format="pandas")
+    # distinct hour windows: per-batch distinct -> one tiny grouped pass
+    windows = events.map_batches(to_windows, batch_format="pandas") \
+        .groupby("wlo").map_groups(lambda g: g.iloc[:1],
+                                   batch_format="pandas")
+    joined = interval_join(intervals, windows, l_lo="lo", l_hi="hi",
+                           r_lo="wlo", r_hi="whi", bucket_width=3600.0)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "window_start_s": b["wlo"].astype("int64")})
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_kg_predicate_stats(sf_dir: str):
     """VoID-style KG profile: per predicate, triple count + exact
     distinct subject/object counts over the constructed graph — the
@@ -1449,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pivot": q_lang_pivot,
         "winnow_pairs": q_winnow_pairs,
         "kg_predicate_stats": q_kg_predicate_stats,
+        "interval_overlap": q_interval_overlap,
         "asof_orders": q_asof_orders,
         "shipments_in_window": q_shipments_in_window,
         "part_triangles": q_part_triangles,
@@ -2339,6 +2382,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_winnow,
                    list_aggregate(mins, 'min') AS min_gram_hash
             FROM w
+        """,
+        "interval_overlap": """
+            WITH e AS (
+              SELECT event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 600 AS hi
+              FROM events),
+            w AS (
+              SELECT DISTINCT
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600
+                         AS wlo
+              FROM events)
+            SELECT e.event_id, w.wlo AS window_start_s
+            FROM e JOIN w
+              ON e.lo < w.wlo + 3600 AND w.wlo < e.hi
         """,
         "winnow_pairs": """
             WITH t AS (

@@ -391,3 +391,88 @@ def bucketed_fold(ds, key_cols, fold, num_buckets: int = 64):
 
     return ds.map_batches(add, batch_format="pandas") \
              .groupby("_gb").map_groups(run, batch_format="pandas")
+
+
+def interval_join(left_ds, right_ds, *, l_lo: str, l_hi: str,
+                  r_lo: str, r_hi: str, bucket_width: float,
+                  max_span_buckets: int = 1024):
+    """KEYLESS interval-overlap join: every (left, right) pair whose
+    numeric intervals overlap (``l_lo < r_hi AND r_lo < l_hi``,
+    half-open), with no equality key to bucket on.
+
+    Partitioning assumption (the one to document at 100 TB): the value
+    axis is cut into ranges of ``bucket_width`` and each interval
+    replicates into every range it touches — pick ``bucket_width`` near
+    the median interval span so the replication factor stays ~2; an
+    interval spanning more than ``max_span_buckets`` ranges raises
+    instead of silently fanning out.  A pair overlapping in several
+    ranges is emitted ONLY in the canonical range containing
+    ``max(l_lo, r_lo)`` (the classic spatial-join dedup trick), so no
+    dedup exchange is needed: one fan-out map per side, ONE grouped
+    exchange, a vectorized per-bucket merge + masks.
+
+    Both bound columns must be numeric (convert timestamps to epoch
+    seconds first).  Returns all left columns + right columns (right
+    names suffixed ``_r`` on collision).
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = float(bucket_width)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    rename = {c: c + "_r" for c in right_cols if c in left_cols}
+    out_r_lo = rename.get(r_lo, r_lo)
+    out_r_hi = rename.get(r_hi, r_hi)
+
+    def fan_out(lo_col: str, hi_col: str, side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            lo = batch[lo_col].to_numpy(dtype="float64")
+            hi = batch[hi_col].to_numpy(dtype="float64")
+            b0 = np.floor(lo / w).astype(np.int64)
+            b1 = np.floor(hi / w).astype(np.int64)  # half-open: hi==edge
+            b1 = np.maximum(b0, np.where(hi / w == b1, b1 - 1, b1))
+            counts = (b1 - b0 + 1)
+            if counts.max(initial=1) > max_span_buckets:
+                raise ValueError(
+                    f"interval spans {counts.max()} buckets "
+                    f"(> max_span_buckets={max_span_buckets}); raise "
+                    f"bucket_width")
+            rep = batch.loc[batch.index.repeat(counts)].reset_index(drop=True)
+            offs = np.concatenate([np.arange(c) for c in counts]) \
+                if len(counts) else np.empty(0, dtype=np.int64)
+            rep["_bucket"] = np.repeat(b0, counts) + offs
+            rep["_side"] = side
+            return rep
+        return f
+
+    lds = left_ds.map_batches(fan_out(l_lo, l_hi, "l"),
+                              batch_format="pandas")
+    rds = right_ds.map_batches(
+        lambda b: b.rename(columns=rename), batch_format="pandas") \
+        .map_batches(fan_out(out_r_lo, out_r_hi, "r"),
+                     batch_format="pandas")
+
+    out_right_cols = [rename.get(c, c) for c in right_cols]
+
+    def bucket_merge(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["_bucket"].iloc[0])
+        lg = group[group["_side"] == "l"]
+        rg = group[group["_side"] == "r"]
+        if not len(lg) or not len(rg):
+            # zero-row but correctly TYPED frame (a dtype-less empty
+            # frame makes the cross-block concat promote ints to float)
+            return lg[left_cols].iloc[:0].merge(
+                rg[out_right_cols].iloc[:0], how="cross")
+        m = lg[left_cols].merge(rg[out_right_cols], how="cross")
+        lo_max = np.maximum(m[l_lo].to_numpy(dtype="float64"),
+                            m[out_r_lo].to_numpy(dtype="float64"))
+        overlap = (m[l_lo].to_numpy(dtype="float64")
+                   < m[out_r_hi].to_numpy(dtype="float64")) \
+            & (m[out_r_lo].to_numpy(dtype="float64")
+               < m[l_hi].to_numpy(dtype="float64"))
+        canonical = np.floor(lo_max / w).astype(np.int64) == bucket
+        return m[overlap & canonical]
+
+    return lds.union(rds).groupby("_bucket") \
+        .map_groups(bucket_merge, batch_format="pandas")

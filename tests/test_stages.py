@@ -2329,3 +2329,39 @@ def test_grouping_sets_keeps_null_dim_rows(rd):
     assert int(total["sum_v"].iloc[0]) == 15
     assert int(fine["n_rows"].sum()) == 4          # null row kept
     assert int(fine["sum_v"].sum()) == 15
+
+
+def test_interval_join_matches_pandas_and_dedups(rd):
+    """Keyless overlap join: matches a brute-force pandas replay on
+    random intervals; pairs overlapping several axis buckets emit once
+    (canonical bucket); over-wide intervals raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from rdfa_streaming_parser_js_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0, 100, 80)
+    left = pd.DataFrame({"lid": np.arange(80, dtype="int64"),
+                         "lo": lo, "hi": lo + rng.uniform(0.5, 12, 80)})
+    rlo = rng.uniform(0, 100, 40)
+    right = pd.DataFrame({"rid": np.arange(40, dtype="int64"),
+                          "rlo": rlo,
+                          "rhi": rlo + rng.uniform(0.5, 12, 40)})
+    out = interval_join(rd.from_pandas(left).repartition(4),
+                        rd.from_pandas(right).repartition(3),
+                        l_lo="lo", l_hi="hi", r_lo="rlo", r_hi="rhi",
+                        bucket_width=5.0).to_pandas()
+    got = sorted(zip(out["lid"].astype(int), out["rid"].astype(int)))
+    brute = left.merge(right, how="cross")
+    mask = (brute["lo"] < brute["rhi"]) & (brute["rlo"] < brute["hi"])
+    want = sorted(zip(brute.loc[mask, "lid"], brute.loc[mask, "rid"]))
+    assert got == want                      # complete AND deduplicated
+    assert len(got) == len(set(got))
+
+    wide = pd.DataFrame({"lid": [0], "lo": [0.0], "hi": [1e9]})
+    with pytest.raises(Exception):          # span cap raises, no fan-out
+        interval_join(rd.from_pandas(wide), rd.from_pandas(right),
+                      l_lo="lo", l_hi="hi", r_lo="rlo", r_hi="rhi",
+                      bucket_width=5.0, max_span_buckets=100).to_pandas()
