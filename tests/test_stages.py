@@ -2331,9 +2331,11 @@ def test_grouping_sets_keeps_null_dim_rows(rd):
     assert int(fine["sum_v"].sum()) == 15
 
 
-def test_interval_join_matches_pandas_and_dedups(rd):
+@pytest.mark.parametrize("width", [0.7, 5.0, 50.0])
+def test_interval_join_matches_pandas_and_dedups(rd, width):
     """Keyless overlap join: matches a brute-force pandas replay on
-    random intervals; pairs overlapping several axis buckets emit once
+    random intervals at fine/median/coarse bucket widths (result must be
+    width-invariant); pairs overlapping several axis buckets emit once
     (canonical bucket); over-wide intervals raise."""
     import numpy as np
     import pandas as pd
@@ -2352,7 +2354,7 @@ def test_interval_join_matches_pandas_and_dedups(rd):
     out = interval_join(rd.from_pandas(left).repartition(4),
                         rd.from_pandas(right).repartition(3),
                         l_lo="lo", l_hi="hi", r_lo="rlo", r_hi="rhi",
-                        bucket_width=5.0).to_pandas()
+                        bucket_width=width).to_pandas()
     got = sorted(zip(out["lid"].astype(int), out["rid"].astype(int)))
     brute = left.merge(right, how="cross")
     mask = (brute["lo"] < brute["rhi"]) & (brute["rlo"] < brute["hi"])
