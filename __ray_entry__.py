@@ -2601,7 +2601,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             g AS (
               SELECT doc_id,
-                CASE WHEN len(toks) <= 3
+                CASE WHEN len(toks) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) <= 3
                      THEN [md5(array_to_string(toks, ' '))]
                      ELSE list_transform(range(1, len(toks) - 1),
                             i -> md5(array_to_string(

@@ -45,7 +45,11 @@ def _collect_bench_grams(bench_ds, n: int, text_col: str) -> np.ndarray:
     sorted uint64 array (uniqued per batch BEFORE the driver pull) —
     shared by the exact and bloom broadcast builders."""
     def grams(batch: pd.DataFrame) -> pd.DataFrame:
-        parts = [_shingle_hashes(t or "", k=n) for t in batch[text_col]]
+        # skip empty/whitespace-only benchmark docs: their sentinel
+        # gram (hash of zero tokens) would tag EVERY empty corpus doc
+        # as contaminated — pure noise
+        parts = [_shingle_hashes(t, k=n) for t in batch[text_col]
+                 if t and t.strip()]
         h = np.unique(np.concatenate(parts)) if parts else \
             np.array([], dtype=np.uint64)
         return pd.DataFrame({"gram": h})
@@ -89,7 +93,14 @@ class _Decontaminator:
         n_grams = np.empty(len(batch), dtype=np.int64)
         n_hits = np.empty(len(batch), dtype=np.int64)
         for i, text in enumerate(batch[self.text_col]):
-            h = _shingle_hashes(text or "", k=self.n)     # unique, sorted-ish
+            if not text or not text.strip():
+                # empty corpus doc: no grams, never contaminated (the
+                # zero-token sentinel hash would otherwise collide with
+                # any empty benchmark doc's)
+                n_grams[i] = 0
+                n_hits[i] = 0
+                continue
+            h = _shingle_hashes(text, k=self.n)           # unique, sorted-ish
             n_grams[i] = len(h)
             # sorted-array membership: searchsorted + equality probe
             pos = np.searchsorted(self.bench, h)
@@ -140,9 +151,14 @@ def drop_contaminated(corpus_ds, bench_ref, n: int = 5, threshold: int = 1,
 
 def _md5_grams(text: str, n: int) -> list[str]:
     """md5 hex digests of space-joined lowered word n-grams; a document
-    shorter than n tokens contributes its whole text as one gram (the
-    winnow_profile convention, so the SQL replay is shared)."""
+    shorter than n tokens (but non-empty) contributes its whole text as
+    one gram (the winnow_profile convention, so the SQL replay is
+    shared); an empty/whitespace-only document contributes NO grams —
+    md5("") as a gram would make any two empty docs "contaminate" each
+    other, which is pure noise."""
     tokens = (text or "").lower().split()
+    if not tokens:
+        return []
     return [hashlib.md5(" ".join(tokens[i:i + n]).encode()).hexdigest()
             for i in range(max(1, len(tokens) - (n - 1)))]
 

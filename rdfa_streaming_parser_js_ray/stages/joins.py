@@ -80,7 +80,16 @@ def _bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
         vals = vals.astype(str)
     elif n and all(isinstance(v, (int, np.integer)) for v in vals):
         # object column holding plain ints: match the int-dtype path
-        return (vals.astype(np.int64) % num_buckets).astype("int32")
+        try:
+            return (vals.astype(np.int64) % num_buckets).astype("int32")
+        except OverflowError:
+            # arbitrary-precision Python ints beyond int64: per-row
+            # ``int % num_buckets`` keeps the SAME bucket function as
+            # the int64 path (value mod num_buckets), so in-range ints
+            # in this column still co-bucket with an int64-typed other
+            # side — a stringify fallback would silently split them
+            return np.fromiter((int(v) % num_buckets for v in vals),
+                               dtype=np.int32, count=n)
     import polars as pl
     if vals.dtype != object:
         # non-int native dtype (float/bool/…): bucket by str value so it

@@ -214,6 +214,12 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
     |sets| × (combos per batch) rows, never the data.  Sums stay on the
     input dtype, so integer columns are engine-exact.
 
+    Dim columns come out as STRINGS (nulls preserved as nulls): the
+    rolled-up rows carry the string ``sentinel``, so a non-string dim
+    would otherwise feed mixed int/str keys into the grouped exchange
+    and crash Ray's sort-based groupby at sample_boundaries.  A SQL
+    replay of an integer dim must CAST it to VARCHAR.
+
     Returns (dim columns in first-set order, n_rows, sum_<value_col>).
     """
     from ray.data.aggregate import Sum
@@ -244,6 +250,11 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
             for c in cols:
                 if c not in s:
                     g[c] = sentinel
+                elif g[c].dtype.kind in "iufbmM":
+                    # stringify non-string dims (null-safe) so the
+                    # exchange keys are uniformly str — see docstring
+                    na = g[c].isna()
+                    g[c] = g[c].astype(str).astype(object).mask(na, None)
             outs.append(g[cols + ["n_rows", sum_col]])
         return pd.concat(outs, ignore_index=True)
 

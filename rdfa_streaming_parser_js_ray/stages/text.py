@@ -208,10 +208,15 @@ def sample_sources(ds, weights: dict[str, float], default: float = 1.0,
     reruns/retries, no RNG state).
 
     A row survives iff ``(id·K mod 2³²) mod 10000 < w·10000`` with
-    Knuth's multiplicative constant K — shuffle-free, vectorized, and
-    exactly replayable in SQL (pure int64 arithmetic, no float hazard).
-    Integer ids only (string ids would need a portable string hash; use
-    a precomputed int key column for those).
+    Knuth's multiplicative constant K — shuffle-free, vectorized, no
+    RNG/float hazard.  The multiply runs in uint64: wraparound mod 2⁶⁴
+    is harmless because 2³² divides 2⁶⁴, so the bucket is the exact
+    mathematical ``id·K mod 2³²`` for the FULL int64 id range (an int64
+    multiply would silently wrap differently above id ≈ 2³³).  The SQL
+    replay (`(doc_id * K) % 4294967296`) is BIGINT and therefore only
+    valid for ids < 2³³ — use HUGEINT arithmetic beyond that.  Integer
+    ids only (string ids would need a portable string hash; use a
+    precomputed int key column for those).
     """
     items = sorted(weights.items())
     w_keys = np.array([k for k, _ in items], dtype=object)
@@ -220,8 +225,9 @@ def sample_sources(ds, weights: dict[str, float], default: float = 1.0,
     default_i = int(default * _MIX_BUCKETS)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy(dtype=np.int64)
-        bucket = (ids * _MIX_PRIME % _MIX_MOD) % _MIX_BUCKETS
+        ids = batch[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        bucket = (ids * np.uint64(_MIX_PRIME) % np.uint64(_MIX_MOD)) \
+            % np.uint64(_MIX_BUCKETS)
         idx = pd.Index(w_keys).get_indexer(batch[source_col].to_numpy())
         thresh = np.where(idx >= 0, w_vals[np.maximum(idx, 0)], default_i)
         return batch[bucket < thresh]

@@ -1302,6 +1302,8 @@ def test_decontaminate_md5_twin_matches_reference(rd):
 
     def grams(text, n=3):
         toks = text.lower().split()
+        if not toks:
+            return []        # empty docs contribute no grams (advice fix)
         return [" ".join(toks[i:i + n])
                 for i in range(max(1, len(toks) - (n - 1)))]
 
@@ -2367,3 +2369,103 @@ def test_interval_join_matches_pandas_and_dedups(rd, width):
         interval_join(rd.from_pandas(wide), rd.from_pandas(right),
                       l_lo="lo", l_hi="hi", r_lo="rlo", r_hi="rhi",
                       bucket_width=5.0, max_span_buckets=100).to_pandas()
+
+
+def test_grouping_sets_integer_dim(rd):
+    """Advice-fix regression: an INTEGER dim column used to put mixed
+    int/str keys into the grouped exchange (sentinel is a string) and
+    crash Ray's sort-based groupby; dims now come out stringified,
+    nulls preserved."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import grouping_sets_agg
+
+    df = pd.DataFrame({"bucket": [1, 1, 2, 2, 7],
+                       "v": [10, 20, 30, 40, 50]})
+    out = grouping_sets_agg(rd.from_pandas(df).repartition(3),
+                            [("bucket",), ()], "v").to_pandas()
+    fine = out[out["bucket"] != "__ALL__"].set_index("bucket")
+    assert set(fine.index) == {"1", "2", "7"}        # stringified keys
+    assert int(fine.loc["1", "sum_v"]) == 30
+    assert int(fine.loc["2", "sum_v"]) == 70
+    assert int(fine.loc["7", "sum_v"]) == 50
+    total = out[out["bucket"] == "__ALL__"]
+    assert int(total["sum_v"].iloc[0]) == 150 and int(total["n_rows"].iloc[0]) == 5
+
+
+def test_sample_sources_large_ids_exact(rd):
+    """Advice-fix regression: ids above ~2^33 used to wrap in int64
+    (numpy silent overflow); the uint64 multiply is now the exact
+    mathematical id*K mod 2^32 for the whole int64 range."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.text import (
+        _MIX_BUCKETS, _MIX_MOD, _MIX_PRIME, sample_sources,
+    )
+
+    ids = np.array([2**62 + 12345, 2**40 + 7, 2**33, 123, 2**63 - 1],
+                   dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "source": ["s"] * len(ids)})
+    w = 0.5
+    got = sample_sources(rd.from_pandas(df), {"s": w}).to_pandas()
+    # exact replay in Python arbitrary-precision arithmetic
+    want = [int(i) for i in ids
+            if (int(i) * _MIX_PRIME % _MIX_MOD) % _MIX_BUCKETS
+            < int(w * _MIX_BUCKETS)]
+    assert sorted(got["doc_id"].tolist()) == sorted(want)
+
+
+def test_hash_join_object_ints_beyond_int64(rd):
+    """Advice-fix regression: an object key column holding Python ints
+    outside int64 range raised OverflowError at astype(int64); the
+    fallback keeps the SAME bucket function (value % num_buckets), so
+    in-range ints in that column still co-bucket with an int64-typed
+    other side."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    big = 2**70 + 3
+    left = pd.DataFrame({"k": pd.Series([big, 5, 9], dtype=object),
+                         "lv": [1, 2, 3]})
+    right = pd.DataFrame({"k": pd.Series([5, 9, 11]),   # int64 dtype
+                          "rv": ["a", "b", "c"]})
+    out = hash_join(rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", num_buckets=8).to_pandas()
+    got = sorted((int(k), lv, rv) for k, lv, rv
+                 in out[["k", "lv", "rv"]].itertuples(index=False))
+    assert got == [(5, 2, "a"), (9, 3, "b")]
+
+
+def test_decontaminate_empty_docs_not_contaminated(rd):
+    """Advice-fix regression: an empty/whitespace-only benchmark doc used
+    to emit one sentinel gram that tagged every empty corpus doc as
+    contaminated; empty docs now contribute and match zero grams, in
+    BOTH the production and the md5-twin kernels."""
+    from rdfa_streaming_parser_js_ray.stages.decontam import (
+        benchmark_gram_ref, benchmark_md5_hashes, decontaminate,
+        decontaminate_md5,
+    )
+
+    bench = rd.from_items([
+        {"doc_id": 100, "text": ""},
+        {"doc_id": 101, "text": "   "},
+        {"doc_id": 102, "text": "alpha beta gamma delta epsilon"},
+    ])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": ""},                      # empty -> clean
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon"},  # hit
+        {"doc_id": 3, "text": "unrelated words only here"},       # clean
+    ])
+    prod = decontaminate(corpus, benchmark_gram_ref(bench, n=5),
+                         n=5).to_pandas().set_index("doc_id").sort_index()
+    assert prod.loc[1, "n_grams"] == 0 and prod.loc[1, "contaminated"] == 0
+    assert prod.loc[2, "contaminated"] == 1
+    assert prod.loc[3, "contaminated"] == 0
+    twin = decontaminate_md5(corpus, benchmark_md5_hashes(bench, n=3),
+                             n=3).to_pandas().set_index("doc_id").sort_index()
+    assert twin.loc[1, "n_grams"] == 0 and twin.loc[1, "contaminated"] == 0
+    assert twin.loc[2, "contaminated"] == 1
+    assert twin.loc[3, "contaminated"] == 0
