@@ -100,6 +100,7 @@ def q_kg_lineage(sf_dir: str):
     (the partition key is a pandas uint64 hash, not SQL-replayable);
     tests pin sum(rows) == total canonical triples and key coverage."""
     import re
+    import shutil
 
     import ray.data as rd
 
@@ -108,11 +109,16 @@ def q_kg_lineage(sf_dir: str):
         completed_partitions,
     )
     out = "/tmp/kg_lineage_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    construct_kg(_wrapped_docs(sf_dir), out_dir=out,
-                 input_fingerprint=f"lineage-{sf_dir}")
-    rows = [{"part_key": k, "rows": m["rows"],
-             "input_fingerprint": m["input_fingerprint"]}
-            for k, m in sorted(completed_partitions(out).items())]
+    try:
+        construct_kg(_wrapped_docs(sf_dir), out_dir=out,
+                     input_fingerprint=f"lineage-{sf_dir}")
+        rows = [{"part_key": k, "rows": m["rows"],
+                 "input_fingerprint": m["input_fingerprint"]}
+                for k, m in sorted(completed_partitions(out).items())]
+    finally:
+        # scratch checkpoints must not accumulate across a 75-query
+        # driver session (session-survival hygiene, round-4 item #1)
+        shutil.rmtree(out, ignore_errors=True)
     return rd.from_items(rows)
 
 
@@ -126,20 +132,29 @@ def q_kg_incremental(sf_dir: str):
     pinned bit-for-bit by the pytest suite; the sf tables are fixed so a
     perturbation can't be SQL-replayed here.)"""
     import re
+    import shutil
 
     from rdfa_streaming_parser_js_ray.pipelines.kg import (
         construct_kg, construct_kg_incremental,
     )
     prev = "/tmp/kg_inc_prev_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    construct_kg(_wrapped_docs(sf_dir), out_dir=prev,
-                 input_fingerprint=f"inc-prev-{sf_dir}")
     out = "/tmp/kg_inc_next_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    triples, _metrics = construct_kg_incremental(
-        _wrapped_docs(sf_dir), out, prev_dir=prev,
-        input_fingerprint=f"inc-next-{sf_dir}")
-    return triples.select_columns(
-        ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
-         "obj_datatype"])
+    try:
+        construct_kg(_wrapped_docs(sf_dir), out_dir=prev,
+                     input_fingerprint=f"inc-prev-{sf_dir}")
+        triples, _metrics = construct_kg_incremental(
+            _wrapped_docs(sf_dir), out, prev_dir=prev,
+            input_fingerprint=f"inc-next-{sf_dir}")
+        # pin the result to driver-local Arrow BEFORE deleting the
+        # checkpoint dirs the dataset may lazily read from; the result
+        # is correctness-gate-sized (the driver materializes it anyway)
+        result = triples.select_columns(
+            ["subj", "pred", "obj_kind", "obj_value", "obj_lang",
+             "obj_datatype"]).to_pandas()
+    finally:
+        shutil.rmtree(prev, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 def q_exact_dedup(sf_dir: str):

@@ -80,40 +80,54 @@ def brute_force_topk(ds, queries_ref, k: int = 10, id_col: str = "vec_id",
 
 
 def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
-              vec_col: str = "embedding", concurrency: int = 4):
+              vec_col: str = "embedding", concurrency: int = 4,
+              max_rows: int = 1_000_000):
     """Exact cosine k-NN graph: every vector's top-k neighbors, self
     excluded — the eval-scale exact variant behind dedup-graph /
     diversity-sampling pipelines.
 
-    Shape: the corpus matrix broadcasts ONCE (``ray.put``, fetched per
-    actor) as the query side while the same dataset streams through as
-    the data side; per-batch blocked float64 matmul + local top-k
-    combiner, then a per-query merge.  Right up to ~1M×d query matrices
-    (≈1 GB float32); beyond that the per-batch output (n_vectors × k per
-    block) stops being "small" and the scale path is
-    :func:`lsh_bucketed_topk` / :func:`ivf_topk` over the same column.
-    float64 scoring keeps rank boundaries stable against an
-    oracle computing cosine in double precision.
+    Shape: the corpus is pinned ONCE in the object store and its
+    per-block refs (never the data) go to the scoring actors, each of
+    which concatenates the query matrix actor-side in ``__init__`` —
+    the driver holds only ObjectRefs, nothing materializes driver-side.
+    The same dataset then streams through as the data side; per-batch
+    blocked float64 matmul + local top-k combiner, then a per-query
+    merge.  The exact variant is O(n²) scoring and needs the whole
+    matrix per actor, so it is eval-scale BY CONTRACT: ``max_rows``
+    (default 1M ≈ 1 GB float32 at d=128) is ENFORCED with a raise —
+    past it, use :func:`lsh_bucketed_topk` / :func:`ivf_topk` over the
+    same column.  float64 scoring keeps rank boundaries stable against
+    an oracle computing cosine in double precision.
     Returns (src_id, rank, dst_id) with exactly k rows per vector.
     """
     import ray
 
-    ids_list: list = []
-    mats: list = []
-    for batch in ds.iter_batches(batch_format="pandas"):
-        ids_list.append(np.asarray(batch[id_col], dtype=np.int64))
-        mats.append(_to_matrix(batch[vec_col]).astype(np.float64))
-    all_ids = np.concatenate(ids_list)
-    order = np.argsort(all_ids)
-    all_ids = all_ids[order]
-    qmat = np.concatenate(mats)[order]
-    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
-                             1e-30)
-    q_ref = ray.put((all_ids, qmat))
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    n_rows = slim.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"knn_graph is the exact eval-scale variant: input has "
+            f"{n_rows} vectors > max_rows={max_rows}; use "
+            f"lsh_bucketed_topk or ivf_topk for corpora this size "
+            f"(or raise max_rows explicitly if the nodes can hold "
+            f"the full matrix per scoring actor)")
+    block_refs = slim.to_pandas_refs()
 
     class GraphScorer:
-        def __init__(self, q_ref, k):
-            self.qids, self.qnorm = ray.get(q_ref)
+        def __init__(self, block_refs, k):
+            blocks = [b for b in ray.get(list(block_refs)) if len(b)]
+            ids = np.concatenate(
+                [np.asarray(b[id_col], dtype=np.int64) for b in blocks]) \
+                if blocks else np.empty(0, dtype=np.int64)
+            mats = [_to_matrix(b[vec_col]).astype(np.float64)
+                    for b in blocks]
+            order = np.argsort(ids)
+            self.qids = ids[order]
+            qmat = np.concatenate(mats)[order] if mats else \
+                np.empty((0, 0), dtype=np.float64)
+            self.qnorm = qmat / np.maximum(
+                np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30) \
+                if len(qmat) else qmat
             self.k = k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -137,8 +151,8 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
                     out["score"].append(float(col[i]))
             return pd.DataFrame(out)
 
-    local = ds.map_batches(
-        GraphScorer, fn_constructor_kwargs=dict(q_ref=q_ref, k=k),
+    local = slim.map_batches(
+        GraphScorer, fn_constructor_kwargs=dict(block_refs=block_refs, k=k),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

@@ -2469,3 +2469,26 @@ def test_decontaminate_empty_docs_not_contaminated(rd):
     assert twin.loc[1, "n_grams"] == 0 and twin.loc[1, "contaminated"] == 0
     assert twin.loc[2, "contaminated"] == 1
     assert twin.loc[3, "contaminated"] == 0
+
+
+def test_knn_graph_enforces_eval_scale_bound(rd):
+    """Round-4 fix: knn_graph is exact/eval-scale BY CONTRACT — an
+    over-limit corpus raises (pointing at the ivf/lsh scale path)
+    instead of silently assembling the full matrix; and the query
+    matrix is assembled from per-block object refs actor-side, so the
+    driver never materializes the table."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from rdfa_streaming_parser_js_ray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype="int64"),
+                       "embedding": list(rng.standard_normal((30, 8))
+                                         .astype(np.float32))})
+    ds = rd.from_pandas(df).repartition(3)
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_graph(ds, k=3, max_rows=10)
+    out = knn_graph(ds, k=3, max_rows=30).to_pandas()   # at the bound: ok
+    assert len(out) == 90 and set(out["rank"]) == {1, 2, 3}
