@@ -1067,7 +1067,11 @@ def q_join_hash(sf_dir: str):
         grouped = batch.groupby("o_orderpriority", as_index=False).agg(
             n_items=("l_quantity", "size"),
             sum_qty_cents=("l_quantity", "sum"))
-        grouped["sum_qty_cents"] = (grouped["sum_qty_cents"] * 100).round()
+        # pin the partial to int64 (cents are integral) so every block
+        # ships the same dtype into the grouped Sum
+        grouped["sum_qty_cents"] = (
+            grouped["sum_qty_cents"].astype("float64") * 100
+        ).round().astype("int64")
         return grouped
 
     partials = joined.map_batches(partial, batch_format="pandas")

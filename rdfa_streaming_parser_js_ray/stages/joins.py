@@ -25,20 +25,49 @@ import numpy as np
 import pandas as pd
 
 
+def _rows_from_input_bytes(ds, est_row_bytes: int) -> int | None:
+    """Estimated row count from the byte size of a LAZY dataset's read
+    sources: walk the logical plan to its ``Read`` ops and sum each
+    datasource's ``estimate_inmemory_data_size()`` (parquet file metadata
+    × encoding ratio — plan-time, no execution).  None when the pipeline
+    has no sized read source (e.g. ``from_pandas`` roots)."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+        total, found = 0, False
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if isinstance(op, Read):
+                sz = op._datasource.estimate_inmemory_data_size()
+                if sz:
+                    total += sz
+                    found = True
+            stack.extend(op.input_dependencies)
+    except Exception:
+        return None
+    return int(total) // est_row_bytes + 1 if found else None
+
+
 def auto_buckets(*datasets, rows_per_bucket: int, fallback: int,
                  multiplier: int = 1, minimum: int = 64,
-                 maximum: int = 1 << 16) -> int:
+                 maximum: int = 1 << 16, est_row_bytes: int = 64) -> int:
     """Bucket count derived from metadata-cheap input sizes, so the
     100-TB knob turns itself (a static default that is right at sf0.1
     is 1000× too coarse at corpus scale).
 
-    Only row counts that are FREE are consulted — materialized datasets
-    and reads whose metadata carries counts; ``Dataset._meta_count()``
-    returns None for lazy pipelines rather than executing them, in which
-    case ``fallback`` is returned and callers at real scale should pass
-    an explicit value.  ``multiplier`` scales per-row fan-out (e.g. LSH
-    band rows per document).  Rounded up to a power of two for stable,
-    uniform modulo behavior.
+    Only sizes that are FREE are consulted, in preference order per
+    dataset: (1) ``Dataset._meta_count()`` row counts (materialized
+    datasets and reads whose metadata carries counts — None for lazy
+    pipelines rather than executing them); (2) the in-memory size
+    estimate of the pipeline's read sources (parquet metadata × encoding
+    ratio — plan-time even under a stack of lazy transforms), converted
+    to an estimated row count at ``est_row_bytes`` bytes/row — and the
+    bucket count rounds to a power of two anyway, so order-of-magnitude
+    is enough.
+    Only when NEITHER is available is ``fallback`` returned, and callers
+    at real scale should pass an explicit value.  ``multiplier`` scales
+    per-row fan-out (e.g. LSH band rows per document).  Rounded up to a
+    power of two for stable, uniform modulo behavior.
     """
     total, known = 0, False
     for ds in datasets:
@@ -46,6 +75,8 @@ def auto_buckets(*datasets, rows_per_bucket: int, fallback: int,
             n = ds._meta_count()
         except Exception:
             n = None
+        if n is None:
+            n = _rows_from_input_bytes(ds, est_row_bytes)
         if n is not None:
             total += n
             known = True
@@ -107,6 +138,81 @@ def _bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype("int32")
 
 
+def _schema_dtypes(ds) -> dict[str, object]:
+    """Column → repair-target pandas dtype from a dataset's schema
+    (Arrow or pandas block schema), resolved at PLAN time so every
+    bucket repairs to the same deterministic dtype instead of each one
+    guessing with ``infer_objects()``."""
+    import pyarrow as pa
+    sch = ds.schema()
+    out: dict[str, object] = {}
+    for name, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            try:
+                dt = np.dtype(t.to_pandas_dtype())
+            except (TypeError, NotImplementedError):
+                dt = np.dtype(object)
+        else:
+            try:
+                dt = np.dtype(t)
+            except TypeError:
+                dt = np.dtype(object)      # pandas extension dtype
+        out[name] = dt
+    return out
+
+
+def _exchange_cast(batch: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+    """Cast an owning side's columns to their exchange representation:
+    ints → nullable Int64/UInt64 and bools → nullable boolean (so the
+    OTHER side's typed NA pad unions under the same dtype instead of
+    demoting the column to object); floats/datetimes pad natively and
+    everything else rides as object."""
+    for c, dt in dtypes.items():
+        if c not in batch.columns:
+            continue
+        k = getattr(batch[c].dtype, "kind", None)
+        if k == "i":
+            batch[c] = batch[c].astype("Int64")
+        elif k == "u":
+            batch[c] = batch[c].astype("UInt64")
+        elif k == "b":
+            batch[c] = batch[c].astype("boolean")
+    return batch
+
+
+def _typed_pad(index, dt) -> pd.Series:
+    """An all-null Series over ``index`` in the EXCHANGE dtype of ``dt``."""
+    k = getattr(dt, "kind", None)
+    if k == "i":
+        return pd.Series(pd.NA, index=index, dtype="Int64")
+    if k == "u":
+        return pd.Series(pd.NA, index=index, dtype="UInt64")
+    if k == "f":
+        return pd.Series(np.nan, index=index, dtype=dt)
+    if k in "mM":
+        return pd.Series(pd.NaT, index=index, dtype=dt)
+    if k == "b":
+        return pd.Series(pd.NA, index=index, dtype="boolean")
+    return pd.Series([None] * len(index), index=index, dtype=object)
+
+
+def _repair(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+    """Deterministically restore a side's native dtypes after the
+    exchange (Int64 → int64 etc.); a column that genuinely holds nulls
+    (source data, not pad) keeps its nullable exchange dtype."""
+    for c, dt in dtypes.items():
+        if c in df.columns and df[c].dtype != dt:
+            try:
+                df[c] = df[c].astype(dt)
+            except (TypeError, ValueError):
+                pass
+    return df
+
+
+_SIDE_L = np.int8(0)
+_SIDE_R = np.int8(1)
+
+
 class BroadcastJoiner:
     """Actor-pool stage holding the broadcast small side as a DataFrame."""
 
@@ -134,13 +240,42 @@ def broadcast_join(big_ds, small_ref, on: str, how: str = "inner",
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
 
 
-def _bucketed(ds, on: str, num_buckets: int, side: str):
+def _bucketed(ds, on: str, num_buckets: int, side: np.int8):
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["_bucket"] = _bucket_of(batch[on], num_buckets)
         batch["_side"] = side
         return batch
     return ds.map_batches(add, batch_format="pandas")
+
+
+def _aligned_union(left_ds, right_ds, on: str, num_buckets: int,
+                   rename: dict, all_cols: list,
+                   pad_dtypes: dict):
+    """The shared exchange shape of every bucketed join: both sides cast
+    to one typed superset schema (int8 ``_side``, nullable-typed NA pads
+    from ``pad_dtypes`` instead of object-demoting ``pd.NA``), bucketed
+    on hash(``on``), unioned.  A consistent schema across the union's
+    branches keeps every column out of object dtype, shrinks the
+    exchange, and silences the per-block PandasBlockSchema warnings the
+    old untyped pad produced."""
+    def align(side: np.int8):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if side == _SIDE_R:
+                batch = batch.rename(columns=rename)
+            bucket = _bucket_of(batch[on], num_buckets)
+            batch = _exchange_cast(batch, pad_dtypes)
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = _typed_pad(batch.index, pad_dtypes[c])
+            batch["_bucket"] = bucket
+            batch["_side"] = side
+            return batch[all_cols + ["_bucket", "_side"]]
+        return f
+
+    return left_ds.map_batches(align(_SIDE_L), batch_format="pandas") \
+        .union(right_ds.map_batches(align(_SIDE_R), batch_format="pandas"))
 
 
 def hash_join(left_ds, right_ds, on: str, how: str = "inner",
@@ -159,35 +294,26 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
     if num_buckets is None:
         num_buckets = auto_buckets(left_ds, right_ds,
                                    rows_per_bucket=131_072, fallback=64)
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_dt = _schema_dtypes(left_ds)
+    right_dt = _schema_dtypes(right_ds)
+    left_cols = list(left_dt)
+    right_cols = list(right_dt)
     # right-side non-key columns that clash with left names get suffixed
     rename = {c: c + "_r" for c in right_cols if c != on and c in left_cols}
     right_out = [rename.get(c, c) for c in right_cols]
     all_cols = left_cols + [c for c in right_out if c not in left_cols]
+    pad_dtypes = {**{rename.get(c, c): dt for c, dt in right_dt.items()},
+                  **left_dt}
+    right_repair = {rename.get(c, c): dt for c, dt in right_dt.items()}
 
-    def align(side: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            if side == "r":
-                batch = batch.rename(columns=rename)
-            bucket = _bucket_of(batch[on], num_buckets)
-            for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = pd.NA
-            batch["_bucket"] = bucket
-            batch["_side"] = side
-            return batch[all_cols + ["_bucket", "_side"]]
-        return f
-
-    both = left_ds.map_batches(align("l"), batch_format="pandas") \
-        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+    both = _aligned_union(left_ds, right_ds, on, num_buckets, rename,
+                          all_cols, pad_dtypes)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # infer_objects(): the NA-padded union demotes columns to object;
-        # restore native dtypes so merge keys and outputs stay typed
-        left = group.loc[group["_side"] == "l", left_cols].infer_objects()
-        right = group.loc[group["_side"] == "r", right_out].infer_objects()
+        side = group["_side"].to_numpy()
+        left = _repair(group.loc[side == _SIDE_L, left_cols].copy(), left_dt)
+        right = _repair(group.loc[side == _SIDE_R, right_out].copy(),
+                        right_repair)
         return left.merge(right, on=on, how=how)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
@@ -225,44 +351,36 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
     if num_buckets is None:
         num_buckets = auto_buckets(left_ds, right_ds,
                                    rows_per_bucket=131_072, fallback=64)
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_dt = _schema_dtypes(left_ds)
+    right_dt = _schema_dtypes(right_ds)
+    left_cols = list(left_dt)
+    right_cols = list(right_dt)
     rename = {c: c + "_r" for c in right_cols
               if c not in (on, right_ts) and c in left_cols}
     right_out = [rename.get(c, c) for c in right_cols]
     all_cols = left_cols + [c for c in right_out if c not in left_cols]
+    pad_dtypes = {**{rename.get(c, c): dt for c, dt in right_dt.items()},
+                  **left_dt}
+    right_repair = {rename.get(c, c): dt for c, dt in right_dt.items()}
 
-    def align(side: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            if side == "r":
-                batch = batch.rename(columns=rename)
-            bucket = _bucket_of(batch[on], num_buckets)
-            for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = pd.NA
-            batch["_bucket"] = bucket
-            batch["_side"] = side
-            return batch[all_cols + ["_bucket", "_side"]]
-        return f
-
-    both = left_ds.map_batches(align("l"), batch_format="pandas") \
-        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+    both = _aligned_union(left_ds, right_ds, on, num_buckets, rename,
+                          all_cols, pad_dtypes)
     out_cols = left_cols + [c for c in right_out if c != on]
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group.loc[group["_side"] == "l", left_cols] \
-            .infer_objects().sort_values(left_ts, kind="mergesort")
+        side = group["_side"].to_numpy()
+        left = _repair(group.loc[side == _SIDE_L, left_cols].copy(),
+                       left_dt).sort_values(left_ts, kind="mergesort")
         rsort = [right_ts] if tiebreak is None \
             else [right_ts, rename.get(tiebreak, tiebreak)]
-        right = group.loc[group["_side"] == "r",
-                          [c for c in right_out if c != on] + [on]] \
-            .infer_objects().sort_values(rsort, kind="mergesort")
+        right = _repair(
+            group.loc[side == _SIDE_R,
+                      [c for c in right_out if c != on] + [on]].copy(),
+            right_repair).sort_values(rsort, kind="mergesort")
         if not len(left):
             return pd.DataFrame(columns=out_cols)
-        # a bucket whose right side is empty (or all-NA padded) leaves the
-        # ts / key columns object-typed; merge_asof requires exact dtype
-        # agreement between the two sides
+        # a one-sided bucket can leave a repaired column nullable-typed;
+        # merge_asof requires exact dtype agreement between the sides
         for col, ref in ((right_ts, left_ts), (on, on)):
             if right[col].dtype != left[ref].dtype:
                 right[col] = right[col].astype(left[ref].dtype)
@@ -290,34 +408,27 @@ def range_join(left_ds, right_ds, on: str, ts_col: str, lo_col: str,
     if num_buckets is None:
         num_buckets = auto_buckets(left_ds, right_ds,
                                    rows_per_bucket=131_072, fallback=64)
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_dt = _schema_dtypes(left_ds)
+    right_dt = _schema_dtypes(right_ds)
+    left_cols = list(left_dt)
+    right_cols = list(right_dt)
     rename = {c: c + "_r" for c in right_cols if c != on and c in left_cols}
     right_out = [rename.get(c, c) for c in right_cols]
     lo = rename.get(lo_col, lo_col)
     hi = rename.get(hi_col, hi_col)
     all_cols = left_cols + [c for c in right_out if c not in left_cols]
+    pad_dtypes = {**{rename.get(c, c): dt for c, dt in right_dt.items()},
+                  **left_dt}
+    right_repair = {rename.get(c, c): dt for c, dt in right_dt.items()}
 
-    def align(side: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            if side == "r":
-                batch = batch.rename(columns=rename)
-            bucket = _bucket_of(batch[on], num_buckets)
-            for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = pd.NA
-            batch["_bucket"] = bucket
-            batch["_side"] = side
-            return batch[all_cols + ["_bucket", "_side"]]
-        return f
-
-    both = left_ds.map_batches(align("l"), batch_format="pandas") \
-        .union(right_ds.map_batches(align("r"), batch_format="pandas"))
+    both = _aligned_union(left_ds, right_ds, on, num_buckets, rename,
+                          all_cols, pad_dtypes)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group.loc[group["_side"] == "l", left_cols].infer_objects()
-        right = group.loc[group["_side"] == "r", right_out].infer_objects()
+        side = group["_side"].to_numpy()
+        left = _repair(group.loc[side == _SIDE_L, left_cols].copy(), left_dt)
+        right = _repair(group.loc[side == _SIDE_R, right_out].copy(),
+                        right_repair)
         merged = left.merge(right, on=on, how="inner")
         mask = (merged[ts_col] >= merged[lo]) & (merged[ts_col] <= merged[hi])
         return merged[mask]
@@ -341,30 +452,38 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
         num_buckets = auto_buckets(left_ds, right_ds,
                                    rows_per_bucket=131_072, fallback=64)
     right_on = right_on or on
-    left_cols = list(left_ds.schema().names)
+    left_dt = _schema_dtypes(left_ds)
+    left_cols = list(left_dt)
 
     def align_l(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["_bucket"] = _bucket_of(batch[on], num_buckets)
-        batch["_side"] = "l"
+        bucket = _bucket_of(batch[on], num_buckets)
+        batch = _exchange_cast(batch, left_dt)
+        batch["_bucket"] = bucket
+        batch["_side"] = _SIDE_L
         return batch[left_cols + ["_bucket", "_side"]]
 
     def align_r(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: batch[right_on].drop_duplicates()})
+        out = pd.DataFrame({on: batch[right_on].drop_duplicates()
+                            .reset_index(drop=True)})
+        bucket = _bucket_of(out[on], num_buckets)
+        out = _exchange_cast(out, {on: left_dt[on]})
         for c in left_cols:
             if c not in out.columns:
-                out[c] = pd.NA
-        out["_bucket"] = _bucket_of(out[on], num_buckets)
-        out["_side"] = "r"
+                out[c] = _typed_pad(out.index, left_dt[c])
+        out["_bucket"] = bucket
+        out["_side"] = _SIDE_R
         return out[left_cols + ["_bucket", "_side"]]
 
     both = left_ds.map_batches(align_l, batch_format="pandas").union(
         right_ds.map_batches(align_r, batch_format="pandas"))
 
     def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        keys = group.loc[group["_side"] == "r", on]
-        left = group.loc[group["_side"] == "l", left_cols]
-        return left[~left[on].isin(set(keys))].infer_objects()
+        side = group["_side"].to_numpy()
+        keys = group.loc[side == _SIDE_R, on]
+        left = group.loc[side == _SIDE_L, left_cols]
+        return _repair(left[~left[on].isin(set(keys.dropna()))].copy(),
+                       left_dt)
 
     return both.groupby("_bucket").map_groups(filter_bucket,
                                               batch_format="pandas")
@@ -428,14 +547,24 @@ def interval_join(left_ds, right_ds, *, l_lo: str, l_hi: str,
     import pandas as pd
 
     w = float(bucket_width)
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_dt = _schema_dtypes(left_ds)
+    right_dt = _schema_dtypes(right_ds)
+    left_cols = list(left_dt)
+    right_cols = list(right_dt)
     rename = {c: c + "_r" for c in right_cols if c in left_cols}
     out_r_lo = rename.get(r_lo, r_lo)
     out_r_hi = rename.get(r_hi, r_hi)
+    out_right_cols = [rename.get(c, c) for c in right_cols]
+    all_cols = left_cols + [c for c in out_right_cols
+                            if c not in left_cols]
+    pad_dtypes = {**{rename.get(c, c): dt for c, dt in right_dt.items()},
+                  **left_dt}
+    right_repair = {rename.get(c, c): dt for c, dt in right_dt.items()}
 
-    def fan_out(lo_col: str, hi_col: str, side: str):
+    def fan_out(lo_col: str, hi_col: str, side: np.int8):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
+            if side == _SIDE_R:
+                batch = batch.rename(columns=rename)
             lo = batch[lo_col].to_numpy(dtype="float64")
             hi = batch[hi_col].to_numpy(dtype="float64")
             b0 = np.floor(lo / w).astype(np.int64)
@@ -450,30 +579,31 @@ def interval_join(left_ds, right_ds, *, l_lo: str, l_hi: str,
             rep = batch.loc[batch.index.repeat(counts)].reset_index(drop=True)
             offs = np.concatenate([np.arange(c) for c in counts]) \
                 if len(counts) else np.empty(0, dtype=np.int64)
+            rep = _exchange_cast(rep, pad_dtypes)
+            for c in all_cols:
+                if c not in rep.columns:
+                    rep[c] = _typed_pad(rep.index, pad_dtypes[c])
             rep["_bucket"] = np.repeat(b0, counts) + offs
             rep["_side"] = side
-            return rep
+            return rep[all_cols + ["_bucket", "_side"]]
         return f
 
-    lds = left_ds.map_batches(fan_out(l_lo, l_hi, "l"),
+    lds = left_ds.map_batches(fan_out(l_lo, l_hi, _SIDE_L),
                               batch_format="pandas")
-    rds = right_ds.map_batches(
-        lambda b: b.rename(columns=rename), batch_format="pandas") \
-        .map_batches(fan_out(out_r_lo, out_r_hi, "r"),
-                     batch_format="pandas")
-
-    out_right_cols = [rename.get(c, c) for c in right_cols]
+    rds = right_ds.map_batches(fan_out(out_r_lo, out_r_hi, _SIDE_R),
+                               batch_format="pandas")
 
     def bucket_merge(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["_bucket"].iloc[0])
-        lg = group[group["_side"] == "l"]
-        rg = group[group["_side"] == "r"]
+        side = group["_side"].to_numpy()
+        lg = _repair(group.loc[side == _SIDE_L, left_cols].copy(), left_dt)
+        rg = _repair(group.loc[side == _SIDE_R, out_right_cols].copy(),
+                     right_repair)
         if not len(lg) or not len(rg):
             # zero-row but correctly TYPED frame (a dtype-less empty
             # frame makes the cross-block concat promote ints to float)
-            return lg[left_cols].iloc[:0].merge(
-                rg[out_right_cols].iloc[:0], how="cross")
-        m = lg[left_cols].merge(rg[out_right_cols], how="cross")
+            return lg.iloc[:0].merge(rg.iloc[:0], how="cross")
+        m = lg.merge(rg, how="cross")
         lo_max = np.maximum(m[l_lo].to_numpy(dtype="float64"),
                             m[out_r_lo].to_numpy(dtype="float64"))
         overlap = (m[l_lo].to_numpy(dtype="float64")

@@ -380,6 +380,28 @@ def test_auto_buckets_scales_with_input(rd):
         assert occupancy.max() <= 4 * 1024, (n, nb, occupancy.max())
 
 
+def test_auto_buckets_from_lazy_parquet_bytes(rd):
+    """A LAZY pipeline over a parquet read (meta row count unavailable)
+    still self-sizes: input-file byte totals are plan-time metadata, so
+    a 10× file gets more buckets than a 1× file — without executing."""
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
+    executed = []
+
+    def spy(b):
+        executed.append(1)
+        return b
+
+    small = rd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet").map_batches(spy)
+    big = rd.read_parquet(
+        "/root/testdata/sf0.01/lineitem.parquet").map_batches(spy)
+    nb_s = auto_buckets(small, rows_per_bucket=1024, fallback=77, minimum=1)
+    nb_b = auto_buckets(big, rows_per_bucket=1024, fallback=77, minimum=1)
+    assert not executed          # sizing must never trigger execution
+    assert nb_s != 77 and nb_b != 77  # derived, not the fallback
+    assert nb_b >= 4 * nb_s      # ~10× bytes → ≥4× buckets (pow2 rounding)
+
+
 def test_connected_components(rd):
     """Generic CC matches a reference union-find on a random graph, and
     every node (incl. roots) gets a component row."""
