@@ -807,6 +807,32 @@ def test_link_entities_joined_token_fallback_matches_broadcast(rd):
     assert sorted(exact_only["doc_id"]) == ["d2"]
 
 
+def test_link_entities_joined_default_is_exact_only(rd):
+    """The joined linker's DEFAULT is exact-norm matches only — decided
+    with data (BASELINE.md round-4: token fallback added zero matched
+    fraction on the bench corpus at 2.4× wall).  A corpus with a
+    token-only mention must show it linked ONLY when the flag is set."""
+    import inspect
+
+    from rdfa_streaming_parser_js_ray.stages.linking import (
+        link_entities_joined,
+    )
+    sig = inspect.signature(link_entities_joined)
+    assert sig.parameters["token_fallback"].default is False
+    alias_ds = rd.from_items([{"alias": "corporation",
+                               "entity": "http://e/corp"}])
+    mentions = rd.from_items([
+        {"doc_id": "d1", "subj": "http://s/1", "pred": "http://p/t",
+         "surface": "Acme Corporation", "norm": "acme corporation",
+         "start": 0}])
+    default_out = link_entities_joined(mentions, alias_ds,
+                                       num_buckets=2).to_pandas()
+    assert len(default_out) == 0  # token-only mention NOT linked by default
+    opted_in = link_entities_joined(mentions, alias_ds, num_buckets=2,
+                                    token_fallback=True).to_pandas()
+    assert list(opted_in["entity"]) == ["http://e/corp"]
+
+
 def test_kg_construct_joined_mode_matches_broadcast(rd):
     """Forcing the alias table past the broadcast threshold must switch
     the flagship to the fully distributed path (hash-join linking,
