@@ -1271,6 +1271,173 @@ case("role feature disabled emits nothing (role html5)", "html",
                "xmlnsPrefixMappings": True})
 
 
+# ------------------------------------------------- round-4 long-tail cases --
+# Processor-graph (rdfa:usesVocabulary) variants, @property coexisting
+# with @rel/@rev/@typeof/@resource (RDFa Core 1.1 §5.1 steps 5/6/11 and
+# the 1.0-doctype replay), and SVG metadata elements — the remaining
+# W3C-manifest families VERDICT r3 flagged as cheap offline insurance.
+
+case("nested vocab re-declaration emits one usesVocabulary per vocab", "html",
+     f'<html><body vocab="{SCHEMA}"><span property="name">A</span>'
+     f'<div vocab="{EX}"><span property="p">x</span></div></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, RDFA + "usesVocabulary", EX],
+      [B, SCHEMA + "name", '"A"'],
+      [B, EX + "p", '"x"']])
+
+case("usesVocabulary subject follows the rebased document", "html",
+     '<html><head><base href="http://nb.example.org/"></head>'
+     f'<body vocab="{SCHEMA}"><span property="name">A</span></body></html>',
+     [["http://nb.example.org/", RDFA + "usesVocabulary", SCHEMA],
+      ["http://nb.example.org/", SCHEMA + "name", '"A"']])
+
+case("usesVocabulary subject is the base even under a changed subject",
+     "html",
+     f'<html><body><div about="#s" vocab="{SCHEMA}">'
+     '<span property="name">A</span></div></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B + "#s", SCHEMA + "name", '"A"']])
+
+case("unknown term without a vocab emits nothing", "html",
+     '<html><body><span property="nosuchterm">x</span></body></html>',
+     [])
+
+case("@property plus @rel: rel takes href, property takes the literal",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="foaf:homepage" property="foaf:name" '
+     'href="http://h.example.org/">Alice</a></body></html>',
+     [[B + "#a", FOAF + "homepage", "http://h.example.org/"],
+      [B + "#a", FOAF + "name", '"Alice"']])
+
+case("@property plus @rev: rev reverses to href, property stays literal",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rev="ex:cites" property="ex:label" '
+     'href="http://c.example.org/">t</a></body></html>',
+     [["http://c.example.org/", EX + "cites", B + "#a"],
+      [B + "#a", EX + "label", '"t"']])
+
+case("@property with @resource and no rel: object is the resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" property="ex:p" resource="#b">text</div></body></html>',
+     [[B + "#a", EX + "p", B + "#b"]])
+
+case("@property with @href and no rel: object is the IRI", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" property="ex:p" href="http://x.example.org/">t</a>'
+     '</body></html>',
+     [[B + "#a", EX + "p", "http://x.example.org/"]])
+
+case("@content beats @href for @property", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" property="ex:p" content="c" '
+     'href="http://x.example.org/">t</a></body></html>',
+     [[B + "#a", EX + "p", '"c"']])
+
+case("@property with @typeof and no resource makes a typed bnode object",
+     "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span property="ex:p" typeof="ex:T">x</span></div></body></html>',
+     [[B + "#a", EX + "p", "_:b0"],
+      ["_:b0", RDF + "type", EX + "T"]])
+
+case("@property with @typeof and @resource types the resource", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span property="ex:p" typeof="ex:T" resource="#r">x</span>'
+     '</div></body></html>',
+     [[B + "#a", EX + "p", B + "#r"],
+      [B + "#r", RDF + "type", EX + "T"]])
+
+case("multiple CURIEs in @property emit one triple each", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="dc:title foaf:name">A</span></body></html>',
+     [[B, DC + "title", '"A"'],
+      [B, FOAF + "name", '"A"']])
+
+case("@rel mixing a CURIE and an unknown term keeps only the CURIE", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="foaf:knows bogusterm" href="#b">x</a>'
+     '</body></html>',
+     [[B + "#a", FOAF + "knows", B + "#b"]])
+
+case("<base> fragment is stripped from the document base", "html",
+     '<html><head><base href="http://nb.example.org/d#frag"></head>'
+     '<body><span property="schema:name">A</span></body></html>',
+     [["http://nb.example.org/d", SCHEMA + "name", '"A"']])
+
+case("safe CURIE with an undeclared prefix falls back to IRI "
+     "interpretation", "html",
+     # reference parity (Util.ts createIri/expandPrefixedTerm): an
+     # unexpandable bracketed CURIE whose content is itself a valid IRI
+     # ('bogus' reads as a scheme) becomes that IRI, not an ignore
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="[bogus:x]" property="dc:title">T</div></body></html>',
+     [["bogus:x", DC + "title", '"T"']])
+
+case("<time> text sniffed to xsd:dateTime", "html",
+     '<html><body><time property="schema:startDate">'
+     '2020-01-02T03:04:05</time></body></html>',
+     [[B, SCHEMA + "startDate", f'"2020-01-02T03:04:05"^^{XSD}dateTime']])
+
+case("<time> text sniffed to xsd:duration", "html",
+     '<html><body><time property="schema:duration">P2Y6M</time>'
+     '</body></html>',
+     [[B, SCHEMA + "duration", f'"P2Y6M"^^{XSD}duration']])
+
+case("@prefix redeclaration shadows the initial context", "html",
+     f'<html><body prefix="schema: {EX}">'
+     '<span property="schema:name">A</span></body></html>',
+     [[B, EX + "name", '"A"']])
+
+case("@property plus @rel under the 1.0 doctype (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0" '
+     f'xmlns:foaf="{FOAF}"><body>'
+     '<a about="#a" rel="foaf:homepage" property="foaf:name" '
+     'href="http://h.example.org/">Alice</a></body></html>',
+     [[B + "#a", FOAF + "homepage", "http://h.example.org/"],
+      [B + "#a", FOAF + "name", '"Alice"']],
+     label="rdfa1.0")
+
+case("@property with @resource under the 1.0 doctype (rdfa1.0 xhtml1)",
+     "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" xmlns:dc="{DC11}"><body>'
+     '<div about="#a" property="dc:title" resource="#b">T</div>'
+     '</body></html>',
+     [[B + "#a", DC11 + "title", B + "#b"]],
+     label="rdfa1.0")
+
+case("svg desc property literal", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC}">'
+     '<desc property="dc:description">d</desc></svg>',
+     [[B, DC + "description", '"d"']])
+
+case("svg title property literal", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC}">'
+     '<title property="dc:title">t</title></svg>',
+     [[B, DC + "title", '"t"']])
+
+case("svg metadata XMLLiteral captures markup with xmlns injection", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:rdf="{RDF}" '
+     f'xmlns:ex="{EX}"><metadata property="ex:meta" '
+     'datatype="rdf:XMLLiteral">a<x>1</x></metadata></svg>',
+     [[B, EX + "meta",
+       f'"a<x xmlns="http://www.w3.org/2000/svg" xmlns:ex="{EX}" '
+       f'xmlns:rdf="{RDF}">1</x>"^^{RDF}XMLLiteral']])
+
+case("svg metadata typed literal", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:ex="{EX}">'
+     '<metadata property="ex:count" '
+     f'datatype="http://www.w3.org/2001/XMLSchema#integer">7</metadata>'
+     '</svg>',
+     [[B, EX + "count", f'"7"^^{XSD}integer']])
+
+case("svg nested g completes the hanging rel", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC}">'
+     '<g about="#fig" rel="dc:source"><g about="#photo"/></g></svg>',
+     [[B + "#fig", DC + "source", B + "#photo"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
