@@ -636,6 +636,50 @@ def test_hash_join_string_keys_and_mixed_dtypes(rd):
     assert list(_bucket_of(pure, 16)) == list(_bucket_of(pure.copy(), 16))
 
 
+def test_hash_join_typed_exchange_dtype_matrix(rd):
+    """The typed aligned-union (round-4: int8 _side, nullable exchange
+    dtypes, per-column typed pads) must survive every dtype kind the
+    repair path special-cases — int/uint/float-with-NaN/bool/datetime/
+    string/mixed-object — with values equal to a pandas merge and the
+    TYPED columns repaired out of object dtype in the output."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+    rng = np.random.RandomState(11)
+    n = 60
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, n).astype("int64"),
+        "u": np.arange(n, dtype="uint64"),
+        "f": np.where(rng.rand(n) < 0.2, np.nan, rng.rand(n)),
+        "b": rng.rand(n) < 0.5,
+        "t": pd.to_datetime("2024-01-01")
+             + pd.to_timedelta(rng.randint(0, 1000, n), unit="h"),
+        "s": [f"s{i % 7}" for i in range(n)],
+        "m": [("x", i) [i % 2] for i in range(n)],   # mixed object
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 25, dtype="int64"),
+        "rv": rng.rand(25),
+        "s": [f"R{i}" for i in range(25)],            # clash -> s_r
+    })
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("inner", "left"):
+        got = hash_join(lds, rds, on="k", how=how, num_buckets=8).to_pandas()
+        want = left.merge(right.rename(columns={"s": "s_r"}), on="k", how=how)
+        cols = ["k", "u", "f", "b", "t", "s", "m", "rv", "s_r"]
+        key = lambda df: sorted(map(tuple, df[cols].astype(str)
+                                    .itertuples(index=False)))
+        assert key(got) == key(want), how
+    # inner join: no pad rows survive, so every typed column must be
+    # repaired to a non-object dtype
+    inner = hash_join(lds, rds, on="k", how="inner", num_buckets=8) \
+        .to_pandas()
+    for c in ("k", "u", "f", "t", "rv"):
+        assert inner[c].dtype != object, (c, inner[c].dtype)
+    assert inner["b"].dtype.kind == "b" or str(inner["b"].dtype) == "boolean"
+
+
 def test_anti_join_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.joins import anti_join
