@@ -366,6 +366,29 @@ def q_decontam(sf_dir: str):
     return decontaminate_md5(docs, bh, n=3, threshold=1)
 
 
+def q_fuzzy_decontam(sf_dir: str):
+    """FUZZY benchmark decontamination (MinHash-LSH cross-table with
+    joined exact-Jaccard verify, stages/decontam.py:minhash_decontam):
+    the eval set is the deterministic slice doc_id % 11 == 5; a corpus
+    doc is contaminated when its exact word-3-gram Jaccard vs ANY eval
+    doc >= 0.5.  The LSH only PRUNES candidates — every emitted value is
+    the exact Jaccard — so DuckDB replays the full cross-product Jaccard
+    at oracle scale.  True pairs in this corpus sit at J = 1.0 (the eval
+    slice matching itself) or >= 0.96 (planted near-dups), far above the
+    seeded LSH's theoretical false-negative band near J = 0.5, and the
+    whole pipeline is seeded — oracle equality is stable run to run."""
+    from rdfa_streaming_parser_js_ray.stages.decontam import minhash_decontam
+    docs = _sf_documents(sf_dir)
+
+    def bench_slice(batch):
+        import pyarrow as pa
+        mask = batch["doc_id"].to_numpy() % 11 == 5
+        return batch.filter(pa.array(mask))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return minhash_decontam(docs, bench, threshold=0.5)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """LSH candidates verified via partitioned hash-joins of the texts onto
     the pairs — the no-broadcast scale path (nothing driver-materialized).
@@ -1484,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "winnow": q_winnow,
         "decontam": q_decontam,
+        "fuzzy_decontam": q_fuzzy_decontam,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "tfidf": q_tfidf,
@@ -2612,6 +2636,28 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tf, df, score_scaled
             FROM ranked WHERE rk <= 3
+        """,
+        "fuzzy_decontam": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, greatest(1, len(t) - 2)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            pairs AS (
+              SELECT c.doc_id, b.doc_id AS bench_id,
+                     len(list_intersect(c.g, b.g))::DOUBLE
+                     / (len(c.g) + len(b.g)
+                        - len(list_intersect(c.g, b.g))) AS j
+              FROM grams c JOIN grams b ON b.doc_id % 11 = 5)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+                   CAST(MAX(FLOOR(j * 1000000)) AS BIGINT)
+                       AS max_jaccard_ppm
+            FROM pairs WHERE j >= 0.5 GROUP BY 1
         """,
         "decontam": """
             WITH t AS (

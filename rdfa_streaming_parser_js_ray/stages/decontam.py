@@ -307,3 +307,122 @@ def decontaminate_bloom(corpus_ds, bloom, n: int = 5, threshold: int = 1,
                                    k_hashes=k_hashes, n=n, id_col=id_col,
                                    text_col=text_col, threshold=threshold),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+
+
+def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
+                     num_perm: int = 128, bands: int = 32,
+                     shingle_k: int = 3, concurrency: int = 4,
+                     num_buckets: int | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     bench_text_col: str | None = None,
+                     bench_id_col: str | None = None):
+    """FUZZY benchmark decontamination: corpus documents whose exact
+    word-``shingle_k``-gram Jaccard against ANY benchmark document is
+    ``>= threshold`` — the near-duplicate analogue of the exact-n-gram
+    :func:`decontaminate` (a paraphrased or lightly-edited benchmark
+    leak slips through exact grams but not through Jaccard).
+
+    Output contract (what the SQL oracle replays exactly): one row per
+    contaminated corpus doc — (doc_id, n_bench_matches,
+    max_jaccard_ppm) where n_bench_matches counts benchmark docs at
+    ``>= threshold`` and ppm = floor(jaccard * 1e6).  MinHash-LSH is
+    candidate PRUNING only; every emitted value comes from the exact
+    Jaccard verify (same contract as ``minhash_dedup_pairs_joined``).
+
+    Scale shape (the 100-TB path, no broadcast anywhere): band rows of
+    BOTH sides share one bucket-bounded grouped exchange keyed on the
+    hash of the full (band, band_hash) pair (``_lsh_bucket``), the
+    cross-side merge runs per bucket, candidate (doc, bench) pairs —
+    a tiny fraction of the corpus — pick their texts back up via two
+    partitioned hash joins, and the final per-doc reduction is a slim
+    grouped Count/Max.  The benchmark side streams like the corpus; it
+    never needs to fit one node.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from .dedup import MinHasher, _lsh_bucket, ngram_jaccard
+    from .joins import auto_buckets, hash_join
+
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    if num_buckets is None:
+        num_buckets = auto_buckets(corpus_ds, benchmark_ds,
+                                   rows_per_bucket=1024, multiplier=bands,
+                                   fallback=256, minimum=256)
+
+    mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    corp_rows = corpus_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, **mk),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+    ben_rows = benchmark_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(text_col=bench_text_col,
+                                   id_col=bench_id_col, **mk),
+        batch_format="pandas", concurrency=max(1, concurrency // 2),
+        num_cpus=0.5)
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_bucket"] = _lsh_bucket(batch["band"].to_numpy(),
+                                           batch["band_hash"].to_numpy(),
+                                           num_buckets)
+            batch["_side"] = np.int8(side)
+            return batch
+        return f
+
+    both = corp_rows.map_batches(tag(0), batch_format="pandas") \
+        .union(ben_rows.map_batches(tag(1), batch_format="pandas"))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"].to_numpy()
+        cols = ["doc_id", "band", "band_hash"]
+        corp = group.loc[side == 0, cols].drop_duplicates()
+        ben = group.loc[side == 1, cols].drop_duplicates() \
+            .rename(columns={"doc_id": "bench_id"})
+        joined = corp.merge(ben, on=["band", "band_hash"])
+        return joined[["doc_id", "bench_id"]].drop_duplicates()
+
+    pairs = both.groupby("_bucket").map_groups(
+        bucket_pairs, batch_format="pandas").materialize()
+    out_schema = ["doc_id", "n_bench_matches", "max_jaccard_ppm"]
+    if pairs.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in out_schema}))
+    # dedup candidate pairs seen in several bands/buckets (one exchange)
+    cand = pairs.groupby(["doc_id", "bench_id"]) \
+        .aggregate(Count(alias_name="_nb")).materialize()
+
+    def corp_text(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch[id_col],
+                             "text_c": batch[text_col]})
+
+    def ben_text(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bench_id": batch[bench_id_col],
+                             "text_b": batch[bench_text_col]})
+
+    with_c = hash_join(cand,
+                       corpus_ds.map_batches(corp_text,
+                                             batch_format="pandas"),
+                       on="doc_id")
+    with_b = hash_join(with_c,
+                       benchmark_ds.map_batches(ben_text,
+                                                batch_format="pandas"),
+                       on="bench_id")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.array([ngram_jaccard(a or "", b or "", shingle_k)
+                         for a, b in zip(batch["text_c"], batch["text_b"])],
+                        dtype="float64")
+        keep = sims >= threshold
+        return pd.DataFrame({
+            "doc_id": batch.loc[keep, "doc_id"].to_numpy(),
+            "jaccard_ppm": np.floor(sims[keep] * 1e6).astype("int64"),
+        })
+
+    verified = with_b.map_batches(verify, batch_format="pandas")
+    return verified.groupby("doc_id").aggregate(
+        Count(alias_name="n_bench_matches"),
+        Max("jaccard_ppm", alias_name="max_jaccard_ppm"))

@@ -220,6 +220,40 @@ def test_embedding_near_dups_planted(rd):
     assert (3, 7) in set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_minhash_decontam_planted(rd):
+    """Fuzzy decontamination flags the corpus doc that heavily overlaps
+    a benchmark doc (edited copy — exact n-grams differ, Jaccard high)
+    and nothing else; output values are the exact Jaccard in ppm."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.decontam import minhash_decontam
+    from rdfa_streaming_parser_js_ray.stages.dedup import ngram_jaccard
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(600)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(40)]
+    leak_src = " ".join(rng.choice(vocab, 80))
+    # edited copy: drop a few words — exact 5-gram decontam would still
+    # catch unchanged stretches, but this is the JACCARD contract
+    leaked = " ".join(leak_src.split()[5:])
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(40)) + [99],
+        "text": texts + [leaked]})).repartition(3)
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1000, 1001],
+        "text": [leak_src, " ".join(rng.choice(vocab, 50))]}))
+    out = minhash_decontam(corpus, bench, threshold=0.5,
+                           num_buckets=64).to_pandas()
+    assert list(out["doc_id"]) == [99]
+    assert int(out["n_bench_matches"].iloc[0]) == 1
+    want_ppm = int(ngram_jaccard(leaked, leak_src, 3) * 1e6)
+    assert int(out["max_jaccard_ppm"].iloc[0]) == want_ppm
+    assert want_ppm >= 500_000
+    # disjoint benchmark -> typed empty result
+    clean = minhash_decontam(corpus, bench.filter(
+        lambda r: r["doc_id"] == 1001), threshold=0.5,
+        num_buckets=64).to_pandas()
+    assert len(clean) == 0
+
+
 def test_media_stub_decode(rd):
     from rdfa_streaming_parser_js_ray.stages.media import (
         MediaDecoder, decode_and_featurize, media_manifest,
