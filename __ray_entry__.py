@@ -389,6 +389,33 @@ def q_fuzzy_decontam(sf_dir: str):
     return minhash_decontam(docs, bench, threshold=0.5)
 
 
+def q_semantic_decontam(sf_dir: str):
+    """Embedding-cosine benchmark decontamination
+    (stages/ann.py:semantic_decontam): the eval set is the embeddings of
+    the deterministic slice vec_id % 13 == 7; a corpus vector is
+    contaminated when its cosine vs ANY eval vector >= 0.9.  Map-only
+    broadcast shape (eval matrix ray.put once, size-guarded).  DuckDB
+    replays the full cross cosine with list_cosine_similarity — safe at
+    the fp boundary because this table's true matches sit at cos = 1.0
+    (the slice matching itself) and everything else at <= ~0.51."""
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.ann import (
+        benchmark_matrix_ref, semantic_decontam,
+    )
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def bench_slice(batch):
+        import pyarrow as pa
+        mask = batch["vec_id"].to_numpy() % 13 == 7
+        return batch.filter(pa.array(mask))
+
+    bench = emb.map_batches(bench_slice, batch_format="pyarrow")
+    return semantic_decontam(emb, benchmark_matrix_ref(bench),
+                             threshold=0.9, concurrency=2)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """LSH candidates verified via partitioned hash-joins of the texts onto
     the pairs — the no-broadcast scale path (nothing driver-materialized).
@@ -1508,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,
         "decontam": q_decontam,
         "fuzzy_decontam": q_fuzzy_decontam,
+        "semantic_decontam": q_semantic_decontam,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "tfidf": q_tfidf,
@@ -2636,6 +2664,16 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tf, df, score_scaled
             FROM ranked WHERE rk <= 3
+        """,
+        "semantic_decontam": """
+            WITH bench AS (
+              SELECT embedding FROM embeddings WHERE vec_id % 13 = 7),
+            hits AS (
+              SELECT e.vec_id, COUNT(*) AS n
+              FROM embeddings e JOIN bench b
+                ON list_cosine_similarity(e.embedding, b.embedding) >= 0.9
+              GROUP BY 1)
+            SELECT vec_id, CAST(n AS BIGINT) AS n_bench_matches FROM hits
         """,
         "fuzzy_decontam": """
             WITH toks AS (

@@ -449,3 +449,76 @@ def quantize_embeddings_int8(ds, embedding_col: str = "embedding",
             "q_max": q_max, "q_l1": q_l1})
 
     return ds.map_batches(quant, batch_format="pandas")
+
+
+class SemanticDecontaminator:
+    """Per-batch cosine vs the broadcast benchmark matrix; emits one row
+    per corpus vector with at least one benchmark match at
+    ``threshold``: (id_col, n_bench_matches).  The classic map-only
+    broadcast shape (ray.put once, fetched per actor in ``__init__``)."""
+
+    def __init__(self, bench_ref, threshold: float = 0.9,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+        b = ray.get(bench_ref) \
+            if not isinstance(bench_ref, (np.ndarray, list)) else bench_ref
+        b = np.asarray(b, dtype=np.float32)
+        self.bnorm = b / np.maximum(
+            np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch) or not len(self.bnorm):
+            return pd.DataFrame({self.id_col: pd.Series(dtype="int64"),
+                                 "n_bench_matches":
+                                     pd.Series(dtype="int64")})
+        mat = _to_matrix(batch[self.vec_col])
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        scores = mat @ self.bnorm.T                  # (rows, n_bench)
+        n = (scores >= self.threshold).sum(axis=1).astype("int64")
+        keep = n > 0
+        return pd.DataFrame({
+            self.id_col: np.asarray(batch[self.id_col])[keep],
+            "n_bench_matches": n[keep],
+        })
+
+
+def benchmark_matrix_ref(bench_ds, vec_col: str = "embedding",
+                         max_rows: int = 1_000_000):
+    """Collect the benchmark embedding matrix once and ``ray.put`` it.
+
+    Eval sets are small by construction; a benchmark beyond ``max_rows``
+    raises instead of silently materializing on the driver (same guard
+    discipline as ``build_alias_dict`` / the decontam gram set) — at that
+    size, bucket-join the two embedding tables instead of broadcasting.
+    """
+    import ray
+    n = bench_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"benchmark has {n} vectors (> max_rows={max_rows}); broadcast "
+            "would not fit — bucket-join the embedding tables instead")
+    mats = [_to_matrix(b[vec_col])
+            for b in bench_ds.iter_batches(batch_format="pandas")
+            if len(b)]
+    mat = np.concatenate(mats) if mats \
+        else np.zeros((0, 1), dtype=np.float32)
+    return ray.put(mat)
+
+
+def semantic_decontam(corpus_ds, bench_ref, threshold: float = 0.9,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      concurrency: int = 4):
+    """Embedding-cosine benchmark decontamination: corpus vectors whose
+    cosine against ANY benchmark vector is ``>= threshold`` — the
+    semantic sibling of the n-gram decontaminators (a reworded leak has
+    near-identical embeddings but few shared n-grams).  One map-only
+    pass; no shuffle."""
+    return corpus_ds.map_batches(
+        SemanticDecontaminator,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, threshold=threshold,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)

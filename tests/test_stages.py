@@ -254,6 +254,32 @@ def test_minhash_decontam_planted(rd):
     assert len(clean) == 0
 
 
+def test_semantic_decontam_planted(rd):
+    """Embedding-cosine decontamination flags the corpus vector whose
+    benchmark twin is a small perturbation (cosine > threshold) and no
+    others; an over-limit benchmark raises instead of materializing."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.ann import (
+        benchmark_matrix_ref, semantic_decontam,
+    )
+    rng = np.random.RandomState(9)
+    mat = rng.randn(60, 16).astype("float32")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    leak = mat[7] + 0.05 * rng.randn(16).astype("float32")  # cos ~0.999
+    corpus = rd.from_items([
+        {"vec_id": i, "embedding": mat[i].tolist()} for i in range(60)])
+    bench = rd.from_items([
+        {"vec_id": 1000, "embedding": leak.tolist()},
+        {"vec_id": 1001, "embedding": (-mat[3]).tolist()},  # anti-parallel
+    ])
+    out = semantic_decontam(corpus, benchmark_matrix_ref(bench),
+                            threshold=0.9, concurrency=1).to_pandas()
+    assert list(out["vec_id"]) == [7]
+    assert list(out["n_bench_matches"]) == [1]
+    with pytest.raises(ValueError, match="broadcast would not fit"):
+        benchmark_matrix_ref(bench, max_rows=1)
+
+
 def test_media_stub_decode(rd):
     from rdfa_streaming_parser_js_ray.stages.media import (
         MediaDecoder, decode_and_featurize, media_manifest,
