@@ -57,6 +57,15 @@ def _wrapped_docs(sf_dir: str):
     return documents_from_sf_table(sf_dir)
 
 
+
+def _pin_broadcast(obj):
+    """ray.put + session-lifetime pin (state/broadcast.py): an actor pool
+    whose constructor kwargs hold an ObjectRef cannot restart if the ref
+    dies during the pool's asynchronous teardown (ray#53727) — pinning
+    closes that per-query crash window in the 77-query driver session."""
+    from rdfa_streaming_parser_js_ray.state.broadcast import pin_broadcast
+    return pin_broadcast(obj)
+
 def _sf_documents(sf_dir: str):
     from rdfa_streaming_parser_js_ray.sources.documents import read_parquet_clean
     return read_parquet_clean(f"{sf_dir}/documents.parquet",
@@ -480,7 +489,7 @@ def q_token_band_filter(sf_dir: str):
     toks = docs.map_batches(with_tokens, batch_format="pandas")
     bands = grouped_quantiles(toks, key_col="lang", value_col="n_tokens",
                               qs=(0.25, 0.75)).to_pandas()
-    band_ref = ray.put(bands.set_index("lang")[["q25", "q75"]])
+    band_ref = _pin_broadcast(bands.set_index("lang")[["q25", "q75"]])
 
     class BandFilter:
         def __init__(self):
@@ -770,7 +779,7 @@ def q_ann_topk(sf_dir: str):
                           columns=["vec_id", "embedding"])
     qrows = sorted(emb.take(200), key=lambda r: r["vec_id"])[:5]
     q = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
-    topk = brute_force_topk(emb, ray.put(q), k=10, concurrency=2)
+    topk = brute_force_topk(emb, _pin_broadcast(q), k=10, concurrency=2)
 
     def rank(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["score", "vec_id"],
@@ -1073,7 +1082,7 @@ def q_join_broadcast(sf_dir: str):
     customer = customer.rename(columns={"c_custkey": "o_custkey"})
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, ray.put(customer), on="o_custkey",
+    joined = broadcast_join(orders, _pin_broadcast(customer), on="o_custkey",
                             concurrency=2)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1173,9 +1182,9 @@ def q_suppliers_by_region(sf_dir: str):
         .rename(columns={"r_regionkey": "n_regionkey"})
     supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                                columns=["s_suppkey", "s_nationkey", "s_acctbal"])
-    joined = broadcast_join(supplier, ray.put(nation), on="s_nationkey",
+    joined = broadcast_join(supplier, _pin_broadcast(nation), on="s_nationkey",
                             concurrency=2)
-    joined = broadcast_join(joined, ray.put(region), on="n_regionkey",
+    joined = broadcast_join(joined, _pin_broadcast(region), on="n_regionkey",
                             concurrency=2)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:

@@ -132,8 +132,10 @@ def run_benchmarks() -> dict:
                               columns=["vec_id", "embedding"]).materialize()
         qrows = sorted(emb.take(64), key=lambda r: r["vec_id"])[:32]
         qmat = np.asarray([np.asarray(r["embedding"]) for r in qrows])
+        from rdfa_streaming_parser_js_ray.state.broadcast import \
+            pin_broadcast as _pin
         t0 = time.monotonic()
-        brute_force_topk(emb, ray.put(qmat), k=10,
+        brute_force_topk(emb, _pin(qmat), k=10,
                          concurrency=max(2, NUM_CPUS // 4)).count()
         queries["ann_topk"] = round(time.monotonic() - t0, 3)
 

@@ -212,7 +212,8 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
             metrics["linking_mode"] = "broadcast"
             metrics["alias_entries"] = len(alias)
             metrics["stages"]["alias_sec"] = round(time.monotonic() - t_s, 3)
-            alias_ref = ray.put(alias)
+            from ..state.broadcast import pin_broadcast
+            alias_ref = pin_broadcast(alias)
 
             t_s = time.monotonic()
             mentions = detect_mentions(triples, concurrency=actor_concurrency)
@@ -244,7 +245,7 @@ def construct_kg(docs_ds, out_dir: str | None = None, *,
                 metrics["canonical_map_entries"] = len(mapping)
                 metrics["stages"]["link_sec"] = \
                     round(time.monotonic() - t_s, 3)
-                mapping_ref = ray.put(mapping)
+                mapping_ref = pin_broadcast(mapping)
                 canonical = triples.map_batches(
                     ApplyCanonicalMap,
                     fn_constructor_kwargs={"mapping_ref": mapping_ref},

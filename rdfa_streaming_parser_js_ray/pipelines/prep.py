@@ -101,7 +101,8 @@ def prepare_corpus(docs_ds, out_dir: str | None = None, *,
 
         from ..stages.decontam import _md5_grams, benchmark_md5_hashes
         t_s = time.monotonic()
-        bench_ref = ray.put(
+        from ..state.broadcast import pin_broadcast
+        bench_ref = pin_broadcast(
             benchmark_md5_hashes(decontam_bench_ds, n=decontam_n,
                                  text_col=text_col))
         n_gram, thresh = decontam_n, decontam_threshold

@@ -230,7 +230,8 @@ def lsh_bucketed_topk(ds, query_vecs: np.ndarray, dim: int, k: int = 10,
         for b in dict.fromkeys(int(x) for x in row):
             by_bucket.setdefault(b, []).append(qid)
 
-    queries_ref = ray.put(q)
+    from ..state.broadcast import pin_broadcast
+    queries_ref = pin_broadcast(q)
 
     class BucketScorer(BruteForceScorer):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -312,6 +313,8 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, n_centroids: int = 64,
     """
     import ray
 
+    from ..state.broadcast import pin_broadcast
+
     cents = build_ivf_centroids(ds, n_centroids=n_centroids,
                                 sample_size=sample_size, seed=seed,
                                 vec_col=vec_col)
@@ -326,13 +329,13 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, n_centroids: int = 64,
     wanted = set(by_cluster)
 
     assigned = ds.map_batches(
-        IvfAssigner, fn_constructor_kwargs=dict(centroids_ref=ray.put(cents),
+        IvfAssigner, fn_constructor_kwargs=dict(centroids_ref=pin_broadcast(cents),
                                                 vec_col=vec_col),
         batch_format="pandas", concurrency=(1, concurrency), num_cpus=0.5)
     candidates = assigned.map_batches(_keep_in_set("cluster", wanted),
                                       batch_format="pandas")
 
-    queries_ref = ray.put(q)
+    queries_ref = pin_broadcast(q)
 
     class ClusterScorer(BruteForceScorer):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -506,7 +509,8 @@ def benchmark_matrix_ref(bench_ds, vec_col: str = "embedding",
             if len(b)]
     mat = np.concatenate(mats) if mats \
         else np.zeros((0, 1), dtype=np.float32)
-    return ray.put(mat)
+    from ..state.broadcast import pin_broadcast
+    return pin_broadcast(mat)
 
 
 def semantic_decontam(corpus_ds, bench_ref, threshold: float = 0.9,

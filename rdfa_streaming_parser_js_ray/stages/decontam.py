@@ -72,7 +72,8 @@ def benchmark_gram_ref(bench_ds, n: int = 5, text_col: str = "text",
         raise ValueError(
             f"benchmark gram set ({len(arr)}) exceeds broadcast guard "
             f"({max_grams}); shrink the eval set or raise max_grams")
-    return ray.put(arr)
+    from ..state.broadcast import pin_broadcast
+    return pin_broadcast(arr)
 
 
 class _Decontaminator:
@@ -171,8 +172,9 @@ def decontaminate_md5(corpus_ds, bench_hashes: frozenset, n: int = 3,
     contaminated).  ``bench_hashes`` is a frozenset of md5 hex digests
     (use :func:`benchmark_md5_hashes`)."""
     import ray
+    from ..state.broadcast import pin_broadcast
     bench_ref = bench_hashes if isinstance(bench_hashes, ray.ObjectRef) \
-        else ray.put(bench_hashes)
+        else pin_broadcast(bench_hashes)
 
     class _Md5Decon:
         def __init__(self):
@@ -250,7 +252,8 @@ def benchmark_bloom_ref(bench_ds, n: int = 5, text_col: str = "text",
         pos = (h + np.uint64(j) * h2) % m
         np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (pos & np.uint64(63)))
-    return ray.put(words), bits_log2, k_hashes
+    from ..state.broadcast import pin_broadcast
+    return pin_broadcast(words), bits_log2, k_hashes
 
 
 class _BloomDecontaminator:

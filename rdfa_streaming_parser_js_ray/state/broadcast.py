@@ -1,0 +1,42 @@
+"""Broadcast-object pinning for actor-pool constructor refs.
+
+Ray Data actor pools run with ``max_restarts > 0``; an actor whose
+``fn_constructor_kwargs`` contain an ``ObjectRef`` CANNOT restart if that
+ref's object was released (ray-project/ray#53727 — Ray prints a
+core-worker warning for exactly this shape).  Pool teardown is
+asynchronous, so a broadcast ref that dies with its query's local scope
+can become that lost constructor argument while the pool is still
+winding down — in a 77-query single-session run that is one crash window
+per query (the round-3 driver gate died to a core-worker
+``task_manager.cc:930`` assertion mid-suite).
+
+``pin_broadcast`` is a drop-in ``ray.put`` that keeps every broadcast
+ref alive for the driver-process lifetime, closing the window.  The
+pinned objects are the engine's small sides (alias dicts, query
+matrices, benchmark gram sets — MBs), and a production driver runs one
+pipeline per process, where process lifetime IS the natural ref
+lifetime.  A long-lived multi-pipeline driver that must reclaim the
+memory can call :func:`clear_pins` between pipelines, accepting the
+(teardown-window) hazard for the pipeline just finished.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_PINNED: list = []
+
+
+def pin_broadcast(obj: Any):
+    """``ray.put(obj)`` + pin the ref for the process lifetime."""
+    import ray
+    ref = ray.put(obj)
+    _PINNED.append(ref)
+    return ref
+
+
+def clear_pins() -> int:
+    """Release every pinned broadcast ref; returns how many were held."""
+    n = len(_PINNED)
+    _PINNED.clear()
+    return n
