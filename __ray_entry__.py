@@ -803,6 +803,33 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(emb, q, k=10, n_centroids=32, nprobe=8, concurrency=2)
 
 
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = n_centroids: probing EVERY cluster makes the
+    inverted-file path exact, so the whole IVF plumbing (k-means
+    quantizer, cluster assignment, per-cluster scoring, top-k merge) is
+    DuckDB-oracleable against the same full-scan SQL as ann_topk — the
+    approximate q_ann_ivf stays rows-only, this pins the machinery."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.ann import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(emb.take(200), key=lambda r: r["vec_id"])[:5]
+    q = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in qrows])
+    topk = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16, concurrency=2)
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["score", "vec_id"],
+                                  ascending=[False, True]).head(10)
+        group = group.reset_index(drop=True)
+        group["rank"] = group.index + 1
+        return group[["qid", "rank", "vec_id"]]
+    return topk.groupby("qid").map_groups(rank, batch_format="pandas")
+
+
 def q_embedding_near_dups(sf_dir: str):
     """The synthetic embeddings table has no natural near-dups (max
     off-diagonal cosine ≈ 0.51), so the query plants exact duplicates of
@@ -1561,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_near_dups": q_embedding_near_dups,
         "window_agg": q_window_agg,
         "sliding_window": q_sliding_window,
@@ -2180,6 +2208,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(v) AS BIGINT) AS min_k,
                    CAST(MAX(v) AS BIGINT) AS max_k
             FROM vals GROUP BY event_type
+        """,
+        "ann_ivf_exhaustive": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS score
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT qid, rank, vec_id FROM ranked WHERE rank <= 10
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
