@@ -1438,6 +1438,137 @@ case("svg nested g completes the hanging rel", "xml",
      [[B + "#fig", DC + "source", B + "#photo"]])
 
 
+# ------------------------------------------- round-4 batch-2 cases --
+# <time> datatype-sniffing long tail (every TIME_REGEXES family:
+# Util.ts:17-31), language resets, multi-typeof, safe-CURIE
+# @resource, mixed/parallel @inlist lists, multi-target and typed
+# rdfa:Pattern copies, vocab rel terms, @src objects.
+
+# time sniffing long tail
+case("<time> sniffed to xsd:time", "html",
+     '<html><body><time property="schema:openingHours">09:30:00</time>'
+     '</body></html>',
+     [[B, SCHEMA + "openingHours", f'"09:30:00"^^{XSD}time']])
+
+case("<time> sniffed to xsd:gYear", "html",
+     '<html><body><time property="schema:copyrightYear">2019</time>'
+     '</body></html>',
+     [[B, SCHEMA + "copyrightYear", f'"2019"^^{XSD}gYear']])
+
+case("<time> sniffed to xsd:gYearMonth", "html",
+     '<html><body><time property="schema:issued">2019-06</time>'
+     '</body></html>',
+     [[B, SCHEMA + "issued", f'"2019-06"^^{XSD}gYearMonth']])
+
+case("<time> with timezone-suffixed dateTime", "html",
+     '<html><body><time property="schema:startDate">'
+     '2020-01-02T03:04:05+05:30</time></body></html>',
+     [[B, SCHEMA + "startDate",
+       f'"2020-01-02T03:04:05+05:30"^^{XSD}dateTime']])
+
+case("<time> non-matching text stays a plain literal", "html",
+     '<html><body><time property="schema:startDate">next tuesday</time>'
+     '</body></html>',
+     [[B, SCHEMA + "startDate", '"next tuesday"']])
+
+case("@datetime beats text and is sniffed", "html",
+     '<html><body><time property="schema:startDate" '
+     'datetime="2020-01-02">January 2nd</time></body></html>',
+     [[B, SCHEMA + "startDate", f'"2020-01-02"^^{XSD}date']])
+
+case("explicit @datatype wins over time sniffing", "html",
+     f'<html><body prefix="{PREFIXES}"><time property="ex:when" '
+     f'datatype="http://www.w3.org/2001/XMLSchema#string">2019</time>'
+     '</body></html>',
+     [[B, EX + "when", f'"2019"^^{XSD}string']])
+
+# language corner cases
+case("empty xml:lang resets inherited language", "xhtml",
+     f'<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="de" '
+     f'prefix="{PREFIXES}"><body>'
+     '<span property="dc:title" xml:lang="">Neutral</span></body></html>',
+     [[B, DC + "title", '"Neutral"']])
+
+case("empty lang resets inherited language (html5)", "html",
+     f'<html lang="de"><body prefix="{PREFIXES}">'
+     '<span property="dc:title" lang="">Neutral</span></body></html>',
+     [[B, DC + "title", '"Neutral"']])
+
+# typeof / about variants
+case("multiple @typeof values emit one rdf:type each", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#x" typeof="foaf:Person ex:T"></div></body></html>',
+     [[B + "#x", RDF + "type", FOAF + "Person"],
+      [B + "#x", RDF + "type", EX + "T"]])
+
+case("@about on the root html element scopes the whole document", "html",
+     f'<html about="#root" prefix="{PREFIXES}"><body>'
+     '<span property="dc:title">T</span></body></html>',
+     [[B + "#root", DC + "title", '"T"']])
+
+case("safe CURIE in @resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="dc:source" resource="[ex:r]"></div>'
+     '</body></html>',
+     [[B + "#a", DC + "source", EX + "r"]])
+
+# lists
+case("one @inlist list mixes rel resources and property literals", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span inlist="" property="ex:p">one</span>'
+     '<a inlist="" rel="ex:p" href="#two">x</a>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", '"one"'],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", B + "#two"],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "p", "_:l0"]])
+
+case("two different @inlist properties build independent lists", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span inlist="" property="ex:p">p1</span>'
+     '<span inlist="" property="ex:q">q1</span>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", '"p1"'],
+      ["_:l0", RDF + "rest", RDF + "nil"],
+      ["_:l1", RDF + "first", '"q1"'],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "p", "_:l0"],
+      [B + "#a", EX + "q", "_:l1"]])
+
+# patterns
+case("one rdfa:Pattern copied into two targets", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div resource="#pat" typeof="rdfa:Pattern">'
+     '<span property="ex:tag">shared</span></div>'
+     '<div about="#a"><link property="rdfa:copy" href="#pat"></div>'
+     '<div about="#b"><link property="rdfa:copy" href="#pat"></div>'
+     '</body></html>',
+     [[B + "#a", EX + "tag", '"shared"'],
+      [B + "#b", EX + "tag", '"shared"']])
+
+case("pattern with typeof copies the type onto the target", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div resource="#pat" typeof="rdfa:Pattern">'
+     '<span typeof="foaf:Person" about="#who"></span></div>'
+     '<div about="#a"><link property="rdfa:copy" href="#pat"></div>'
+     '</body></html>',
+     [[B + "#who", RDF + "type", FOAF + "Person"]])
+
+# property/rel term-vs-curie corners
+case("bare rel term on <a> resolves via the vocab", "html",
+     f'<html><body vocab="{SCHEMA}">'
+     '<a about="#a" rel="author" href="#me">m</a></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B + "#a", SCHEMA + "author", B + "#me"]])
+
+case("@src with @property and no rel yields the image IRI", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<img about="#a" property="ex:img" src="pic.png">'
+     '</body></html>',
+     [[B + "#a", EX + "img", "http://rdfa.example.org/pic.png"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
