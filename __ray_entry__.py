@@ -1131,6 +1131,29 @@ def q_join_broadcast(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_join_semi(sf_dir: str):
+    """Partitioned hash semi-join (stages/joins.py:semi_join): customers
+    with at least one order, each emitted once regardless of how many
+    urgent orders they have — the slim exchange moves customers + unique
+    urgent-order custkeys only.  SQL twin: WHERE EXISTS."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfa_streaming_parser_js_ray.stages.joins import semi_join
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["o_orderpriority"] == "1-URGENT",
+                         ["o_custkey"]]
+
+    return semi_join(customer, orders.map_batches(urgent,
+                                                  batch_format="pandas"),
+                     on="c_custkey", right_on="o_custkey")
+
+
 def q_join_hash(sf_dir: str):
     """Partitioned hash join (lineitem x orders, both large) + rollup per
     order priority (SURVEY.md SS2.5 bucketed hash-join pattern)."""
@@ -1609,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_titles": q_bgp_titles,
         "join_broadcast": q_join_broadcast,
         "join_hash": q_join_hash,
+        "join_semi": q_join_semi,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "distinct_langs": q_distinct_langs,
         "pricing_summary": q_pricing_summary,
@@ -2725,6 +2749,12 @@ def oracle_sql() -> dict[str, str]:
                 ON list_cosine_similarity(e.embedding, b.embedding) >= 0.9
               GROUP BY 1)
             SELECT vec_id, CAST(n AS BIGINT) AS n_bench_matches FROM hits
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         """,
         "fuzzy_decontam": """
             WITH toks AS (

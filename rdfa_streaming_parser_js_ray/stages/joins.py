@@ -448,6 +448,22 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
     id set" when the set is not guaranteed to fit a broadcast.
     ``num_buckets=None`` → :func:`auto_buckets` over both sides.
     """
+    return _key_filter_join(left_ds, right_ds, on, right_on, num_buckets,
+                            keep_matches=False)
+
+
+def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_buckets: int | None = None):
+    """left rows WITH at least one key match in right (each emitted once,
+    never multiplied by right-side multiplicity) — partitioned hash
+    semi-join, the complement of :func:`anti_join` with the identical
+    slim-exchange shape: left + unique-right-keys only move."""
+    return _key_filter_join(left_ds, right_ds, on, right_on, num_buckets,
+                            keep_matches=True)
+
+
+def _key_filter_join(left_ds, right_ds, on, right_on, num_buckets,
+                     keep_matches: bool):
     if num_buckets is None:
         num_buckets = auto_buckets(left_ds, right_ds,
                                    rows_per_bucket=131_072, fallback=64)
@@ -482,7 +498,8 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
         side = group["_side"].to_numpy()
         keys = group.loc[side == _SIDE_R, on]
         left = group.loc[side == _SIDE_L, left_cols]
-        return _repair(left[~left[on].isin(set(keys.dropna()))].copy(),
+        hit = left[on].isin(set(keys.dropna()))
+        return _repair(left[hit if keep_matches else ~hit].copy(),
                        left_dt)
 
     return both.groupby("_bucket").map_groups(filter_bucket,

@@ -740,6 +740,25 @@ def test_hash_join_typed_exchange_dtype_matrix(rd):
     assert inner["b"].dtype.kind == "b" or str(inner["b"].dtype) == "boolean"
 
 
+def test_semi_join_matches_pandas(rd):
+    """Semi-join keeps each matching left row ONCE (no multiplication by
+    right multiplicity) and is the exact complement of anti_join."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.joins import anti_join, semi_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "a": list("vwxyz")})
+    right = pd.DataFrame({"j": [2, 2, 2, 4, 9]})  # dup keys must not fan out
+    lds = rd.from_pandas(left).repartition(2)
+    rds = rd.from_pandas(right).repartition(2)
+    got = semi_join(lds, rds, on="k", right_on="j",
+                    num_buckets=4).to_pandas()
+    want = left[left["k"].isin(set(right["j"]))]
+    key = lambda df: sorted(map(tuple, df[["k", "a"]].itertuples(index=False)))
+    assert key(got) == key(want) and len(got) == 2
+    anti = anti_join(lds, rds, on="k", right_on="j",
+                     num_buckets=4).to_pandas()
+    assert sorted(list(got["k"]) + list(anti["k"])) == [1, 2, 3, 4, 5]
+
+
 def test_anti_join_matches_pandas(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.joins import anti_join
