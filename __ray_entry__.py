@@ -1357,6 +1357,18 @@ def q_top_terms(sf_dir: str):
                  .sort(["n", "term"], descending=[True, False]).limit(50)
 
 
+def q_frequent_ngrams(sf_dir: str):
+    """Exact frequent bigrams via the bounded sketch+verify operator
+    (``stages/stats.frequent_ngrams``): per-batch top-k sketch with a
+    tracked error bound -> candidate broadcast -> exact re-count.  The
+    runtime completeness check (threshold > E, else exact fallback)
+    keeps the output exact on every path, so a plain GROUP BY ...
+    HAVING oracle replays it verbatim."""
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+    return frequent_ngrams(_sf_documents(sf_dir), threshold=30, n=2,
+                           sketch_k=1024)
+
+
 def q_events_filtered(sf_dir: str):
     """Prune at the read: column projection + row-filter expression pushed
     into read_parquet (only matching row groups/columns leave storage),
@@ -1637,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "pricing_summary": q_pricing_summary,
         "top_terms": q_top_terms,
+        "frequent_ngrams": q_frequent_ngrams,
         "events_filtered": q_events_filtered,
         "degree_histogram": q_degree_histogram,
         "suppliers_by_region": q_suppliers_by_region,
@@ -2419,6 +2432,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
                   FROM documents)
             GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "frequent_ngrams": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+              FROM documents),
+            grams AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS gram
+              FROM toks WHERE len(t) >= 2)
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM grams GROUP BY gram HAVING COUNT(*) >= 30
         """,
         "events_filtered": """
             SELECT event_type, COUNT(*) AS n_events,

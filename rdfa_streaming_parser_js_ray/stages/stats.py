@@ -315,3 +315,146 @@ def pivot_agg(ds, row_key: str, col_key: str, value_col: str,
         aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby(row_key).aggregate(*aggs)
+
+
+def frequent_ngrams(ds, threshold: int, n: int = 2, text_col: str = "text",
+                    sketch_k: int = 4096, sketch_batch_size: int = 4096,
+                    max_candidates: int = 2_000_000, concurrency: int = 4,
+                    on_overflow: str = "fallback"):
+    """EXACT frequent n-grams (global count >= ``threshold``) without ever
+    shuffling the full gram vocabulary — the bounded-exchange complement
+    of the exact wordcount (``q_top_terms``), for the 100 TB case where
+    distinct n-grams outnumber what an all-to-all groupby can carry.
+
+    Two passes, SpaceSaving-flavored (Metwally et al., "Efficient
+    computation of frequent and top-k elements in data streams"):
+
+    1. **Sketch** — per batch, count n-grams exactly, keep only the top
+       ``sketch_k`` entries and record the largest TRUNCATED count as
+       that batch's error bound ``e_b`` (a sentinel row, gram ``""`` —
+       unreachable, real grams match ``[a-z]+( [a-z]+)*``).  The grouped
+       exchange then carries <= ``sketch_k + 1`` rows per batch instead
+       of the vocabulary.  For any gram ``g``, ``kept_sum(g) <= true(g)
+       <= kept_sum(g) + E`` with ``E = sum(e_b)``, so
+       ``kept_sum + E >= threshold`` is a PROVABLY COMPLETE candidate
+       superset (a batch that truncates ``g`` contributes at most
+       ``e_b`` of its count).
+    2. **Verify** — broadcast the candidate set once
+       (``pin_broadcast``, size-guarded at ``max_candidates`` — raises
+       rather than silently truncating, like the decontam gram guard),
+       re-count ONLY candidates exactly, and keep ``count >=
+       threshold``.  Output is exact: (gram, n) — no approximation
+       survives to the result, so a SQL oracle replays it verbatim.
+
+    Tokenization matches ``q_top_terms``/``tfidf``: lowercase ``[a-z]+``
+    runs, n-grams joined by single spaces.  ``sketch_k`` trades exchange
+    width against candidate-set size: if every batch truncates hard,
+    ``E`` grows and more candidates reach the verify pass (still exact,
+    just wider); batches with <= ``sketch_k`` distinct grams contribute
+    zero error.
+
+    **Completeness contract.**  The superset proof needs ``threshold >
+    E``: a gram truncated in EVERY batch has ``kept_sum = 0`` — it never
+    reaches the candidate table at all, and its true count can still be
+    as large as ``E``.  ``E`` is known exactly after the (bounded)
+    sketch exchange, so the bound is CHECKED at runtime: when
+    ``total_err >= threshold`` the sketch cannot certify completeness
+    and the call either falls back to the exact full-vocabulary
+    groupby (``on_overflow="fallback"``, the default — same shape as
+    ``q_top_terms``, correct at any threshold, just an unbounded
+    exchange; repo precedent: ``build_canonical_map``'s overflow
+    fallback to the joined closure) or raises with sizing guidance
+    (``on_overflow="raise"`` — use in tests/pipelines that must prove
+    the bounded path ran).  Either way the OUTPUT is exact; only the
+    exchange width differs.
+    """
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.broadcast import pin_broadcast
+
+    token_re = re.compile(r"[a-z]+")
+
+    def _gram_counts(texts) -> Counter:
+        counts: Counter = Counter()
+        for text in texts:
+            toks = token_re.findall((text or "").lower())
+            counts.update(" ".join(toks[i:i + n])
+                          for i in range(len(toks) - n + 1))
+        return counts
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        counts = _gram_counts(batch[text_col].to_pylist())
+        err = 0
+        if len(counts) > sketch_k:
+            mc = counts.most_common(sketch_k + 1)
+            err = mc[sketch_k][1]
+            counts = dict(mc[:sketch_k])
+        grams = list(counts.keys())
+        vals = list(counts.values())
+        if err:
+            grams.append("")
+            vals.append(err)
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    summed = ds.map_batches(sketch, batch_format="pyarrow",
+                            batch_size=sketch_batch_size) \
+        .groupby("gram").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # bounded: <= sketch_k x batches rows, post-reduce
+
+    err_tbl = summed.map_batches(
+        lambda b: b[b["gram"] == ""], batch_format="pandas").take_all()
+    total_err = int(err_tbl[0]["n"]) if err_tbl else 0
+
+    def _count_all(batch: pa.Table) -> pa.Table:
+        counts = _gram_counts(batch[text_col].to_pylist())
+        return pa.table({"gram": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    if total_err >= threshold:
+        # Sketch can't certify completeness (a gram truncated in every
+        # batch never surfaces; its true count may reach total_err).
+        if on_overflow == "raise":
+            raise ValueError(
+                f"frequent_ngrams sketch error bound E={total_err} >= "
+                f"threshold={threshold}: completeness not certifiable. "
+                f"Raise sketch_k (now {sketch_k}) / sketch_batch_size, "
+                f"raise the threshold, or use on_overflow='fallback'.")
+        return ds.map_batches(_count_all, batch_format="pyarrow") \
+            .groupby("gram").aggregate(Sum("n", alias_name="n")) \
+            .map_batches(lambda b: b[b["n"] >= threshold],
+                         batch_format="pandas")
+
+    def cand_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["gram"] != "") & (batch["n"] + total_err >= threshold)
+        return batch.loc[keep, ["gram"]]
+
+    cand_rows = summed.map_batches(cand_filter, batch_format="pandas") \
+        .take_all(limit=max_candidates)
+    candidates = frozenset(r["gram"] for r in cand_rows)
+    if not candidates:
+        return ray.data.from_arrow(pa.table(
+            {"gram": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}))
+    cand_ref = pin_broadcast(candidates)
+
+    class _ExactCount:
+        def __init__(self):
+            self.cands = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts = _gram_counts(batch[text_col].to_pylist())
+            kept = {g: c for g, c in counts.items() if g in self.cands}
+            return pa.table({"gram": pa.array(list(kept), pa.string()),
+                             "n": pa.array(list(kept.values()), pa.int64())})
+
+    exact = ds.map_batches(_ExactCount, batch_format="pyarrow",
+                           concurrency=concurrency, num_cpus=0.5) \
+        .groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return exact.map_batches(
+        lambda b: b[b["n"] >= threshold], batch_format="pandas")

@@ -2663,3 +2663,119 @@ def test_knn_graph_enforces_eval_scale_bound(rd):
         knn_graph(ds, k=3, max_rows=10)
     out = knn_graph(ds, k=3, max_rows=30).to_pandas()   # at the bound: ok
     assert len(out) == 90 and set(out["rank"]) == {1, 2, 3}
+
+
+def test_frequent_ngrams_exact_vs_bruteforce(rd):
+    """Output is EXACTLY the brute-force >=threshold set in every regime:
+    hard per-batch truncation with E >= threshold (the runtime bound
+    check must reject the sketch and take the exact fallback) and the
+    no-truncation sketch path."""
+    import random as _random
+    from collections import Counter
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+
+    rng = _random.Random(7)
+    import itertools
+    vocab = ["".join(p) for p in itertools.product("abcde", repeat=2)][:30]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab) for _ in range(40))}
+            for i in range(200)]
+
+    truth: Counter = Counter()
+    for r in rows:
+        toks = r["text"].split()
+        truth.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    threshold = sorted(truth.values())[len(truth) // 2]  # median: both sides
+    expect = {g: c for g, c in truth.items() if c >= threshold}
+    assert 0 < len(expect) < len(truth)
+
+    ds = rd.from_items(rows).repartition(8)
+    # sketch_k far below distinct bigrams per batch -> every batch
+    # truncates, E >= threshold -> exact fallback; answer still exact
+    out = frequent_ngrams(ds, threshold=threshold, n=2, sketch_k=10,
+                          sketch_batch_size=32).to_pandas()
+    got = dict(zip(out["gram"], out["n"]))
+    assert got == expect
+    assert out["n"].dtype == "int64"
+
+    # ...and on_overflow="raise" proves that config really is the
+    # uncertifiable regime
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not certifiable"):
+        frequent_ngrams(ds, threshold=threshold, n=2, sketch_k=10,
+                        sketch_batch_size=32, on_overflow="raise")
+
+    # no-truncation path (sketch_k > vocab^2): identical answer
+    out2 = frequent_ngrams(ds, threshold=threshold, n=2,
+                           sketch_k=5000).to_pandas()
+    assert dict(zip(out2["gram"], out2["n"])) == expect
+
+
+def test_frequent_ngrams_bounded_path_under_truncation(rd):
+    """Skewed corpus where batches truncate their singleton tail but
+    threshold > E: on_overflow='raise' passing proves the BOUNDED
+    sketch+verify path ran (no fallback), and the result is exact."""
+    from collections import Counter
+    import itertools
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+
+    tail = ["".join(p) for p in itertools.product("abcdefghij", repeat=4)]
+    rows = []
+    for i in range(96):
+        # hot bigram "hot spot" x5 per doc + 12 doc-unique tail tokens
+        uniq = " ".join(tail[i * 12 + j] for j in range(12))
+        rows.append({"doc_id": i, "text": "hot spot " * 5 + uniq})
+
+    truth: Counter = Counter()
+    for r in rows:
+        toks = r["text"].split()
+        truth.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    threshold = 100  # "hot spot"=480, "spot hot"=384 qualify; E <= #batches
+    expect = {g: c for g, c in truth.items() if c >= threshold}
+    assert len(expect) == 2
+
+    ds = rd.from_items(rows).repartition(8)
+    out = frequent_ngrams(ds, threshold=threshold, n=2, sketch_k=8,
+                          sketch_batch_size=12,
+                          on_overflow="raise").to_pandas()
+    assert dict(zip(out["gram"], out["n"])) == expect
+
+
+def test_frequent_ngrams_empty_result(rd):
+    """Unreachable threshold -> empty result with the stable schema."""
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+    ds = rd.from_items([{"doc_id": 0, "text": "one two three"}])
+    out = frequent_ngrams(ds, threshold=10, n=2, sketch_k=64)
+    assert out.count() == 0
+    # Dataset schema stays stable (to_pandas() on an empty dataset drops
+    # columns — a Ray-wide behavior, not this operator's)
+    assert out.schema().names == ["gram", "n"]
+
+
+def test_frequent_ngrams_candidate_guard(rd):
+    """Over-wide candidate sets raise (broadcast guard), never truncate."""
+    import itertools
+    import pytest as _pytest
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+    words = ["".join(p) for p in itertools.product("abcdefgh", repeat=2)]
+    rows = [{"doc_id": i,
+             "text": f"{words[i]} {words[i + 1]} {words[i + 2]}"}
+            for i in range(50)]
+    ds = rd.from_items(rows)
+    with _pytest.raises(ValueError):
+        # threshold 1 makes every bigram a candidate; guard of 3 trips
+        frequent_ngrams(ds, threshold=1, n=2, max_candidates=3)
+
+
+def test_frequent_ngrams_unigram_matches_wordcount(rd):
+    """n=1 degenerates to thresholded exact wordcount."""
+    from collections import Counter
+    from rdfa_streaming_parser_js_ray.stages.stats import frequent_ngrams
+    rows = [{"doc_id": 0, "text": "Apple banana apple CHERRY banana apple"},
+            {"doc_id": 1, "text": "banana; cherry! apple?"}]
+    truth = Counter("apple banana apple cherry banana apple "
+                    "banana cherry apple".split())
+    out = frequent_ngrams(rd.from_items(rows), threshold=3, n=1,
+                          sketch_k=2, sketch_batch_size=1).to_pandas()
+    assert dict(zip(out["gram"], out["n"])) == \
+        {g: c for g, c in truth.items() if c >= 3}
