@@ -781,8 +781,21 @@ class RdfaEvaluator:
         return self.features.inherit_subject_in_head_body and name in ("head", "body")
 
     def add_list_mapping(self, tag: ActiveTag, subject, predicate, current_object_resource) -> None:
-        """List contribution (RdfaParser.ts:775-795)."""
+        """List contribution (RdfaParser.ts:775-795).
+
+        Deliberate divergence: with an explicit new subject and NO object
+        (``@about`` + ``@rel`` + ``@inlist`` and nothing to point at yet,
+        RdfaParser.ts:441-444 passes ``false``), the reference emits
+        ``(bnode, rdf:first, false)`` — a quad whose object is a JS
+        boolean, which slips past its NamedNode-only emit guard
+        (RdfaParser.ts:803-809) and the ``getResourceOrBaseIri`` cast
+        (Util.ts:161-163).  No RDF consumer can represent that term, so
+        here the falsy sentinel is dropped instead (matching the filter
+        the non-explicit branch below always had); children completing
+        the incomplete list still contribute normally."""
         if tag.explicit_new_subject:
+            if not current_object_resource:
+                return
             bnode = self.create_blank_node()
             self.emit_triple(self.resource_or_base(subject, tag), predicate, bnode)
             self.emit_triple(bnode, _RDF_FIRST,

@@ -79,34 +79,45 @@ class ExtractTriples:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         for doc_id, spans in zip(doc_ids, spans_col):
+            # per-doc staging so a term that fails to serialize discards
+            # only this document's rows, never a partially-appended doc
+            d_doc, d_s, d_p = [], [], []
+            d_kind, d_val, d_lang, d_dt = [], [], [], []
             try:
                 triples = triples_for_document(
                     doc_id, spans, base_iri=self.base_iri, profile=self.profile,
                     features=self.features, vocab=self.vocab, language=self.language)
+                prefix = f"_:{doc_id}/"
+                for s, p, o in triples:
+                    d_doc.append(doc_id)
+                    d_s.append(prefix + s.value if isinstance(s, BlankNode) else s.value)
+                    d_p.append(p.value)
+                    if isinstance(o, Literal):
+                        d_kind.append("literal")
+                        d_val.append(o.value)
+                        d_lang.append(o.language)
+                        d_dt.append(o.datatype)
+                    elif isinstance(o, BlankNode):
+                        d_kind.append("bnode")
+                        d_val.append(prefix + o.value)
+                        d_lang.append("")
+                        d_dt.append("")
+                    else:
+                        d_kind.append("iri")
+                        d_val.append(o.value)
+                        d_lang.append("")
+                        d_dt.append("")
             except Exception:
                 # best-effort per document: a malformed doc yields nothing
                 # rather than failing the block (SURVEY.md §4 error handling)
                 continue
-            prefix = f"_:{doc_id}/"
-            for s, p, o in triples:
-                out_doc.append(doc_id)
-                out_s.append(prefix + s.value if isinstance(s, BlankNode) else s.value)
-                out_p.append(p.value)
-                if isinstance(o, Literal):
-                    out_kind.append("literal")
-                    out_val.append(o.value)
-                    out_lang.append(o.language)
-                    out_dt.append(o.datatype)
-                elif isinstance(o, BlankNode):
-                    out_kind.append("bnode")
-                    out_val.append(prefix + o.value)
-                    out_lang.append("")
-                    out_dt.append("")
-                else:
-                    out_kind.append("iri")
-                    out_val.append(o.value)
-                    out_lang.append("")
-                    out_dt.append("")
+            out_doc.extend(d_doc)
+            out_s.extend(d_s)
+            out_p.extend(d_p)
+            out_kind.extend(d_kind)
+            out_val.extend(d_val)
+            out_lang.extend(d_lang)
+            out_dt.extend(d_dt)
 
         from .canonicalize import part_key_of
         part = part_key_of(out_s, num_partitions)

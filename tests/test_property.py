@@ -354,3 +354,44 @@ def test_unterminated_rcdata_flushed_like_htmlparser2():
     the non-differential pool."""
     out = _parse('<p property="http://p/x"><title>tail')
     assert [str(v) for _, _, v in out] == ['"tail"']
+
+
+def test_explicit_subject_empty_inlist_emits_no_boolean_term():
+    """@about + @rel + @inlist with no object: the reference emits a quad
+    whose rdf:first object is the JS boolean `false` (RdfaParser.ts:441-444
+    passing `false` through Util.ts:161-163's cast) — unrepresentable in
+    any RDF term model.  Our documented divergence drops the falsy
+    sentinel (evaluator.add_list_mapping); children completing the list
+    still contribute."""
+    out = _parse('<div about="#a" rel="http://p/l" inlist=""></div>')
+    assert out == []
+    for triples in [_parse('<div about="#a" rel="http://p/l" inlist="">'
+                           '<span about="#b">x</span></div>')]:
+        for s, p, o in triples:
+            # every emitted term renders; no raw Python bool leaks out
+            assert not isinstance(o, bool)
+        assert any(str(p).endswith("first>") for _, p, _ in triples)
+
+
+def test_extract_discards_only_the_failing_document(monkeypatch):
+    """A document whose triples fail to SERIALIZE (not just to parse) is
+    dropped whole; other docs in the batch survive and no partial rows
+    from the bad doc leak into the output columns."""
+    import pyarrow as pa
+    from rdfa_streaming_parser_js_ray.stages import extract as ex
+
+    real = ex.triples_for_document
+
+    def boobytrapped(doc_id, spans, **kw):
+        triples = list(real(doc_id, spans, **kw))
+        if doc_id == "bad":
+            triples.append((triples[0][0], triples[0][1], False))
+        return triples
+
+    monkeypatch.setattr(ex, "triples_for_document", boobytrapped)
+    span = [{"offset": 0, "kind": "text",
+             "text": '<p property="http://p/x">v</p>', "media_ref": ""}]
+    batch = pa.table({"doc_id": pa.array(["good1", "bad", "good2"]),
+                      "spans": pa.array([span, span, span])})
+    out = ex.ExtractTriples(profile="")(batch)
+    assert sorted(out["doc_id"].to_pylist()) == ["good1", "good2"]

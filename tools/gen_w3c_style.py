@@ -1569,6 +1569,141 @@ case("@src with @property and no rel yields the image IRI", "html",
      [[B + "#a", EX + "img", "http://rdfa.example.org/pic.png"]])
 
 
+# -------------------------------------------- round-4 long-tail additions --
+# Object-position precedence, empty-valued attributes, IRI-resolution
+# corners, list edge cases, RCDATA/entity decoding, and per-profile
+# structural details the classic suite probes but earlier sections missed.
+
+case("rel and rev on the same element emit forward and reverse", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="ex:r" rev="ex:v" href="#b">x</a></body></html>',
+     [[B + "#a", EX + "r", B + "#b"],
+      [B + "#b", EX + "v", B + "#a"]])
+
+case("@content inherits the language", "html",
+     f'<html lang="en"><body prefix="{PREFIXES}">'
+     '<meta about="#a" property="ex:p" content="hi"></body></html>',
+     [[B + "#a", EX + "p", '"hi"@en']])
+
+case("empty @about resolves to the base", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="">'
+     '<span property="ex:p">v</span></div></body></html>',
+     [[B, EX + "p", '"v"']])
+
+case("empty @resource resolves to the base as object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rel="ex:r" resource=""></div></body></html>',
+     [[B + "#a", EX + "r", B]])
+
+case("query-only relative IRI appends to the base", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="ex:r" href="?q=1">x</a></body></html>',
+     [[B + "#a", EX + "r", B + "?q=1"]])
+
+case("dot-segments collapse in relative IRIs", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="../up"><span property="ex:p">v</span></div>'
+     '</body></html>',
+     [["http://rdfa.example.org/up", EX + "p", '"v"']])
+
+case("meta content in head attaches to the document", "html",
+     f'<html><head prefix="{PREFIXES}">'
+     '<meta property="dc:title" content="T"></head><body></body></html>',
+     [[B, DC + "title", '"T"']])
+
+case("empty @datatype forces a plain literal (language kept)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p" datatype="" lang="en">v</span></body></html>',
+     [[B, EX + "p", '"v"@en']])
+
+# NB: in-scope @prefix declarations are serialized into XML literals as
+# xmlns: attributes (reference parity, see the svg xmlns-injection case)
+# — this case uses full IRIs so the captured markup stays bare.
+case("explicit rdf:XMLLiteral datatype captures markup", "html",
+     '<html><body>'
+     f'<span property="http://p/x" datatype="{RDF}XMLLiteral">a<b>c</b>'
+     '</span></body></html>',
+     [[B, "http://p/x", f'"a<b>c</b>"^^{RDF}XMLLiteral']])
+
+case("empty @inlist rel emits rdf:nil", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#par">'
+     '<span rel="ex:l" inlist=""></span></div></body></html>',
+     [[B + "#par", EX + "l", RDF + "nil"]])
+
+case("three inlist members keep document order", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#a">'
+     '<span inlist="" property="ex:p">one</span>'
+     '<span inlist="" property="ex:p">two</span>'
+     '<span inlist="" property="ex:p">three</span>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", '"one"'],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", '"two"'],
+      ["_:l1", RDF + "rest", "_:l2"],
+      ["_:l2", RDF + "first", '"three"'],
+      ["_:l2", RDF + "rest", RDF + "nil"],
+      [B + "#a", EX + "p", "_:l0"]])
+
+case("@typeof on body types the document subject", "html",
+     f'<html><body prefix="{PREFIXES}" typeof="ex:T"></body></html>',
+     [[B, RDF + "type", EX + "T"]])
+
+case("title RCDATA with entity becomes the literal", "html",
+     f'<html><head prefix="{PREFIXES}">'
+     '<title property="dc:title">A &amp; B</title></head>'
+     '<body></body></html>',
+     [[B, DC + "title", '"A & B"']])
+
+case("numeric character references decode in literals", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p">&#x41;&#66;</span></body></html>',
+     [[B, EX + "p", '"AB"']])
+
+case("@resource wins over @href for the object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#a" rel="ex:r" resource="#r" href="#h">x</a>'
+     '</body></html>',
+     [[B + "#a", EX + "r", B + "#r"]])
+
+case("bare prefix CURIE expands to the namespace IRI", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:">v</span></body></html>',
+     [[B, EX, '"v"']])
+
+case("CURIE beats term when a vocab is set", "html",
+     f'<html><body prefix="{PREFIXES}" vocab="{SCHEMA}">'
+     '<span property="dc:title">T</span></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, DC + "title", '"T"']])
+
+case("vocab term keeps its case", "html",
+     f'<html><body vocab="{SCHEMA}">'
+     '<span property="fullName">F</span></body></html>',
+     [[B, RDFA + "usesVocabulary", SCHEMA],
+      [B, SCHEMA + "fullName", '"F"']])
+
+case("xhtml initial-context term next on <a>", "xhtml",
+     f'<html xmlns="{XHTML_NS}"><body>'
+     '<a rel="next" href="n.html">n</a></body></html>',
+     [[B, XHV + "next", "http://rdfa.example.org/n.html"]])
+
+case("xml:lang tags svg literals", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<desc xml:lang="fr" property="http://p/x">b</desc></svg>',
+     [[B, "http://p/x", '"b"@fr']])
+
+case("self-closing element with @content in xml mode", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg">'
+     '<metadata about="#x" property="http://p/x" content="v"/></svg>',
+     [[B + "#x", "http://p/x", '"v"']])
+
+case("content attribute beats element text (html4)", "html",
+     H4DOC + f'<html><body xmlns:dc="{DC11}">'
+     '<span property="dc:title" content="C">ignored</span></body></html>',
+     [[B, DC11 + "title", '"C"']],
+     label="html4")
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
