@@ -1703,6 +1703,48 @@ case("content attribute beats element text (html4)", "html",
      [[B, DC11 + "title", '"C"']],
      label="html4")
 
+case("triples before a late <base> keep the original base (streaming)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#early" property="ex:p">a</span>'
+     '<base href="http://late.example.org/">'
+     '<span about="#late" property="ex:p">b</span></body></html>',
+     [[B + "#early", EX + "p", '"a"'],
+      ["http://late.example.org/#late", EX + "p", '"b"']])
+
+case("@inlist does not apply to @rev", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a" rev="ex:v" inlist="" resource="#b"></div>'
+     '</body></html>',
+     [[B + "#b", EX + "v", B + "#a"]])
+
+case("initial-context rel term allowed on <a>", "html",
+     '<html><body><a rel="license" href="l.html">x</a></body></html>',
+     [[B, XHV + "license", "http://rdfa.example.org/l.html"]])
+
+# reference parity: rel terms are only restricted when @property
+# co-occurs (RdfaProfile.onlyAllowUriRelRevIfProperty), NOT by element
+# type — a bare term on <div> still resolves via the initial context
+case("bare rel term resolves on any element without @property", "html",
+     '<html><body><div rel="license" resource="#r">x</div></body></html>',
+     [[B, XHV + "license", B + "#r"]])
+
+case("@typeof with @resource and no property types the resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="ex:T" resource="#r"></div></body></html>',
+     [[B + "#r", RDF + "type", EX + "T"]])
+
+case("@datatype term resolves through the vocab", "html",
+     f'<html><body vocab="{EX}">'
+     '<span property="p" datatype="myType">v</span></body></html>',
+     [[B, RDFA + "usesVocabulary", EX],
+      [B, EX + "p", f'"v"^^{EX}myType']])
+
+case("empty @content emits an empty literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p" content="">text ignored</span></body></html>',
+     [[B, EX + "p", '""']])
+
 
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
