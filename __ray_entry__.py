@@ -163,7 +163,10 @@ def q_kg_incremental(sf_dir: str):
     finally:
         shutil.rmtree(prev, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
-    return result
+    # re-wrap so every queries() entry returns a Dataset (the pandas
+    # hop above is only the driver-local pin against the rmtree race)
+    import ray.data as _rd
+    return _rd.from_pandas(result)
 
 
 def q_exact_dedup(sf_dir: str):

@@ -102,6 +102,8 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
     """
     import ray
 
+    from ..state.broadcast import pin_refs
+
     slim = ds.select_columns([id_col, vec_col]).materialize()
     n_rows = slim.count()
     if n_rows > max_rows:
@@ -112,6 +114,14 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
             f"(or raise max_rows explicitly if the nodes can hold "
             f"the full matrix per scoring actor)")
     block_refs = slim.to_pandas_refs()
+    # pinned for the process lifetime: these refs ride in actor
+    # constructor kwargs, the ray#53727 restart window pin_broadcast
+    # documents (state/broadcast.py)
+    pin_refs(block_refs)
+    # the pandas blocks are now the ONLY corpus copy: drop the Arrow
+    # materialization and stream the data side from the same refs
+    del slim
+    data = ray.data.from_pandas_refs(list(block_refs))
 
     class GraphScorer:
         def __init__(self, block_refs, k):
@@ -151,7 +161,7 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
                     out["score"].append(float(col[i]))
             return pd.DataFrame(out)
 
-    local = slim.map_batches(
+    local = data.map_batches(
         GraphScorer, fn_constructor_kwargs=dict(block_refs=block_refs, k=k),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
 
@@ -498,7 +508,7 @@ def benchmark_matrix_ref(bench_ds, vec_col: str = "embedding",
     discipline as ``build_alias_dict`` / the decontam gram set) — at that
     size, bucket-join the two embedding tables instead of broadcasting.
     """
-    import ray
+    bench_ds = bench_ds.materialize()   # one execution: guard + collect
     n = bench_ds.count()
     if n > max_rows:
         raise ValueError(

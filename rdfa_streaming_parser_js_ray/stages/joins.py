@@ -149,14 +149,22 @@ def _schema_dtypes(ds) -> dict[str, object]:
     for name, t in zip(sch.names, sch.types):
         if isinstance(t, pa.DataType):
             try:
-                dt = np.dtype(t.to_pandas_dtype())
+                pdt = t.to_pandas_dtype()
             except (TypeError, NotImplementedError):
-                dt = np.dtype(object)
+                out[name] = np.dtype(object)
+                continue
+            try:
+                dt = np.dtype(pdt)
+            except TypeError:
+                dt = pdt       # extension dtype (e.g. tz-aware datetime)
         else:
             try:
                 dt = np.dtype(t)
             except TypeError:
-                dt = np.dtype(object)      # pandas extension dtype
+                # pandas extension dtype (Int64/boolean/tz-aware/...):
+                # repair to ITSELF, not object — an object target would
+                # actively demote a well-typed source column
+                dt = t
         out[name] = dt
     return out
 
@@ -205,7 +213,17 @@ def _repair(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
             try:
                 df[c] = df[c].astype(dt)
             except (TypeError, ValueError):
-                pass
+                # an int-target column that picked up nulls (outer-join
+                # pads, or Ray's arrow->pandas float64 conversion of a
+                # nullable int block) can't go back to int64 — keep the
+                # integer semantics in the NULLABLE int dtype instead
+                # of silently staying float64/object
+                if getattr(dt, "kind", None) in "iu":
+                    try:
+                        df[c] = df[c].astype(
+                            "Int64" if dt.kind == "i" else "UInt64")
+                    except (TypeError, ValueError):
+                        pass
     return df
 
 

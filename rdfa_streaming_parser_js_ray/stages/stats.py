@@ -217,12 +217,19 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
     Dim columns come out as STRINGS (nulls preserved as nulls): the
     rolled-up rows carry the string ``sentinel``, so a non-string dim
     would otherwise feed mixed int/str keys into the grouped exchange
-    and crash Ray's sort-based groupby at sample_boundaries.  A SQL
+    and crash Ray's sort-based groupby at sample_boundaries.  Null dim
+    VALUES ride the exchange as a reserved string (``"\\x00null"``) for
+    the same reason — None-vs-str boundary comparisons crash too, shape-
+    dependently — and are restored to None on the way out.  A SQL
     replay of an integer dim must CAST it to VARCHAR.
 
     Returns (dim columns in first-set order, n_rows, sum_<value_col>).
     """
     from ray.data.aggregate import Sum
+
+    # reserved: impossible in real dim strings; no TRAILING NUL — numpy
+    # unicode arrays (Ray's sort path) silently strip trailing \x00
+    _NULL_DIM = "\x00null"
 
     cols: list[str] = []
     for s in sets:
@@ -250,18 +257,33 @@ def grouping_sets_agg(ds, sets: list[tuple[str, ...]], value_col: str,
             for c in cols:
                 if c not in s:
                     g[c] = sentinel
-                elif g[c].dtype.kind in "iufbmM":
-                    # stringify non-string dims (null-safe) so the
-                    # exchange keys are uniformly str — see docstring
-                    na = g[c].isna()
-                    g[c] = g[c].astype(str).astype(object).mask(na, None)
+                    continue
+                # stringify non-string dims AND encode nulls as a string
+                # sentinel so the exchange keys are uniformly str —
+                # Ray's sort-based groupby samples boundaries with `<`,
+                # which a None-vs-str (or int-vs-str) key pair crashes
+                na = g[c].isna()
+                if g[c].dtype.kind in "iufbmM":
+                    g[c] = g[c].astype(str).astype(object)
+                else:
+                    # object dims may hold non-str values (e.g. Python
+                    # ints after a join demotion) — same mixed-key crash
+                    g[c] = g[c].map(
+                        lambda v: v if isinstance(v, str) else str(v))
+                g[c] = g[c].mask(na, _NULL_DIM)
             outs.append(g[cols + ["n_rows", sum_col]])
         return pd.concat(outs, ignore_index=True)
 
     out = ds.map_batches(partial, batch_format="pandas") \
         .groupby(cols).aggregate(Sum("n_rows", alias_name="n_rows"),
                                  Sum(sum_col, alias_name=sum_col))
-    return out
+
+    def restore_nulls(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            batch[c] = batch[c].mask(batch[c] == _NULL_DIM, None)
+        return batch
+
+    return out.map_batches(restore_nulls, batch_format="pandas")
 
 
 def pivot_agg(ds, row_key: str, col_key: str, value_col: str,

@@ -35,6 +35,13 @@ def pin_broadcast(obj: Any):
     return ref
 
 
+def pin_refs(refs) -> None:
+    """Pin ALREADY-CREATED ObjectRefs (e.g. ``to_pandas_refs`` blocks)
+    for the process lifetime — same restart-window rationale as
+    :func:`pin_broadcast`, for refs we didn't ``ray.put`` ourselves."""
+    _PINNED.extend(refs)
+
+
 def clear_pins() -> int:
     """Release every pinned broadcast ref; returns how many were held."""
     n = len(_PINNED)

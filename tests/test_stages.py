@@ -2779,3 +2779,58 @@ def test_frequent_ngrams_unigram_matches_wordcount(rd):
                           sketch_k=2, sketch_batch_size=1).to_pandas()
     assert dict(zip(out["gram"], out["n"])) == \
         {g: c for g, c in truth.items() if c >= 3}
+
+
+def test_grouping_sets_object_dim_with_ints(rd):
+    """Review-fix regression: an OBJECT-dtype dim holding Python ints
+    (e.g. after a join demotion) bypassed the numeric-kind stringify
+    and still mixed int/str exchange keys; object dims are now
+    stringified value-wise, nulls preserved."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import grouping_sets_agg
+
+    df = pd.DataFrame({"bucket": pd.Series([1, 2, None, 2, 1], dtype=object),
+                       "v": [10, 20, 30, 40, 50]})
+    out = grouping_sets_agg(rd.from_pandas(df).repartition(3),
+                            [("bucket",), ()], "v").to_pandas()
+    fine = out[out["bucket"] != "__ALL__"]
+    got = {(None if pd.isna(k) else k): int(s)
+           for k, s in zip(fine["bucket"], fine["sum_v"])}
+    assert got == {"1": 60, "2": 60, None: 30}
+    total = out[out["bucket"] == "__ALL__"]
+    assert int(total["sum_v"].iloc[0]) == 150
+
+
+def test_hash_join_preserves_extension_dtypes(rd):
+    """Review-fix regression: pandas extension dtypes (nullable Int64,
+    tz-aware datetime) used to resolve to an OBJECT repair target, so
+    the typed exchange actively demoted well-typed source columns."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({
+        "k": np.arange(12, dtype="int64") % 4,
+        "nv": pd.array([None if i % 5 == 0 else i for i in range(12)],
+                       dtype="Int64"),
+        "tz": pd.date_range("2024-01-01", periods=12, freq="D",
+                            tz="UTC"),
+    })
+    right = pd.DataFrame({"k": np.arange(4, dtype="int64"),
+                          "rv": [10.0, 20.0, 30.0, 40.0]})
+    got = hash_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right), on="k", how="inner",
+                    num_buckets=4).to_pandas()
+    # nv: never object (float64 is Ray's own arrow->pandas boundary
+    # representation of a nullable-int column, acceptable; the old code
+    # astype(object)'d it)
+    assert got["nv"].dtype != object, got["nv"].dtype
+    assert str(got["tz"].dtype) == "datetime64[ns, UTC]", got["tz"].dtype
+    want = left.merge(right, on="k", how="inner")
+    cols = ["k", "nv", "tz", "rv"]
+    key = lambda df: sorted(map(tuple,
+                                df[cols].astype({"nv": "float64"})
+                                .astype(str).itertuples(index=False)))
+    assert key(got) == key(want)
