@@ -114,10 +114,11 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
             f"(or raise max_rows explicitly if the nodes can hold "
             f"the full matrix per scoring actor)")
     block_refs = slim.to_pandas_refs()
-    # pinned for the process lifetime: these refs ride in actor
-    # constructor kwargs, the ray#53727 restart window pin_broadcast
-    # documents (state/broadcast.py)
-    pin_refs(block_refs)
+    # pinned (slot-replaced per call: corpus-sized, a long-lived driver
+    # must not grow by ~1 GB per knn_graph call): these refs ride in
+    # actor constructor kwargs, the ray#53727 restart window
+    # pin_broadcast documents (state/broadcast.py)
+    pin_refs(block_refs, slot="knn_graph_corpus")
     # the pandas blocks are now the ONLY corpus copy: drop the Arrow
     # materialization and stream the data side from the same refs
     del slim

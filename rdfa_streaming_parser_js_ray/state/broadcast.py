@@ -35,15 +35,31 @@ def pin_broadcast(obj: Any):
     return ref
 
 
-def pin_refs(refs) -> None:
+_SLOTS: dict[str, list] = {}
+
+
+def pin_refs(refs, slot: str | None = None) -> None:
     """Pin ALREADY-CREATED ObjectRefs (e.g. ``to_pandas_refs`` blocks)
-    for the process lifetime — same restart-window rationale as
-    :func:`pin_broadcast`, for refs we didn't ``ray.put`` ourselves."""
-    _PINNED.extend(refs)
+    — same restart-window rationale as :func:`pin_broadcast`, for refs
+    we didn't ``ray.put`` ourselves.
+
+    ``slot=None`` pins for the process lifetime (small payloads).  A
+    named ``slot`` REPLACES that slot's previous refs instead — for
+    corpus-sized payloads (knn_graph pins up to ~1 GB per call) a
+    long-lived multi-query driver then holds at most one generation per
+    slot rather than growing the object store by a corpus per call.
+    Replacement assumes the slot's previous query is no longer running
+    (its actor pool has wound down by the time a new same-slot call
+    starts); keep concurrent same-slot calls in separate processes."""
+    if slot is None:
+        _PINNED.extend(refs)
+    else:
+        _SLOTS[slot] = list(refs)
 
 
 def clear_pins() -> int:
     """Release every pinned broadcast ref; returns how many were held."""
-    n = len(_PINNED)
+    n = len(_PINNED) + sum(len(v) for v in _SLOTS.values())
     _PINNED.clear()
+    _SLOTS.clear()
     return n

@@ -2834,3 +2834,20 @@ def test_hash_join_preserves_extension_dtypes(rd):
                                 df[cols].astype({"nv": "float64"})
                                 .astype(str).itertuples(index=False)))
     assert key(got) == key(want)
+
+
+def test_pin_refs_slot_replacement():
+    """Review-fix regression: corpus-sized pins (knn_graph) use a named
+    slot that REPLACES the previous generation, so a long-lived driver
+    holds at most one corpus per slot; process-lifetime pins and
+    clear_pins() cover both stores."""
+    from rdfa_streaming_parser_js_ray.state import broadcast as b
+
+    base = b.clear_pins()   # isolate from any session pins
+    b.pin_refs(["a", "b"], slot="s")
+    b.pin_refs(["c"], slot="s")          # replaces, never accumulates
+    assert b._SLOTS["s"] == ["c"]
+    b.pin_refs(["p"])                    # process-lifetime store
+    assert "p" in b._PINNED
+    assert b.clear_pins() == 2
+    assert not b._PINNED and not b._SLOTS
