@@ -400,7 +400,12 @@ class RdfaEvaluator:
         # 3: prefixes (RdfaParser.ts:242-250)
         tag.prefixes_custom = parse_prefixes(
             attributes, parent.prefixes_custom, features.xmlns_prefix_mappings)
-        if tag.prefixes_custom:
+        if tag.prefixes_custom is parent.prefixes_custom:
+            # nothing declared here: the parent's merged map already
+            # contains these customs (its own construction invariant) —
+            # share it instead of re-merging a fresh dict per tag
+            tag.prefixes_all = parent.prefixes_all
+        elif tag.prefixes_custom:
             tag.prefixes_all = {**parent.prefixes_all, **tag.prefixes_custom}
         else:
             tag.prefixes_all = parent.prefixes_all
