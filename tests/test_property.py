@@ -102,16 +102,40 @@ def test_chunked_equals_single_shot(html, data):
     assert out == full
 
 
+def _parse_tk(html: str, tokenizer_cls):
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out.append((s, p, o)))
+    tk = tokenizer_cls(ev)
+    tk.write(html)
+    tk.end()
+    return out, tk
+
+
+def _stdlib_comparable(fast_tk, std_tk) -> bool:
+    """The two documented structural wrapper differences (EOF inside an
+    unterminated start tag; stdlib invalid-start-tag recovery) make the
+    comparison meaningless — fast follows htmlparser2 there, stdlib
+    does not (see the pinned tests below)."""
+    return not fast_tk.dangling_tag and not std_tk.tolerant_recovery
+
+
 @settings(max_examples=200, deadline=None)
 @given(html=_SOUP)
 def test_fast_tokenizer_matches_stdlib(html):
-    assert _parse(html, FastHtmlTokenizer) == _parse(html, HtmlTokenizer)
+    fast, ftk = _parse_tk(html, FastHtmlTokenizer)
+    ref, stk = _parse_tk(html, HtmlTokenizer)
+    if _stdlib_comparable(ftk, stk):
+        assert fast == ref
 
 
 @settings(max_examples=100, deadline=None)
 @given(html=st.text(max_size=300))
 def test_fast_tokenizer_matches_stdlib_on_text(html):
-    assert _parse(html, FastHtmlTokenizer) == _parse(html, HtmlTokenizer)
+    fast, ftk = _parse_tk(html, FastHtmlTokenizer)
+    ref, stk = _parse_tk(html, HtmlTokenizer)
+    if _stdlib_comparable(ftk, stk):
+        assert fast == ref
 
 
 @settings(max_examples=150, deadline=None)
@@ -395,3 +419,31 @@ def test_extract_discards_only_the_failing_document(monkeypatch):
                       "spans": pa.array([span, span, span])})
     out = ex.ExtractTriples(profile="")(batch)
     assert sorted(out["doc_id"].to_pylist()) == ["good1", "good2"]
+
+
+def test_attr_name_position_quotes_match_htmlparser2():
+    """Round-4 differential-fuzz finds: htmlparser2 enters attribute
+    scanning only AFTER the tag name ('=' and quotes are legal name
+    chars), quotes open values only as a value's first char, and once a
+    name is followed by '=' an unterminated quoted value swallows to
+    EOF instead of closing at an in-quote '>'."""
+    # '=' after a COMPLETED attr starts a new (bare) attribute name
+    # '="' — the tag closes at '>' and property=v is live
+    out = _parse('<n property=v =">')
+    assert [str(o) for _, _, o in out] == ['""']
+
+    # '="' inside the tag NAME opens nothing: the name is 't="', the f
+    # value swallows '><n rel=:' to its closing quote — no second tag
+    assert _parse('<t=" f="><n rel=":"resource>') == []
+
+    # bare name 't' then '= "': the '=' binds as t's value separator,
+    # the quote opens an unterminated value — swallowed to EOF, markup
+    # surfaced as text (stdlib's tolerant close-at-'>' is a documented
+    # wrapper divergence, flagged via dangling_tag)
+    out2 = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile="",
+                       emit=lambda s, p, o: out2.append((s, p, o)))
+    tk = FastHtmlTokenizer(ev)
+    tk.write('<n property="v"t =">')
+    tk.end()
+    assert out2 == [] and tk.dangling_tag

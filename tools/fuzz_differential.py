@@ -1,0 +1,143 @@
+"""Offline differential fuzz for the streaming tokenizer/evaluator.
+
+Scales the three properties tests/test_property.py checks at
+hypothesis-size (200 examples each) to arbitrary seeded bursts:
+
+1. **fast-vs-stdlib differential** — FastHtmlTokenizer and the
+   stdlib-based HtmlTokenizer must emit identical triples on the
+   differential-safe fragment pool (stdlib EOF quirks documented in
+   tests/test_property.py keep bare RCDATA openers out of this pool).
+2. **chunk-invariance (html)** — writing the document in random chunks
+   must equal the single-shot parse (the reference's Transform-stream
+   contract, RdfaParser.ts _transform).
+3. **chunk-invariance (xml profile)** — same over the XML tokenizer.
+
+Usage: python tools/fuzz_differential.py [N_CASES] [SEED]
+Prints one JSON line; exit 1 on any diff (with reproducers).
+
+Round-3 ran 320k offline cases with 0 diffs; this tool makes those
+bursts reproducible.  Deterministic: same (N, seed) -> same cases.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from rdfa_streaming_parser_js_ray.core.evaluator import RdfaEvaluator
+from rdfa_streaming_parser_js_ray.core.tokenizer import (
+    FastHtmlTokenizer, HtmlTokenizer, XmlTokenizer,
+)
+
+# the differential-safe pool from tests/test_property.py (balanced
+# RCDATA only — stdlib swallows pending RCDATA text at EOF)
+FRAGMENTS = [
+    "<div>", "</div>", "<span property=\"p\">", "</span>", "text ",
+    "<a rel=\"x:y\" href=\"i\">", "</a>", "&amp;", "&am", "<", ">", "\"",
+    "<p property=\"dc:title\" content=\"c\"/>", "<!-- c -->", "<!doctype html>",
+    "<base href=\"http://b.org/\"/>", "<time property=\"t\">2020-01-02</time>",
+    "<ul rel=\"m\" inlist=\"\">", "</ul>", "<li about=\"#i\">", "</li>",
+    "<div about=\"#e\" typeof=\"T\">", "<b class=\"x\">", "</b>",
+    "<span prefix=\"q: http://q/\">", "<x:y>", "</x:y>", "<svg xml:lang=\"fr\">",
+    "< notatag", "<script>var a = '<div>';</script>", "é中 ",
+    "<a rel=\"x:y\" href=http://e.org/dir/>i</a>", "<a href=/>j</a>",
+    "<span property=\"p\" content=c/>", "<span data-x/>",
+    "<script>a</scripty>b</script>", "<style>p{}</styles></style>",
+    '<t" property=":">', "<a b='c>d'>", "=\"",
+    "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
+    '<span rel="x:y" resource="http://e.org/?q=1/"/>',
+    "<input value=/>", "<input value= />",
+    "<p PROPERTY=\"p\" Property=\"q\">", "<span about=\"[_:b]\">",
+    "<a href='mix\"q'>", "<td property=\"p\">c", "<table><tr>", "</table>",
+    "<div xml:base=\"http://xb.org/\">", "<span datatype=\"\">",
+    "</title>", "</textarea>", "</titlex>",
+    "<title>a &amp; <div property=\"p\">v</div></title>",
+    "<textarea><b property=\"z\">q</b>&#65;</textarea>",
+]
+
+
+def _parse(html: str, tokenizer_cls, profile: str = "") -> list:
+    out, tk = _parse_full(html, tokenizer_cls, profile)
+    return out
+
+
+def _parse_full(html: str, tokenizer_cls, profile: str = ""):
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile=profile,
+                       emit=lambda s, p, o: out.append(
+                           (str(s), str(p), str(o))))
+    tk = tokenizer_cls(ev)
+    tk.write(html)
+    tk.end()
+    ev.on_end()
+    return out, tk
+
+
+def _parse_chunked(html: str, tokenizer_cls, cuts: list[int],
+                   profile: str = "") -> list:
+    out = []
+    ev = RdfaEvaluator(base_iri="http://e.org/", profile=profile,
+                       emit=lambda s, p, o: out.append(
+                           (str(s), str(p), str(o))))
+    tk = tokenizer_cls(ev)
+    prev = 0
+    for c in cuts:
+        tk.write(html[prev:c])
+        prev = c
+    tk.write(html[prev:])
+    tk.end()
+    ev.on_end()
+    return out
+
+
+def main() -> int:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    rng = random.Random(seed)
+    diffs: list[dict] = []
+
+    for i in range(n_cases):
+        html = "".join(rng.choice(FRAGMENTS)
+                       for _ in range(rng.randint(0, 30)))
+        fast, tk = _parse_full(html, FastHtmlTokenizer)
+
+        # skip the stdlib comparison on the two documented structural
+        # wrapper differences (chunk-invariance below still applies):
+        # - fast.dangling_tag: EOF inside an unterminated start tag,
+        #   where stdlib tolerantly closes at the next '>'
+        # - ref_tk.tolerant_recovery: stdlib's invalid-start-tag
+        #   recovery emits the raw markup as data and reparses after
+        #   it, where htmlparser2 swallows the junk as attributes
+        ref, ref_tk = _parse_full(html, HtmlTokenizer)
+        if not tk.dangling_tag and not ref_tk.tolerant_recovery \
+                and fast != ref:
+            diffs.append({"kind": "fast-vs-stdlib", "i": i,
+                          "html": html})
+
+        n_cuts = rng.randint(1, 5)
+        cuts = sorted(rng.randint(0, len(html)) for _ in range(n_cuts)) \
+            if html else []
+        if _parse_chunked(html, FastHtmlTokenizer, cuts) != fast:
+            diffs.append({"kind": "chunk-invariance", "i": i,
+                          "html": html, "cuts": cuts})
+
+        xml_single = _parse(html, XmlTokenizer, profile="xml")
+        if _parse_chunked(html, XmlTokenizer, cuts,
+                          profile="xml") != xml_single:
+            diffs.append({"kind": "xml-chunk-invariance", "i": i,
+                          "html": html, "cuts": cuts})
+        if len(diffs) >= 10:
+            break
+
+    print(json.dumps({"cases": n_cases, "seed": seed,
+                      "checks_per_case": 3, "diffs": len(diffs),
+                      "reproducers": diffs[:10]}))
+    return 1 if diffs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
