@@ -144,9 +144,18 @@ class HtmlTokenizer(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            if len(data) > 1 and data[0] == "<" and data[1].isalpha():
-                # raw start-tag markup surfaced as data = the stdlib
-                # invalid-markup recovery path (see __init__ note)
+            if len(data) > 1 and data[0] == "<" and (
+                    data[1].isalpha() or data[1] in "!?"):
+                # raw markup surfaced as data = a stdlib recovery path
+                # (see __init__ note).  '<'+alpha: invalid-start-tag
+                # recovery.  '<!' / '<?': close() flushing an
+                # unterminated declaration/comment/PI as data — stdlib
+                # requires a full '-->' terminator even for short
+                # comments ('<!-->', '<!--->'), where htmlparser2
+                # treats those as complete (its tokenizer seeds the
+                # comment-end sequence index at 2, "Allow short
+                # comments") and DROPS a trailing unterminated '<!…'
+                # instead of emitting it as text
                 self.tolerant_recovery = True
             if self._stack and self._stack[-1] in _RCDATA_ELEMENTS:
                 data = _html_unescape(data)
@@ -191,6 +200,11 @@ _HTML_TAG_BODY_RE = re.compile(
     r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|(?![\"'])[^\s>]*+)|(?!\s*+=))"
     r")*+>")
 _HTML_NAME_RE = re.compile(r"[a-zA-Z][^\s/>]*")
+# end-tag names: htmlparser2's InClosingTagName ends only at whitespace
+# or '>', so any other char (incl. '/', '!') is a name char; a
+# non-alpha-start "name" can never match a start tag's, so it pops
+# nothing — but the extent must match for parity
+_HTML_END_NAME_RE = re.compile(r"[^\s>]+")
 # attr NAMES may start with '=' (htmlparser2 BeforeAttributeName takes
 # any char into the name; only a LATER '=' introduces the value) — keeps
 # junk-attr spelling identical to stdlib/htmlparser2 inside XMLLiteral
@@ -242,13 +256,24 @@ class FastHtmlTokenizer:
     across ``write`` calls) are buffered until resolvable.
     """
 
-    __slots__ = ("sink", "_stack", "_buf", "_rawtext", "dangling_tag")
+    __slots__ = ("sink", "_stack", "_buf", "_rawtext", "dangling_tag",
+                 "short_comment", "dropped_decl")
 
     def __init__(self, sink: SaxSink):
         self.sink = sink
         self._stack: list[str] = []
         self._buf = ""
         self._rawtext: str | None = None
+        # True once a short comment ('<!-->' / '<!--->') completed —
+        # correct per htmlparser2/HTML5 but a structural stdlib
+        # divergence (stdlib scans for a full post-opener '-->'), so
+        # differential harnesses skip the stdlib comparison when set.
+        self.short_comment = False
+        # True once end() DROPPED an unterminated '<!…'/'<?…'
+        # declaration/comment/PI (htmlparser2 handleTrailingData drops
+        # them; stdlib close() re-emits the raw chars as data) — same
+        # skip contract as short_comment.
+        self.dropped_decl = False
         # True once end() hit an unterminated start tag (e.g. EOF inside
         # a quoted attribute value).  htmlparser2 drops such tags; we
         # surface the markup as text (pinned in tests); Python's stdlib
@@ -407,8 +432,16 @@ class FastHtmlTokenizer:
                     end = buf.find("-->", pos + 2)
                     if end < 0:
                         if final:
+                            self.dropped_decl = True
                             pos = n
                         break
+                    if end < pos + 4:
+                        # terminator overlapped the opener ('<!-->' /
+                        # '<!--->') — complete here and in htmlparser2,
+                        # but stdlib requires a full post-opener '-->'
+                        # and swallows to the NEXT one: differential
+                        # harnesses skip the stdlib comparison
+                        self.short_comment = True
                     pos = end + 3
                     continue
                 if not final and n - pos < 4 and "<!--".startswith(buf[pos:]):
@@ -416,6 +449,7 @@ class FastHtmlTokenizer:
                 end = buf.find(">", pos)
                 if end < 0:
                     if final:
+                        self.dropped_decl = True
                         pos = n
                     break
                 pos = end + 1
@@ -423,6 +457,7 @@ class FastHtmlTokenizer:
                 end = buf.find(">", pos)
                 if end < 0:
                     if final:
+                        self.dropped_decl = True
                         pos = n
                     break
                 pos = end + 1
@@ -432,8 +467,18 @@ class FastHtmlTokenizer:
                     if final:
                         pos = n
                     break
-                nm = _HTML_NAME_RE.match(buf, pos + 2)
-                if nm is not None:
+                # htmlparser2 BeforeClosingTagName: whitespace after
+                # '</' is IGNORED ('</ div>' closes div — stdlib's
+                # endtagfind agrees), then ANY non-ws char starts the
+                # name (InClosingTagName ends only at whitespace or
+                # '>', so '/' is a legal name char here unlike in
+                # start tags); anything after the name is skipped to
+                # '>' (AfterClosingTagName)
+                j = pos + 2
+                while j < end and buf[j] in " \t\n\r\f":
+                    j += 1
+                nm = _HTML_END_NAME_RE.match(buf, j)
+                if nm is not None and nm.start() < end:
                     self._close(nm.group(0).lower())
                 pos = end + 1
             elif ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):

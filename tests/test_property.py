@@ -56,6 +56,23 @@ _FRAGMENTS = st.sampled_from([
     "</title>", "</textarea>", "</titlex>",
     "<title>a &amp; <div property=\"p\">v</div></title>",
     "<textarea><b property=\"z\">q</b>&#65;</textarea>",
+    # round-4 pool growth (mirrors tools/fuzz_differential.py):
+    # decl/comment/PI edges, entity forms, whitespace-in-tag variants,
+    # RDFa attribute stress.  Fuzz finds fixed by this pool: short
+    # comments ('<!-->'/'<!--->', stdlib divergence flagged), '</ div>'
+    # closing like htmlparser2 (whitespace after '</' ignored)
+    "<?php echo '>'; ?>", "<?pi>", "<!foo bar>", "<![CDATA[x<y]]>",
+    "<!-->", "<!--->", "<!-- -- -->", "<!---->",
+    "<meta charset=utf-8>", "<a b = 'c' >", "<br / >", "<a =b>",
+    "<a a=\"1\" a='2' A=3>", "</ div>", "</div >", "</div x=1>",
+    "&#x41;", "&#xg;", "&notanentity;", "&#1114112;", "&lt",
+    "<span prefix=\"a: b:\">", "<span property=\"a b\">",
+    "<span datatype=\"rdf:HTML\">x</span>",
+    "<span inlist property=\"p\">v</span>",
+    "<a xmlns:q=\"http://q/\" property=\"q:r\">y</a>",
+    "<a\tproperty=\"p\"\n>z</a>", "<a/b=\"c\">", "<a href='#'>x</a >",
+    "<div about=\"[q:v]\">", "<span resource=\"[]\">",
+    "<span typeof>", "<span rel>", "<span property=\"p\" content>",
 ])
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
 
@@ -113,11 +130,13 @@ def _parse_tk(html: str, tokenizer_cls):
 
 
 def _stdlib_comparable(fast_tk, std_tk) -> bool:
-    """The two documented structural wrapper differences (EOF inside an
-    unterminated start tag; stdlib invalid-start-tag recovery) make the
+    """The three documented structural wrapper differences (EOF inside
+    an unterminated start tag; stdlib invalid-start-tag / unterminated-
+    declaration recovery; short comments '<!-->'/'<!--->') make the
     comparison meaningless — fast follows htmlparser2 there, stdlib
     does not (see the pinned tests below)."""
-    return not fast_tk.dangling_tag and not std_tk.tolerant_recovery
+    return (not fast_tk.dangling_tag and not fast_tk.short_comment
+            and not fast_tk.dropped_decl and not std_tk.tolerant_recovery)
 
 
 @settings(max_examples=200, deadline=None)
@@ -447,3 +466,47 @@ def test_attr_name_position_quotes_match_htmlparser2():
     tk.write('<n property="v"t =">')
     tk.end()
     assert out2 == [] and tk.dangling_tag
+
+
+def test_short_comments_complete_like_htmlparser2():
+    """'<!-->' / '<!--->' are complete empty comments (htmlparser2
+    seeds the '-->' sequence index with the opener's dashes, "Allow
+    short comments"); stdlib scans for a full post-opener '-->' and
+    swallows to the next one — a flagged structural divergence."""
+    out, tk = _parse_tk('<!--><span property="dc:t">v</span>',
+                        FastHtmlTokenizer)
+    assert [str(o) for _, _, o in out] == ['"v"'] and tk.short_comment
+    out, tk = _parse_tk('<!---><span property="dc:t">v</span>',
+                        FastHtmlTokenizer)
+    assert [str(o) for _, _, o in out] == ['"v"'] and tk.short_comment
+    # '<!---->' is the shortest NON-short form: both engines agree,
+    # no flag, and the stdlib wrapper matches
+    out, tk = _parse_tk('<!----><span property="dc:t">v</span>',
+                        FastHtmlTokenizer)
+    ref, _ = _parse_tk('<!----><span property="dc:t">v</span>',
+                       HtmlTokenizer)
+    assert not tk.short_comment and out == ref
+    # a trailing unterminated '<!…' is DROPPED (htmlparser2
+    # handleTrailingData; stdlib close() re-emits the raw chars as
+    # data) — flagged via dropped_decl on the fast side
+    out, tk = _parse_tk('<span property="dc:t">v<!', FastHtmlTokenizer)
+    assert [str(o) for _, _, o in out] == ['"v"'] and tk.dropped_decl
+    out, tk = _parse_tk('<span property="dc:t">v<!--x', FastHtmlTokenizer)
+    assert [str(o) for _, _, o in out] == ['"v"'] and tk.dropped_decl
+
+
+def test_end_tag_whitespace_and_name_extent_match_htmlparser2():
+    """htmlparser2 BeforeClosingTagName ignores whitespace after '</'
+    ('</ div>' closes the div — stdlib's endtagfind agrees), and
+    InClosingTagName ends only at whitespace or '>' (so '/' is a name
+    char in END tags, unlike start tags)."""
+    # '</ div>' pops the about scope: the span's subject is base again
+    out = _parse('<div about="#s"></ div><span property="dc:t">v</span>')
+    assert [str(s) for s, _, _ in out] == ['<http://e.org/>']
+    # '</div/x>' is a no-op close (name "div/x" matches nothing):
+    # the about scope survives
+    out = _parse('<div about="#s"></div/x><span property="dc:t">v</span>')
+    assert [str(s) for s, _, _ in out] == ['<http://e.org/#s>']
+    # junk after the end-tag name is skipped to '>' either way
+    out = _parse('<div about="#s"></div x=1><span property="dc:t">v</span>')
+    assert [str(s) for s, _, _ in out] == ['<http://e.org/>']

@@ -57,6 +57,21 @@ FRAGMENTS = [
     "</title>", "</textarea>", "</titlex>",
     "<title>a &amp; <div property=\"p\">v</div></title>",
     "<textarea><b property=\"z\">q</b>&#65;</textarea>",
+    # round-4 pool growth: decl/comment/PI edges, entity forms,
+    # whitespace-in-tag variants, RDFa attribute stress (each verified
+    # standalone-parity before admission)
+    "<?php echo '>'; ?>", "<?pi>", "<!foo bar>", "<![CDATA[x<y]]>",
+    "<!-->", "<!--->", "<!-- -- -->", "<!---->",
+    "<meta charset=utf-8>", "<a b = 'c' >", "<br / >", "<a =b>",
+    "<a a=\"1\" a='2' A=3>", "</ div>", "</div >", "</div x=1>",
+    "&#x41;", "&#xg;", "&notanentity;", "&#1114112;", "&lt",
+    "<span prefix=\"a: b:\">", "<span property=\"a b\">",
+    "<span datatype=\"rdf:HTML\">x</span>",
+    "<span inlist property=\"p\">v</span>",
+    "<a xmlns:q=\"http://q/\" property=\"q:r\">y</a>",
+    "<a\tproperty=\"p\"\n>z</a>", "<a/b=\"c\">", "<a href='#'>x</a >",
+    "<div about=\"[q:v]\">", "<span resource=\"[]\">",
+    "<span typeof>", "<span rel>", "<span property=\"p\" content>",
 ]
 
 
@@ -105,16 +120,25 @@ def main() -> int:
                        for _ in range(rng.randint(0, 30)))
         fast, tk = _parse_full(html, FastHtmlTokenizer)
 
-        # skip the stdlib comparison on the two documented structural
+        # skip the stdlib comparison on the documented structural
         # wrapper differences (chunk-invariance below still applies):
         # - fast.dangling_tag: EOF inside an unterminated start tag,
         #   where stdlib tolerantly closes at the next '>'
+        # - fast.short_comment: '<!-->'/'<!--->' complete per
+        #   htmlparser2/HTML5; stdlib scans for a full post-opener
+        #   '-->' and swallows to the next one
+        # - fast.dropped_decl: trailing unterminated '<!…'/'<?…'
+        #   dropped per htmlparser2; stdlib close() re-emits the raw
+        #   chars as data
         # - ref_tk.tolerant_recovery: stdlib's invalid-start-tag
         #   recovery emits the raw markup as data and reparses after
-        #   it, where htmlparser2 swallows the junk as attributes
+        #   it (htmlparser2 swallows the junk as attributes), or its
+        #   close() flushing an unterminated '<!…'/'<?…' as data
+        #   (htmlparser2 drops it)
         ref, ref_tk = _parse_full(html, HtmlTokenizer)
-        if not tk.dangling_tag and not ref_tk.tolerant_recovery \
-                and fast != ref:
+        if not tk.dangling_tag and not tk.short_comment \
+                and not tk.dropped_decl \
+                and not ref_tk.tolerant_recovery and fast != ref:
             diffs.append({"kind": "fast-vs-stdlib", "i": i,
                           "html": html})
 
