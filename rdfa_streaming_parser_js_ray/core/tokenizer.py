@@ -649,22 +649,38 @@ class XmlTokenizer:
                     self.sink.on_tag_close()
                 pos = end + 1
             else:
-                end = buf.find(">", pos)
-                if end < 0:
+                nm0 = _XML_NAME_RE.match(buf, pos + 1)
+                if nm0 is None:
+                    # '<' + ws/'>' — not a tag start; skip the construct
+                    end = buf.find(">", pos)
+                    if end < 0:
+                        if final:
+                            self.sink.on_text(
+                                _decode_xml_entities(buf[pos:]))
+                            pos = n
+                        break
+                    pos = end + 1
+                    continue
+                # quote-aware tag extent, same attribute-unit states as
+                # HTML mode (htmlparser2 runs ONE attribute state
+                # machine for both modes): a '>' inside a quoted value
+                # ('<a b="x>y"/>' — legal XML) must not end the tag,
+                # and a chunk boundary inside a quoted value holds the
+                # buffer instead of closing at the in-quote '>'
+                m = _HTML_TAG_BODY_RE.match(buf, nm0.end())
+                if m is None:
                     if final:
                         # malformed dangling tag: treat as text
                         self.sink.on_text(_decode_xml_entities(buf[pos:]))
                         pos = n
                     break
+                end = m.end() - 1  # index of the closing '>'
                 inner = buf[pos + 1:end]
                 self_closing = inner.endswith("/")
                 if self_closing:
                     inner = inner[:-1]
+                name = nm0.group(0)
                 nm = _XML_NAME_RE.match(inner)
-                if nm is None:
-                    pos = end + 1
-                    continue
-                name = nm.group(0)
                 attributes: dict[str, str] = {}
                 for am in _XML_ATTR_RE.finditer(inner, nm.end()):
                     key = am.group(1)

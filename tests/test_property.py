@@ -510,3 +510,27 @@ def test_end_tag_whitespace_and_name_extent_match_htmlparser2():
     # junk after the end-tag name is skipped to '>' either way
     out = _parse('<div about="#s"></div x=1><span property="dc:t">v</span>')
     assert [str(s) for s, _, _ in out] == ['<http://e.org/>']
+
+
+def test_xml_mode_quoted_gt_in_attr_value():
+    """'>' is legal inside an XML attribute value; the tag extent must
+    come from the quote-aware attribute-unit scan (htmlparser2 runs one
+    attribute state machine for both modes), including when a chunk
+    boundary falls inside the quoted value.  Found by the xml-vs-expat
+    differential in tools/fuzz_differential.py."""
+    doc = '<root><a property="dc:t" content="x>y"/></root>'
+
+    def run(chunks):
+        out = []
+        p = RdfaParser(base_iri="http://e.org/", profile="xml",
+                       emit=lambda s, p_, o: out.append((str(s), str(p_),
+                                                         str(o))))
+        for c in chunks:
+            p.write(c)
+        p.end()
+        return out
+
+    single = run([doc])
+    assert [o for _, _, o in single] == ['"x>y"']
+    # cut inside the quoted value (index 30 is between 'x' and '>')
+    assert run([doc[:30], doc[30:]]) == single

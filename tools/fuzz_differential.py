@@ -1,6 +1,6 @@
 """Offline differential fuzz for the streaming tokenizer/evaluator.
 
-Scales the three properties tests/test_property.py checks at
+Scales the properties tests/test_property.py checks at
 hypothesis-size (200 examples each) to arbitrary seeded bursts:
 
 1. **fast-vs-stdlib differential** — FastHtmlTokenizer and the
@@ -11,6 +11,10 @@ hypothesis-size (200 examples each) to arbitrary seeded bursts:
    must equal the single-shot parse (the reference's Transform-stream
    contract, RdfaParser.ts _transform).
 3. **chunk-invariance (xml profile)** — same over the XML tokenizer.
+4. **xml-vs-expat differential** — on generated WELL-FORMED XML, the
+   hand-rolled XmlTokenizer must match stdlib expat driving the same
+   evaluator (caught the '>'-inside-quoted-attribute-value extent bug).
+5. **chunk-invariance (well-formed xml)** — over the same generated doc.
 
 Usage: python tools/fuzz_differential.py [N_CASES] [SEED]
 Prints one JSON line; exit 1 on any diff (with reproducers).
@@ -109,6 +113,69 @@ def _parse_chunked(html: str, tokenizer_cls, cuts: list[int],
     return out
 
 
+class ExpatTokenizer:
+    """Differential oracle for WELL-FORMED XML: drives the evaluator
+    from stdlib expat instead of the hand-rolled ``XmlTokenizer``.
+    Only valid on well-formed single-root documents (expat is strict);
+    the generator below only produces those."""
+
+    def __init__(self, sink):
+        import xml.parsers.expat as expat
+        self.sink = sink
+        p = expat.ParserCreate()
+        p.buffer_text = True
+        p.StartElementHandler = (
+            lambda name, attrs: sink.on_tag_open(name, attrs))
+        p.EndElementHandler = lambda name: sink.on_tag_close()
+        p.CharacterDataHandler = lambda d: sink.on_text(d)
+        self._p = p
+
+    def write(self, chunk: str) -> None:
+        self._p.Parse(chunk, False)
+
+    def end(self) -> None:
+        self._p.Parse(b"", True)
+
+
+_XML_TAGS = ["a", "b", "q:x", "item", "div", "md"]
+_XML_ATTRS = [
+    ("property", "dc:title"), ("about", "#i"), ("rel", "q:r"),
+    ("resource", "http://e.org/r"), ("typeof", "T"),
+    ("prefix", "q: http://q/"), ("xml:lang", "fr"),
+    ("xml:base", "http://xb.org/d/"), ("datatype", ""),
+    ("content", "c v"), ("data-x", "x>y"),  # '>' legal in XML values
+    ("href", "i?a=1&amp;b=2"), ("inlist", ""), ("vocab", "http://v/"),
+]
+_XML_LEAVES = [
+    "t ", "&amp;", "&#65;", "&#x41;x", "", "é中", "&lt;&gt;",
+    "<![CDATA[a<b&c]]>", "<!-- c -->", "<?pi d?>", "&apos;&quot;",
+]
+
+
+def gen_wf_xml(rng: random.Random) -> str:
+    """Deterministic well-formed single-root XML with RDFa attributes."""
+    def attrs() -> str:
+        parts = []
+        for k, v in rng.sample(_XML_ATTRS, rng.randint(0, 4)):
+            q = rng.choice('"\'')
+            parts.append(f" {k}={q}{v}{q}")
+        return "".join(parts)
+
+    def node(depth: int) -> str:
+        r = rng.random()
+        if depth > 3 or r < 0.4:
+            return rng.choice(_XML_LEAVES)
+        name = rng.choice(_XML_TAGS)
+        if r < 0.55:
+            return f"<{name}{attrs()}/>"
+        kids = "".join(node(depth + 1) for _ in range(rng.randint(0, 3)))
+        return f"<{name}{attrs()}>{kids}</{name}>"
+
+    name = rng.choice(_XML_TAGS)
+    body = "".join(node(1) for _ in range(rng.randint(0, 4)))
+    return f"<{name}{attrs()}>{body}</{name}>"
+
+
 def main() -> int:
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -154,11 +221,24 @@ def main() -> int:
                           profile="xml") != xml_single:
             diffs.append({"kind": "xml-chunk-invariance", "i": i,
                           "html": html, "cuts": cuts})
+
+        # well-formed-XML differential: hand-rolled XmlTokenizer vs
+        # stdlib expat driving the same evaluator (plus chunk
+        # invariance over the same doc)
+        wf = gen_wf_xml(rng)
+        wf_fast = _parse(wf, XmlTokenizer, profile="xml")
+        if wf_fast != _parse(wf, ExpatTokenizer, profile="xml"):
+            diffs.append({"kind": "xml-vs-expat", "i": i, "xml": wf})
+        wf_cuts = sorted(rng.randint(0, len(wf)) for _ in range(2))
+        if _parse_chunked(wf, XmlTokenizer, wf_cuts,
+                          profile="xml") != wf_fast:
+            diffs.append({"kind": "xml-wf-chunk-invariance", "i": i,
+                          "xml": wf, "cuts": wf_cuts})
         if len(diffs) >= 10:
             break
 
     print(json.dumps({"cases": n_cases, "seed": seed,
-                      "checks_per_case": 3, "diffs": len(diffs),
+                      "checks_per_case": 5, "diffs": len(diffs),
                       "reproducers": diffs[:10]}))
     return 1 if diffs else 0
 
