@@ -178,7 +178,12 @@ def run_benchmarks() -> dict:
             "quiet_window_docs_per_s": quiet,
             "host_factor_vs_quiet": round(
                 quiet / max(throughput["extract_docs_per_s"], 1e-9), 2),
-            "kernel": "extract_synth (unchanged since round 1)",
+            # the tag-scan regex was reworked late round 4 (commit
+            # 011eb08, interleaved A/B: ~10-14% faster on min, parity
+            # on median) — the r3 quiet pin is therefore CONSERVATIVE:
+            # host_factor slightly UNDERstates host slowdown now
+            "kernel": "extract_synth (tag-scan rework 011eb08; "
+                      "pin conservative)",
         }
     ray.shutdown()
     return result

@@ -89,9 +89,17 @@ class HtmlTokenizer(HTMLParser):
         # swallow the junk as attributes instead, so differential
         # harnesses skip the comparison when set.
         self.tolerant_recovery = False
+        # verbatim input, kept ONLY to make the recovery heuristic
+        # precise (this wrapper exists for differential testing; it is
+        # never in a production path): recovery data is raw markup
+        # copied from the input, whereas entity-DECODED text that
+        # happens to start with '<' (e.g. '&lt;b' -> '<b') is not a
+        # substring of the raw input and must not set the flag
+        self._raw = ""
 
     # -- incremental API -------------------------------------------------
     def write(self, chunk: str) -> None:
+        self._raw += chunk
         self.feed(chunk)
 
     def end(self) -> None:
@@ -145,7 +153,8 @@ class HtmlTokenizer(HTMLParser):
     def handle_data(self, data: str) -> None:
         if data:
             if len(data) > 1 and data[0] == "<" and (
-                    data[1].isalpha() or data[1] in "!?"):
+                    data[1].isalpha() or data[1] in "!?") \
+                    and data in self._raw:
                 # raw markup surfaced as data = a stdlib recovery path
                 # (see __init__ note).  '<'+alpha: invalid-start-tag
                 # recovery.  '<!' / '<?': close() flushing an
@@ -227,13 +236,16 @@ _RCDATA_ELEMENTS = frozenset(("title", "textarea"))
 _UNQUOTED_VALUE_SLASH_RE = re.compile(r"=\s*(?:[^\s>\"'][^\s>]*)?/$")
 
 
-def _ends_in_unquoted_value(inner: str) -> bool:
+def _ends_in_unquoted_value(inner: str, start: int | None = None) -> bool:
     """True iff the final '/' of ``inner`` is consumed as part of an
     '='-introduced unquoted attribute value when scanning attributes
     left-to-right (htmlparser2 tokenizer states: quotes are significant
-    only right after '=', and '/' is literal inside values)."""
-    nm = _HTML_NAME_RE.match(inner)
-    start = nm.end() if nm else 0
+    only right after '=', and '/' is literal inside values).  ``start``
+    is where attribute scanning begins (just past the tag name); when
+    None it is derived with the HTML name pattern."""
+    if start is None:
+        nm = _HTML_NAME_RE.match(inner)
+        start = nm.end() if nm else 0
     last = len(inner)
     for am in _HTML_ATTR_RE.finditer(inner, start):
         if am.end() == last and am.group(4):
@@ -257,7 +269,7 @@ class FastHtmlTokenizer:
     """
 
     __slots__ = ("sink", "_stack", "_buf", "_rawtext", "dangling_tag",
-                 "short_comment", "dropped_decl")
+                 "short_comment", "dropped_decl", "nonstd_end_tag")
 
     def __init__(self, sink: SaxSink):
         self.sink = sink
@@ -269,11 +281,16 @@ class FastHtmlTokenizer:
         # divergence (stdlib scans for a full post-opener '-->'), so
         # differential harnesses skip the stdlib comparison when set.
         self.short_comment = False
-        # True once end() DROPPED an unterminated '<!…'/'<?…'
-        # declaration/comment/PI (htmlparser2 handleTrailingData drops
-        # them; stdlib close() re-emits the raw chars as data) — same
-        # skip contract as short_comment.
+        # True once end() DROPPED an unterminated '<!…'/'<?…'/'</…'
+        # construct (htmlparser2 handleTrailingData drops them; stdlib
+        # close() re-emits the raw chars as data) — same skip contract
+        # as short_comment.
         self.dropped_decl = False
+        # True once an end tag took a shape where stdlib's endtagfind /
+        # tagfind_tolerant recovery differs from htmlparser2's
+        # InClosingTagName ('/' in the name; whitespace-led name with
+        # trailing junk) — same skip contract.
+        self.nonstd_end_tag = False
         # True once end() hit an unterminated start tag (e.g. EOF inside
         # a quoted attribute value).  htmlparser2 drops such tags; we
         # surface the markup as text (pinned in tests); Python's stdlib
@@ -465,6 +482,12 @@ class FastHtmlTokenizer:
                 end = buf.find(">", pos)
                 if end < 0:
                     if final:
+                        # trailing unterminated '</…' is DROPPED
+                        # (htmlparser2 handleTrailingData ignores
+                        # closing-tag states; stdlib re-emits the raw
+                        # chars as data) — same skip contract as the
+                        # decl/PI drops
+                        self.dropped_decl = True
                         pos = n
                     break
                 # htmlparser2 BeforeClosingTagName: whitespace after
@@ -479,7 +502,19 @@ class FastHtmlTokenizer:
                     j += 1
                 nm = _HTML_END_NAME_RE.match(buf, j)
                 if nm is not None and nm.start() < end:
-                    self._close(nm.group(0).lower())
+                    name = nm.group(0)
+                    # stdlib parity holds only for the plain shapes:
+                    # a '/' in the name means stdlib closes the
+                    # PREFIX name ('</div/y>' pops div) where
+                    # htmlparser2 pops nothing, and a whitespace-led
+                    # name with trailing junk ('</ div x=1>') is a
+                    # stdlib bogus comment (no close) where
+                    # htmlparser2 closes — flag both for the
+                    # differential harnesses
+                    if "/" in name or (j > pos + 2
+                                       and buf[nm.end():end].strip()):
+                        self.nonstd_end_tag = True
+                    self._close(name.lower())
                 pos = end + 1
             elif ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
                 # name first (always matches: nxt is a letter) — the
@@ -676,10 +711,18 @@ class XmlTokenizer:
                     break
                 end = m.end() - 1  # index of the closing '>'
                 inner = buf[pos + 1:end]
-                self_closing = inner.endswith("/")
+                name = nm0.group(0)
+                # same self-closing rule as HTML mode (ONE attribute
+                # state machine in htmlparser2): a '/' that ends an
+                # '='-introduced unquoted value is part of the VALUE
+                # ('<a href=http://e.org/dir/>' is an OPEN tag with a
+                # trailing-slash href), not a self-closing marker
+                self_closing = (inner.endswith("/")
+                                and not (_UNQUOTED_VALUE_SLASH_RE.search(inner)
+                                         and _ends_in_unquoted_value(
+                                             inner, len(name))))
                 if self_closing:
                     inner = inner[:-1]
-                name = nm0.group(0)
                 nm = _XML_NAME_RE.match(inner)
                 attributes: dict[str, str] = {}
                 for am in _XML_ATTR_RE.finditer(inner, nm.end()):

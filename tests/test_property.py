@@ -20,60 +20,17 @@ from rdfa_streaming_parser_js_ray.core.tokenizer import (
     FastHtmlTokenizer, HtmlTokenizer,
 )
 
-# tag soup: fragments that compose into plausible-to-broken markup
-_FRAGMENTS = st.sampled_from([
-    "<div>", "</div>", "<span property=\"p\">", "</span>", "text ",
-    "<a rel=\"x:y\" href=\"i\">", "</a>", "&amp;", "&am", "<", ">", "\"",
-    "<p property=\"dc:title\" content=\"c\"/>", "<!-- c -->", "<!doctype html>",
-    "<base href=\"http://b.org/\"/>", "<time property=\"t\">2020-01-02</time>",
-    "<ul rel=\"m\" inlist=\"\">", "</ul>", "<li about=\"#i\">", "</li>",
-    "<div about=\"#e\" typeof=\"T\">", "<b class=\"x\">", "</b>",
-    "<span prefix=\"q: http://q/\">", "<x:y>", "</x:y>", "<svg xml:lang=\"fr\">",
-    "< notatag", "<script>var a = '<div>';</script>", "é中 ",
-    # ADVICE.md round-1: unquoted attr values ending in '/' are not
-    # self-closing; raw-text closers need a name boundary
-    "<a rel=\"x:y\" href=http://e.org/dir/>i</a>", "<a href=/>j</a>",
-    "<span property=\"p\" content=c/>", "<span data-x/>",
-    "<script>a</scripty>b</script>", "<style>p{}</styles></style>",
-    # round-2 differential-fuzz finds: stray quotes in a tag body are
-    # plain chars (quotes only quote values, i.e. right after '=')
-    '<t" property=":">', "<a b='c>d'>", "=\"",
-    "<span property=\"q:v\" datatype=\"rdf:XMLLiteral\">", "<em>", "</em>",
-    # round-3 fuzz pool (60k-case offline run, 0 fast-vs-stdlib diffs and
-    # 0 chunk-invariance diffs): quoted value with '=' ending in '/' then
-    # '/>', '=' with empty unquoted value before '/', duplicate attrs in
-    # mixed case, bnode safe-CURIE, mixed quotes, implied table closes
-    '<span rel="x:y" resource="http://e.org/?q=1/"/>',
-    "<input value=/>", "<input value= />",
-    "<p PROPERTY=\"p\" Property=\"q\">", "<span about=\"[_:b]\">",
-    "<a href='mix\"q'>", "<td property=\"p\">c", "<table><tr>", "</table>",
-    "<div xml:base=\"http://xb.org/\">", "<span datatype=\"\">",
-    # round-3: RCDATA elements (htmlparser2 TitleEnd/TextareaEnd) — no
-    # tags parsed inside, entities decoded, name-boundary closers.
-    # Only BALANCED fragments here: stdlib swallows pending RCDATA text
-    # at EOF where htmlparser2 flushes it (see the pinned test), so
-    # bare openers live in the non-differential nasty pool.
-    "</title>", "</textarea>", "</titlex>",
-    "<title>a &amp; <div property=\"p\">v</div></title>",
-    "<textarea><b property=\"z\">q</b>&#65;</textarea>",
-    # round-4 pool growth (mirrors tools/fuzz_differential.py):
-    # decl/comment/PI edges, entity forms, whitespace-in-tag variants,
-    # RDFa attribute stress.  Fuzz finds fixed by this pool: short
-    # comments ('<!-->'/'<!--->', stdlib divergence flagged), '</ div>'
-    # closing like htmlparser2 (whitespace after '</' ignored)
-    "<?php echo '>'; ?>", "<?pi>", "<!foo bar>", "<![CDATA[x<y]]>",
-    "<!-->", "<!--->", "<!-- -- -->", "<!---->",
-    "<meta charset=utf-8>", "<a b = 'c' >", "<br / >", "<a =b>",
-    "<a a=\"1\" a='2' A=3>", "</ div>", "</div >", "</div x=1>",
-    "&#x41;", "&#xg;", "&notanentity;", "&#1114112;", "&lt",
-    "<span prefix=\"a: b:\">", "<span property=\"a b\">",
-    "<span datatype=\"rdf:HTML\">x</span>",
-    "<span inlist property=\"p\">v</span>",
-    "<a xmlns:q=\"http://q/\" property=\"q:r\">y</a>",
-    "<a\tproperty=\"p\"\n>z</a>", "<a/b=\"c\">", "<a href='#'>x</a >",
-    "<div about=\"[q:v]\">", "<span resource=\"[]\">",
-    "<span typeof>", "<span rel>", "<span property=\"p\" content>",
-])
+# tag soup: fragments that compose into plausible-to-broken markup.
+# The pool and the stdlib-comparability predicate live in
+# tools/fuzz_differential.py (single source of truth — the offline
+# fuzz harness scales these same properties to multi-hundred-k-case
+# seeded bursts); per-round provenance comments live there too.
+from tools.fuzz_differential import (  # noqa: E402
+    FRAGMENTS as _FRAGMENT_POOL,
+    stdlib_comparable as _stdlib_comparable,
+)
+
+_FRAGMENTS = st.sampled_from(_FRAGMENT_POOL)
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join)
 
 
@@ -129,14 +86,9 @@ def _parse_tk(html: str, tokenizer_cls):
     return out, tk
 
 
-def _stdlib_comparable(fast_tk, std_tk) -> bool:
-    """The three documented structural wrapper differences (EOF inside
-    an unterminated start tag; stdlib invalid-start-tag / unterminated-
-    declaration recovery; short comments '<!-->'/'<!--->') make the
-    comparison meaningless — fast follows htmlparser2 there, stdlib
-    does not (see the pinned tests below)."""
-    return (not fast_tk.dangling_tag and not fast_tk.short_comment
-            and not fast_tk.dropped_decl and not std_tk.tolerant_recovery)
+# _stdlib_comparable is imported from tools.fuzz_differential above —
+# the documented structural wrapper divergences (fast follows
+# htmlparser2; stdlib does not) are pinned in the tests below.
 
 
 @settings(max_examples=200, deadline=None)
@@ -534,3 +486,63 @@ def test_xml_mode_quoted_gt_in_attr_value():
     assert [o for _, _, o in single] == ['"x>y"']
     # cut inside the quoted value (index 30 is between 'x' and '>')
     assert run([doc[:30], doc[30:]]) == single
+
+
+def test_xml_mode_unquoted_slash_value_not_self_closing():
+    """Same rule as HTML mode (one htmlparser2 attribute state
+    machine): a '/' ending an '='-introduced unquoted value is part of
+    the VALUE, so the tag stays open and @href keeps its trailing
+    slash.  Self-review find: XML mode used a bare endswith('/')."""
+    out = []
+    p = RdfaParser(base_iri="http://e.org/", profile="xml",
+                   emit=lambda s, p_, o: out.append((str(s), str(p_),
+                                                     str(o))))
+    p.write('<r><a rel="dc:source" href=http://e.org/dir/>in</a></r>')
+    p.end()
+    assert [o for _, _, o in out] == ['<http://e.org/dir/>']
+
+
+def test_end_tag_divergence_flags():
+    """Self-review finds: the end-tag recovery shapes where stdlib and
+    htmlparser2 disagree must be FLAGGED so differential harnesses
+    skip them (fast follows htmlparser2 in all of them)."""
+    # trailing unterminated '</…': dropped (htmlparser2
+    # handleTrailingData ignores closing-tag states) + flagged
+    out, tk = _parse_tk('<span property="dc:t">v</d', FastHtmlTokenizer)
+    assert [str(o) for _, _, o in out] == ['"v"'] and tk.dropped_decl
+    # '/' in an end-tag name: pops nothing here (stdlib would pop the
+    # prefix name 'div') + flagged
+    out, tk = _parse_tk(
+        '<div about="#s"></div/y><span property="dc:t">v</span>',
+        FastHtmlTokenizer)
+    assert [str(s) for s, _, _ in out] == ['<http://e.org/#s>']
+    assert tk.nonstd_end_tag
+    # whitespace-led name with trailing junk: closes here (stdlib
+    # treats it as a bogus comment) + flagged
+    out, tk = _parse_tk(
+        '<div about="#s"></ div x=1><span property="dc:t">v</span>',
+        FastHtmlTokenizer)
+    assert [str(s) for s, _, _ in out] == ['<http://e.org/>']
+    assert tk.nonstd_end_tag
+    # the plain shapes stay UNflagged (valid comparisons not skipped)
+    _, tk = _parse_tk('<div about="#s"></ div><i property="dc:t">v</i>',
+                      FastHtmlTokenizer)
+    assert not tk.nonstd_end_tag
+
+
+def test_tolerant_recovery_not_set_by_decoded_entities():
+    """Self-review find: '&lt' decoding to '<'+letter in ordinary text
+    must NOT set the stdlib wrapper's recovery flag (the flag requires
+    the data to be VERBATIM raw markup), or valid differential
+    comparisons get silently skipped."""
+    html = '&lttext <span property="dc:t">v</span>'
+    fast, ftk = _parse_tk(html, FastHtmlTokenizer)
+    ref, stk = _parse_tk(html, HtmlTokenizer)
+    assert not stk.tolerant_recovery
+    assert _stdlib_comparable(ftk, stk) and fast == ref
+    # while genuine recovery (verbatim raw markup as data — here
+    # stdlib re-emits the short comment '<!-->' it cannot terminate)
+    # still flags
+    _, stk = _parse_tk('x<!-->y<span property="dc:t">v</span>',
+                       HtmlTokenizer)
+    assert stk.tolerant_recovery
