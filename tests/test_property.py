@@ -130,18 +130,13 @@ def test_xml_mode_chunked_equals_single_shot(html, data):
     assert run([html[a:b] for a, b in zip(bounds, bounds[1:])]) == full
 
 
-_NASTY = st.sampled_from([
-    "<![CDATA[x<y]]>", "<?pi ?>", "<!--", "-->", "<div", "=", "'", "\x00",
-    "<meta charset=\"utf-8\">", "&#x41;", "&#65;", "&unknown;", "\\",
-    "<a href=\"x>y\">", "</p>", "</br>", "<br/>", "<p>", "<!doctype",
-    # an '=' with no attribute name before it still introduces a quoted
-    # value in htmlparser2's state machine (Eq → BeforeAttributeValue);
-    # stdlib requires a name, so this lives in the non-differential pool
-    "<t property=\":\"='>'>",
-    # unterminated RCDATA at EOF: fast flushes the pending text like
-    # htmlparser2; stdlib swallows it — non-differential only
-    "<title>", "<textarea>",
-])
+# non-differential harsher pool — single-sourced with the fuzz tool
+# (provenance comments live there)
+from tools.fuzz_differential import (  # noqa: E402
+    NASTY_FRAGMENTS as _NASTY_POOL,
+)
+
+_NASTY = st.sampled_from(_NASTY_POOL)
 _NASTY_SOUP = st.lists(st.one_of(_FRAGMENTS, _NASTY),
                        min_size=0, max_size=30).map("".join)
 

@@ -11,10 +11,13 @@ hypothesis-size (200 examples each) to arbitrary seeded bursts:
    must equal the single-shot parse (the reference's Transform-stream
    contract, RdfaParser.ts _transform).
 3. **chunk-invariance (xml profile)** — same over the XML tokenizer.
-4. **xml-vs-expat differential** — on generated WELL-FORMED XML, the
+4. **chunk-invariance (nasty soup)** — FRAGMENTS + NASTY_FRAGMENTS
+   mixed (unterminated constructs, NULs): never-raise + chunk
+   invariance only, no stdlib comparison by construction.
+5. **xml-vs-expat differential** — on generated WELL-FORMED XML, the
    hand-rolled XmlTokenizer must match stdlib expat driving the same
    evaluator (caught the '>'-inside-quoted-attribute-value extent bug).
-5. **chunk-invariance (well-formed xml)** — over the same generated doc.
+6. **chunk-invariance (well-formed xml)** — over the same generated doc.
 
 Usage: python tools/fuzz_differential.py [N_CASES] [SEED]
 Prints one JSON line; exit 1 on any diff (with reproducers).
@@ -87,6 +90,27 @@ FRAGMENTS = [
     "<a\tproperty=\"p\"\n>z</a>", "<a/b=\"c\">", "<a href='#'>x</a >",
     "<div about=\"[q:v]\">", "<span resource=\"[]\">",
     "<span typeof>", "<span rel>", "<span property=\"p\" content>",
+]
+
+
+# harsher fragments (unterminated constructs, null bytes, bare comment
+# closers): chunk-invariance and never-raise ONLY — stdlib equality is
+# structurally meaningless here (see the pinned EOF tests).  Also the
+# single source for tests/test_property.py's _NASTY strategy.
+NASTY_FRAGMENTS = [
+    "<![CDATA[x<y]]>", "<?pi ?>", "<!--", "-->", "<div", "=", "'", "\x00",
+    "<meta charset=\"utf-8\">", "&#x41;", "&#65;", "&unknown;", "\\",
+    "<a href=\"x>y\">", "</p>", "</br>", "<br/>", "<p>", "<!doctype",
+    # an '=' with no attribute name before it still introduces a quoted
+    # value in htmlparser2's state machine (Eq → BeforeAttributeValue);
+    # stdlib requires a name, so this lives in the non-differential pool
+    "<t property=\":\"='>'>",
+    # unterminated RCDATA at EOF: fast flushes the pending text like
+    # htmlparser2; stdlib swallows it — non-differential only
+    "<title>", "<textarea>",
+    # round-4 late session: trailing-divergence shapes now flagged by
+    # dropped_decl/nonstd_end_tag (chunk-invariance must still hold)
+    "</d", "</div/y>", "</ div x=1>", "<!", "<?", "</",
 ]
 
 
@@ -199,7 +223,7 @@ def gen_wf_xml(rng: random.Random) -> str:
 
     def node(depth: int) -> str:
         r = rng.random()
-        if depth > 3 or r < 0.4:
+        if depth > 4 or r < 0.4:
             return rng.choice(_XML_LEAVES)
         name = rng.choice(_XML_TAGS)
         if r < 0.55:
@@ -209,7 +233,9 @@ def gen_wf_xml(rng: random.Random) -> str:
 
     name = rng.choice(_XML_TAGS)
     body = "".join(node(1) for _ in range(rng.randint(0, 4)))
-    return f"<{name}{attrs()}>{body}</{name}>"
+    decl = rng.choice(["", "", '<?xml version="1.0"?>'])
+    ws = rng.choice(["", " ", "\n  "])
+    return f"{decl}<{name}{attrs()}{ws}>{body}</{name}>"
 
 
 def main() -> int:
@@ -244,6 +270,19 @@ def main() -> int:
             diffs.append({"kind": "xml-chunk-invariance", "i": i,
                           "html": html, "cuts": cuts})
 
+        # nasty soup (FRAGMENTS + NASTY_FRAGMENTS mixed): never-raise +
+        # chunk-invariance only — no stdlib comparison by construction
+        nasty = "".join(rng.choice(NASTY_FRAGMENTS if rng.random() < 0.4
+                                   else FRAGMENTS)
+                        for _ in range(rng.randint(0, 30)))
+        nasty_single = _parse(nasty, FastHtmlTokenizer)
+        n_cuts2 = rng.randint(1, 5)
+        cuts2 = sorted(rng.randint(0, len(nasty))
+                       for _ in range(n_cuts2)) if nasty else []
+        if _parse_chunked(nasty, FastHtmlTokenizer, cuts2) != nasty_single:
+            diffs.append({"kind": "nasty-chunk-invariance", "i": i,
+                          "html": nasty, "cuts": cuts2})
+
         # well-formed-XML differential: hand-rolled XmlTokenizer vs
         # stdlib expat driving the same evaluator (plus chunk
         # invariance over the same doc)
@@ -260,7 +299,7 @@ def main() -> int:
             break
 
     print(json.dumps({"cases": n_cases, "seed": seed,
-                      "checks_per_case": 5, "diffs": len(diffs),
+                      "checks_per_case": 6, "diffs": len(diffs),
                       "reproducers": diffs[:10]}))
     return 1 if diffs else 0
 
