@@ -59,7 +59,6 @@ class MentionDetector:
             return pa.table({k.name: [] for k in MENTIONS_SCHEMA},
                             schema=MENTIONS_SCHEMA)
         blob = "\x00".join(texts)
-        blob_low = blob.lower()
         lens = np.fromiter(map(len, texts), dtype=np.int64,
                            count=len(texts))
         starts = np.zeros(len(texts), dtype=np.int64)
@@ -98,17 +97,18 @@ class MentionDetector:
         all_s, all_e = all_s[order], all_e[order]
         row_of, local = row_of[order], local[order]
         take = pa.array(np.array(idxs, dtype=np.int64)[row_of])
+        # norm is lowered PER MATCH — str.lower() is not
+        # length-preserving (U+0130 'İ' lowers to two code points), so
+        # slicing a pre-lowered copy of the blob with offsets computed
+        # on the original would misalign every later mention
+        surface = [blob[s:e] for s, e in zip(all_s.tolist(),
+                                             all_e.tolist())]
         return pa.table({
             "doc_id": batch["doc_id"].take(take).cast(pa.string()),
             "subj": batch["subj"].take(take).cast(pa.string()),
             "pred": batch["pred"].take(take).cast(pa.string()),
-            "surface": pa.array(
-                [blob[s:e] for s, e in zip(all_s.tolist(), all_e.tolist())],
-                pa.string()),
-            "norm": pa.array(
-                [blob_low[s:e] for s, e in zip(all_s.tolist(),
-                                               all_e.tolist())],
-                pa.string()),
+            "surface": pa.array(surface, pa.string()),
+            "norm": pa.array([s.lower() for s in surface], pa.string()),
             "start": pa.array(local),
         }, schema=MENTIONS_SCHEMA)
 

@@ -2851,3 +2851,32 @@ def test_pin_refs_slot_replacement():
     assert "p" in b._PINNED
     assert b.clear_pins() == 2
     assert not b._PINNED and not b._SLOTS
+
+
+def test_mention_detector_unicode_lowering_stays_row_local():
+    """Regression (review find on the batch-global kernel): str.lower()
+    is not length-preserving (U+0130 'İ' lowers to two code points), so
+    norm must be lowered per match, never by slicing a pre-lowered copy
+    of the batch blob — one 'İ' in an early row must not corrupt the
+    norm of any later mention in the batch."""
+    import pyarrow as pa
+    from rdfa_streaming_parser_js_ray.stages.mentions import MentionDetector
+
+    batch = pa.table({
+        "doc_id": pa.array(["d0", "d1"]),
+        "subj": pa.array(["s", "s"]),
+        "pred": pa.array(["p", "p"]),
+        "obj_kind": pa.array(["literal", "literal"]),
+        "obj_value": pa.array(["Aİ B xyz", "Hello World plain"]),
+    })
+    out = MentionDetector()(batch)
+    by_doc = {}
+    for d, n in zip(out["doc_id"].to_pylist(), out["norm"].to_pylist()):
+        by_doc.setdefault(d, []).append(n)
+    assert by_doc["d1"][0] == "hello world"
+    assert "plain" in by_doc["d1"]
+    # the İ-run itself lowers correctly (surface 'Aİ B' → 'ai̇ b')
+    assert by_doc["d0"][0] == "Aİ B".lower()
+    # and every norm equals its surface lowered
+    for s, n in zip(out["surface"].to_pylist(), out["norm"].to_pylist()):
+        assert n == s.lower()
