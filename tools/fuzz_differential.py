@@ -18,6 +18,10 @@ hypothesis-size (200 examples each) to arbitrary seeded bursts:
    hand-rolled XmlTokenizer must match stdlib expat driving the same
    evaluator (caught the '>'-inside-quoted-attribute-value extent bug).
 6. **chunk-invariance (well-formed xml)** — over the same generated doc.
+7. **chunk-invariance (random option surface)** — the full RdfaParser
+   option surface (profile '', html, xhtml, xml; random RdfaFeatures
+   flips; vocab/language defaults) must be chunk-invariant too: feature
+   state must never leak into the tokenizer's buffering decisions.
 
 Usage: python tools/fuzz_differential.py [N_CASES] [SEED]
 Prints one JSON line; exit 1 on any diff (with reproducers).
@@ -36,6 +40,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from rdfa_streaming_parser_js_ray.core.evaluator import RdfaEvaluator
+from rdfa_streaming_parser_js_ray.core.parser import RdfaParser
+from rdfa_streaming_parser_js_ray.core.profiles import (
+    RDFA_FEATURES, RdfaFeatures,
+)
 from rdfa_streaming_parser_js_ray.core.tokenizer import (
     FastHtmlTokenizer, HtmlTokenizer, XmlTokenizer,
 )
@@ -238,6 +246,24 @@ def gen_wf_xml(rng: random.Random) -> str:
     return f"{decl}<{name}{attrs()}{ws}>{body}</{name}>"
 
 
+_FEATURE_FIELDS = sorted(RdfaFeatures.__dataclass_fields__)
+
+
+def _parse_opts(html: str, bounds: list[int], **opts) -> list:
+    """Parse with full RdfaParser options, writing up to each bound."""
+    out: list = []
+    p = RdfaParser(base_iri="http://e.org/",
+                   emit=lambda s, pr, o: out.append((str(s), str(pr),
+                                                     str(o))),
+                   **opts)
+    prev = 0
+    for b in bounds:
+        p.write(html[prev:b])
+        prev = b
+    p.end()
+    return out
+
+
 def main() -> int:
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -295,11 +321,34 @@ def main() -> int:
                           profile="xml") != wf_fast:
             diffs.append({"kind": "xml-wf-chunk-invariance", "i": i,
                           "xml": wf, "cuts": wf_cuts})
+
+        # option-surface chunk-invariance: random profile + random
+        # feature flips + vocab/language defaults; configured feature
+        # state must never leak into the tokenizer's buffering
+        profile = rng.choice(["", "html", "xhtml", "xml"])
+        feats = RDFA_FEATURES.get(profile) or RdfaFeatures()
+        flips = {f: not getattr(feats, f)
+                 for f in rng.sample(_FEATURE_FIELDS, rng.randint(0, 3))}
+        opts = {
+            "profile": profile,
+            "features": feats.with_overrides(**flips),
+            "vocab": rng.choice([None, "http://dv.org/"]),
+            "language": rng.choice([None, "en"]),
+        }
+        opt_single = _parse_opts(html, [len(html)], **opts)
+        opt_cuts = sorted(rng.randint(0, len(html))
+                          for _ in range(rng.randint(1, 4)))
+        if _parse_opts(html, opt_cuts + [len(html)], **opts) != opt_single:
+            diffs.append({"kind": "options-chunk-invariance", "i": i,
+                          "html": html, "cuts": opt_cuts,
+                          "profile": profile, "flips": flips,
+                          "vocab": opts["vocab"],
+                          "language": opts["language"]})
         if len(diffs) >= 10:
             break
 
     print(json.dumps({"cases": n_cases, "seed": seed,
-                      "checks_per_case": 6, "diffs": len(diffs),
+                      "checks_per_case": 7, "diffs": len(diffs),
                       "reproducers": diffs[:10]}))
     return 1 if diffs else 0
 
