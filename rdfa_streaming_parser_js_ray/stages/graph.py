@@ -24,7 +24,8 @@ import pandas as pd
 def connected_components(edges_ds, src_col: str = "src",
                          dst_col: str = "dst",
                          num_buckets: int | None = None,
-                         max_rounds: int = 32):
+                         max_rounds: int = 32,
+                         small_graph_max_edges: int | None = None):
     """Min-label connected components over a generic edge Dataset —
     the public face of the hash-to-min machinery the KG pipeline uses
     for entity-identity closure (O(log diameter) rounds, two bounded
@@ -33,6 +34,13 @@ def connected_components(edges_ds, src_col: str = "src",
     Returns (node, component) for EVERY node appearing in the edge
     list, component = the lexicographically-smallest member (roots map
     to themselves).
+
+    ``small_graph_max_edges`` (default ``graph_local.SMALL_GRAPH_MAX_
+    EDGES``; 0 disables): edge lists at or under the bound solve in ONE
+    Ray task with the identical min-label semantics (byte-equality
+    pinned by tests) — the per-round exchange fixed costs dominate a
+    hundredfold at that size.  The bound is checked on the materialized
+    count; past it the hash-to-min exchanges below run unchanged.
     """
     from .canonicalize import transitive_closure_joined
     from .joins import hash_join
@@ -43,6 +51,13 @@ def connected_components(edges_ds, src_col: str = "src",
 
     pairs = edges_ds.map_batches(to_pairs, batch_format="pandas") \
         .materialize()
+
+    from .graph_local import SMALL_GRAPH_MAX_EDGES, cc_kernel, solve_in_task
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
+    if small_graph_max_edges and pairs.count() <= small_graph_max_edges:
+        return solve_in_task(pairs, cc_kernel,
+                             src_col="subj", dst_col="entity")
     mapping = transitive_closure_joined(pairs, num_buckets=num_buckets,
                                         max_rounds=max_rounds)
 
@@ -72,13 +87,22 @@ def connected_components(edges_ds, src_col: str = "src",
     def coalesce(batch: pd.DataFrame) -> pd.DataFrame:
         hit = batch["component"].notna()
         batch.loc[~hit, "component"] = batch.loc[~hit, "node"]
-        return batch[["node", "component"]]
+        out = batch[["node", "component"]].copy()
+        # the NA-padded left join demotes int components to float64;
+        # post-coalesce every component is a node value, so restore the
+        # node dtype (keeps the single-task twin byte-identical)
+        try:
+            out["component"] = out["component"].astype(batch["node"].dtype)
+        except (TypeError, ValueError):
+            pass
+        return out
 
     return joined.map_batches(coalesce, batch_format="pandas")
 
 
 def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
-                   num_buckets: int | None = None):
+                   num_buckets: int | None = None,
+                   small_graph_max_edges: int | None = None):
     """Count triangles of the UNDIRECTED simple graph induced by an edge
     Dataset (direction and multiplicity ignored; self-loops dropped).
 
@@ -124,6 +148,17 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
         ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]),
         num_buckets=num_buckets).materialize()
 
+    # distinct-edge sets under the bound close their wedges in ONE task
+    # (identical middle-vertex count, pinned byte-equal by tests).  The
+    # bound is tighter than the other ops' because the wedge set
+    # materializes inside the task; 0 disables.
+    from .graph_local import solve_in_task, triangles_kernel
+    if small_graph_max_edges is None:
+        small_graph_max_edges = 2_000_000
+    if small_graph_max_edges and edges.count() <= small_graph_max_edges:
+        return solve_in_task(edges, triangles_kernel,
+                             src_col="a", dst_col="b")
+
     wedges = hash_join(
         edges.map_batches(lambda b: b.rename(columns={"a": "wa", "b": "mid"}),
                           batch_format="pandas"),
@@ -164,7 +199,8 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
 def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
                  scale: int = 10**9, src_col: str = "src",
-                 dst_col: str = "dst", num_buckets: int | None = None):
+                 dst_col: str = "dst", num_buckets: int | None = None,
+                 small_graph_max_edges: int | None = None):
     """Integer-exact PageRank over an edge Dataset (multi-edges count).
 
     rank⁰(v) = scale // n_nodes for every node; each iteration:
@@ -184,6 +220,19 @@ def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
     from .joins import auto_buckets, bucketed_fold, hash_join
 
     edges = edges_ds.materialize()
+
+    # single-task fast path under the bound (identical fixed-point
+    # semantics, pinned byte-equal by tests); 0 disables
+    from .graph_local import (SMALL_GRAPH_MAX_EDGES, pagerank_kernel,
+                              solve_in_task)
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
+    if small_graph_max_edges and edges.count() <= small_graph_max_edges \
+            and edges.count() > 0:
+        return solve_in_task(edges, pagerank_kernel, iterations=iterations,
+                             damping_pct=damping_pct, scale=scale,
+                             src_col=src_col, dst_col=dst_col)
+
     if num_buckets is None:
         num_buckets = auto_buckets(edges, rows_per_bucket=131_072,
                                    fallback=64)
@@ -273,7 +322,8 @@ def pagerank_int(edges_ds, iterations: int = 3, damping_pct: int = 85,
 def k_core(edges_ds, k: int, max_rounds: int = 8,
            src_col: str = "src", dst_col: str = "dst",
            num_buckets: int | None = None,
-           broadcast_max_nodes: int = 5_000_000):
+           broadcast_max_nodes: int = 5_000_000,
+           small_graph_max_edges: int | None = None):
     """k-core decomposition by iterative degree peeling — the third
     iterative-graph pattern next to :func:`pagerank_int` (fixed-point
     push) and :func:`connected_components` (hash-to-min): repeatedly
@@ -332,6 +382,17 @@ def k_core(edges_ds, k: int, max_rounds: int = 8,
         .groupby("_gb").map_groups(
             lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
             batch_format="pandas"))
+
+    # distinct-edge sets under the bound peel in ONE task (identical
+    # rounds-bounded semantics, pinned byte-equal by tests); 0 disables
+    from .graph_local import (SMALL_GRAPH_MAX_EDGES, kcore_kernel,
+                              solve_in_task)
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
+    if small_graph_max_edges and edges.count() <= small_graph_max_edges:
+        return solve_in_task(edges, kcore_kernel, k=k,
+                             max_rounds=max_rounds,
+                             src_col="a", dst_col="b")
 
     def degrees(e):
         # combiner (per-batch value_counts) -> int-bucketed exchange ->

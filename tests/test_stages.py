@@ -2880,3 +2880,52 @@ def test_mention_detector_unicode_lowering_stays_row_local():
     # and every norm equals its surface lowered
     for s, n in zip(out["surface"].to_pylist(), out["norm"].to_pylist()):
         assert n == s.lower()
+
+
+def test_small_graph_fast_path_matches_distributed(rd):
+    """Round-5 gate-latency work: the size-guarded single-task kernels
+    (stages/graph_local.py) must be BYTE-EQUAL to the distributed
+    exchanges they stand in for, on int and string node ids alike —
+    the same twin-pinning convention as broadcast vs joined linking.
+    small_graph_max_edges=0 forces the distributed path."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.graph import (
+        connected_components, k_core, pagerank_int, triangle_count)
+
+    rng = np.random.RandomState(11)
+
+    def eq(fast, slow, key):
+        f, s = fast.to_pandas(), slow.to_pandas()
+        if len(f) == 0 and len(s) == 0:
+            return                 # schemas of empties may differ
+        f = f.sort_values(key).reset_index(drop=True)
+        s = s.sort_values(key).reset_index(drop=True)
+        assert list(f.columns) == list(s.columns)
+        for c in f.columns:
+            assert str(f[c].dtype) == str(s[c].dtype), c
+            assert f[c].equals(s[c]), c
+
+    for trial, (n, m, as_str) in enumerate(
+            [(60, 90, False), (150, 120, True), (25, 220, False)]):
+        u, v = rng.randint(0, n, m), rng.randint(0, n, m)
+        if as_str:
+            df = pd.DataFrame({"src": [f"n{a:03d}" for a in u],
+                               "dst": [f"n{b:03d}" for b in v]})
+        else:
+            df = pd.DataFrame({"src": u.astype(np.int64),
+                               "dst": v.astype(np.int64)})
+        ds = rd.from_pandas(df).repartition(4)
+        eq(connected_components(ds),
+           connected_components(ds, small_graph_max_edges=0, num_buckets=8),
+           "node")
+        eq(pagerank_int(ds, iterations=3),
+           pagerank_int(ds, iterations=3, small_graph_max_edges=0,
+                        num_buckets=8), "node")
+        eq(triangle_count(ds),
+           triangle_count(ds, small_graph_max_edges=0, num_buckets=8),
+           "n_triangles")
+        # dense trial 2 has a non-empty 3-core; sparse ones peel empty
+        eq(k_core(ds, k=3),
+           k_core(ds, k=3, small_graph_max_edges=0, num_buckets=8),
+           "node")
