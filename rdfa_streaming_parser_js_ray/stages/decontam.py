@@ -344,7 +344,7 @@ def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
     import ray.data as rd
     from ray.data.aggregate import Count, Max
 
-    from .dedup import MinHasher, _lsh_bucket, ngram_jaccard
+    from .dedup import _lsh_bucket, band_rows_fn, ngram_jaccard
     from .joins import auto_buckets, hash_join
 
     bench_text_col = bench_text_col or text_col
@@ -354,17 +354,17 @@ def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
                                    rows_per_bucket=1024, multiplier=bands,
                                    fallback=256, minimum=256)
 
+    # task-based band rows on both sides (dedup.band_rows_fn has the
+    # actor-pool cost rationale; ``concurrency`` kept for API compat)
     mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     corp_rows = corpus_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, **mk),
-        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+        band_rows_fn,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, **mk),
+        batch_format="pandas")
     ben_rows = benchmark_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(text_col=bench_text_col,
-                                   id_col=bench_id_col, **mk),
-        batch_format="pandas", concurrency=max(1, concurrency // 2),
-        num_cpus=0.5)
+        band_rows_fn,
+        fn_kwargs=dict(text_col=bench_text_col, id_col=bench_id_col, **mk),
+        batch_format="pandas")
 
     def tag(side: int):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -394,9 +394,19 @@ def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
     if pairs.count() == 0:
         return rd.from_pandas(pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in out_schema}))
-    # dedup candidate pairs seen in several bands/buckets (one exchange)
-    cand = pairs.groupby(["doc_id", "bench_id"]) \
-        .aggregate(Count(alias_name="_nb")).materialize()
+    # dedup candidate pairs seen in several bands/buckets — one bucketed
+    # fold (int hash of the pair key) instead of Ray's sort-based
+    # groupby (~10x at this shape)
+    from .joins import bucketed_fold
+
+    def count_pair(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_id", "bench_id"], as_index=False,
+                        sort=False).size().rename(columns={"size": "_nb"})
+        out["_nb"] = out["_nb"].astype("int64")
+        return out
+
+    cand = bucketed_fold(pairs, ["doc_id", "bench_id"], count_pair,
+                         num_buckets=min(num_buckets, 64)).materialize()
 
     def corp_text(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch[id_col],

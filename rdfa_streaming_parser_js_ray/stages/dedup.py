@@ -199,6 +199,31 @@ class MinHasher:
         })
 
 
+_HASHER_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def band_rows_fn(batch: pd.DataFrame, *, num_perm: int = 128,
+                 bands: int = 32, shingle_k: int = 3, seed: int = 42,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> pd.DataFrame:
+    """Task-side MinHasher: documents → LSH band rows as a STATELESS
+    ``map_batches`` function with a per-worker-process parameter cache.
+
+    The hasher's "state" is a microsecond numpy parameter draw — an
+    actor pool's per-pipeline spin-up/teardown costs far more than the
+    state is worth (measured ~1-2 s per query in the 80-query gate).
+    Ray worker processes persist across pipelines in a session, so the
+    module cache amortizes exactly like an actor's ``__init__`` while
+    the stage stays elastic (no fixed pool size)."""
+    key = (num_perm, bands, shingle_k, seed, text_col, id_col)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            seed=seed, text_col=text_col, id_col=id_col)
+    return h(batch)
+
+
 _BUCKET_MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _BUCKET_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -241,12 +266,15 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
         num_buckets = auto_buckets(ds, rows_per_bucket=1024,
                                    multiplier=bands, fallback=256,
                                    minimum=256)
+    # task-based band rows (band_rows_fn docstring has the actor-pool
+    # cost rationale); ``concurrency`` is retained in the signature for
+    # API compatibility but no longer pins a pool size
     band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pandas", concurrency=concurrency, num_cpus=0.5)
+        band_rows_fn,
+        fn_kwargs=dict(num_perm=num_perm, bands=bands,
+                       shingle_k=shingle_k, text_col=text_col,
+                       id_col=id_col),
+        batch_format="pandas")
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_bucket"] = _lsh_bucket(batch["band"].to_numpy(),
@@ -272,12 +300,21 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
         bucket_pairs, batch_format="pandas").materialize()
     if pairs.count() == 0:
         return pairs
-    # de-duplicate pairs found in multiple bands, counting agreements;
-    # materialized because every consumer both guards on count() and reads
-    # the rows (candidate sets are tiny relative to the corpus)
-    from ray.data.aggregate import Count
-    return pairs.groupby(["doc_a", "doc_b"]) \
-                .aggregate(Count(alias_name="n_bands")).materialize()
+    # de-duplicate pairs found in multiple bands, counting agreements —
+    # a bucketed fold (int hash of the pair key), not Ray's sort-based
+    # groupby, whose cross-block key sort costs ~10x at this shape;
+    # materialized because every consumer both guards on count() and
+    # reads the rows (candidate sets are tiny relative to the corpus)
+    from .joins import bucketed_fold
+
+    def count_bands(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False, sort=False) \
+               .size().rename(columns={"size": "n_bands"})
+        out["n_bands"] = out["n_bands"].astype("int64")
+        return out
+
+    return bucketed_fold(pairs, ["doc_a", "doc_b"], count_bands,
+                         num_buckets=min(num_buckets, 64)).materialize()
 
 
 class JaccardVerifier:
