@@ -318,7 +318,8 @@ def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
                      num_buckets: int | None = None,
                      text_col: str = "text", id_col: str = "doc_id",
                      bench_text_col: str | None = None,
-                     bench_id_col: str | None = None):
+                     bench_id_col: str | None = None,
+                     small_corpus_max_docs: int | None = None):
     """FUZZY benchmark decontamination: corpus documents whose exact
     word-``shingle_k``-gram Jaccard against ANY benchmark document is
     ``>= threshold`` — the near-duplicate analogue of the exact-n-gram
@@ -345,10 +346,49 @@ def minhash_decontam(corpus_ds, benchmark_ds, *, threshold: float = 0.5,
     from ray.data.aggregate import Count, Max
 
     from .dedup import _lsh_bucket, band_rows_fn, ngram_jaccard
-    from .joins import auto_buckets, hash_join
+    from .joins import auto_buckets, estimate_rows, hash_join
 
     bench_text_col = bench_text_col or text_col
     bench_id_col = bench_id_col or id_col
+
+    # small-input fast path (dedup_local docstring): band rows stay a
+    # distributed map_batches; the 5 exchange-shaped stages collapse
+    # into ONE task with identical semantics (byte-equality in tests)
+    from .dedup_local import (
+        SMALL_CORPUS_MAX_DOCS, decontam_kernel, solve_in_task_n,
+    )
+    if small_corpus_max_docs is None:
+        small_corpus_max_docs = SMALL_CORPUS_MAX_DOCS
+    est_c = estimate_rows(corpus_ds)
+    est_b = estimate_rows(benchmark_ds)
+    if small_corpus_max_docs and est_c is not None and est_b is not None \
+            and est_c + est_b <= small_corpus_max_docs:
+        mk = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+        corp_rows = corpus_ds.map_batches(
+            band_rows_fn,
+            fn_kwargs=dict(text_col=text_col, id_col=id_col, **mk),
+            batch_format="pandas").materialize()
+        ben_rows = benchmark_ds.map_batches(
+            band_rows_fn,
+            fn_kwargs=dict(text_col=bench_text_col, id_col=bench_id_col,
+                           **mk),
+            batch_format="pandas").materialize()
+
+        def txt(idc, tc):
+            def f(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"doc_id": batch[idc],
+                                     "text": batch[tc]})
+            return f
+
+        corp_texts = corpus_ds.map_batches(
+            txt(id_col, text_col), batch_format="pandas").materialize()
+        ben_texts = benchmark_ds.map_batches(
+            txt(bench_id_col, bench_text_col),
+            batch_format="pandas").materialize()
+        return solve_in_task_n(
+            decontam_kernel, [corp_rows, ben_rows, corp_texts, ben_texts],
+            threshold=threshold, shingle_k=shingle_k)
+
     if num_buckets is None:
         num_buckets = auto_buckets(corpus_ds, benchmark_ds,
                                    rows_per_bucket=1024, multiplier=bands,

@@ -361,6 +361,7 @@ def minhash_dedup_pairs(ds, texts_ref, threshold: float = 0.8, **kwargs):
 def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
                                num_buckets: int | None = None,
                                text_col: str = "text", id_col: str = "doc_id",
+                               small_corpus_max_docs: int | None = None,
                                **kwargs):
     """Near-dup pipeline with *joined* verification — the 100-TB path.
 
@@ -370,8 +371,39 @@ def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
     tiny fraction of the corpus, texts stream through), then exact shingle
     Jaccard is computed per pair.  Nothing is materialized on the driver
     and no node ever holds the whole corpus.
+
+    ``small_corpus_max_docs`` (default ``dedup_local.SMALL_CORPUS_MAX_
+    DOCS``; 0 disables): when the metadata-cheap row estimate is at or
+    under the bound, band-row generation stays a distributed
+    ``map_batches`` but the 4-5 exchange-shaped stages (bucket groupby,
+    pair fold, two text joins, verify) collapse into ONE Ray task with
+    identical semantics (byte-equality pinned by tests) — the exchange
+    fixed costs dominate a hundred-fold at that size.
     """
-    from .joins import hash_join
+    from .joins import estimate_rows, hash_join
+
+    from .dedup_local import (
+        SMALL_CORPUS_MAX_DOCS, pairs_verify_kernel, solve_in_task_n,
+    )
+    if small_corpus_max_docs is None:
+        small_corpus_max_docs = SMALL_CORPUS_MAX_DOCS
+    est = estimate_rows(ds)
+    shingle_k = kwargs.get("shingle_k", 3)
+    if small_corpus_max_docs and est is not None \
+            and est <= small_corpus_max_docs:
+        mk = dict(num_perm=kwargs.get("num_perm", 128),
+                  bands=kwargs.get("bands", 32), shingle_k=shingle_k,
+                  text_col=text_col, id_col=id_col)
+        band_rows = ds.map_batches(band_rows_fn, fn_kwargs=mk,
+                                   batch_format="pandas").materialize()
+
+        def txt(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": batch[id_col],
+                                 "text": batch[text_col]})
+
+        texts = ds.map_batches(txt, batch_format="pandas").materialize()
+        return solve_in_task_n(pairs_verify_kernel, [band_rows, texts],
+                               threshold=threshold, shingle_k=shingle_k)
 
     candidates = minhash_lsh_candidates(ds, text_col=text_col,
                                         id_col=id_col, **kwargs)

@@ -48,6 +48,21 @@ def _rows_from_input_bytes(ds, est_row_bytes: int) -> int | None:
     return int(total) // est_row_bytes + 1 if found else None
 
 
+def estimate_rows(ds, est_row_bytes: int = 64) -> int | None:
+    """Metadata-cheap row estimate: exact ``_meta_count()`` when the
+    dataset is materialized (or its read metadata carries counts), else
+    the read-source byte estimate at ``est_row_bytes`` bytes/row, else
+    None.  Never executes the pipeline.  Shared by ``auto_buckets`` and
+    the small-input fast-path guards (``graph_local``/``dedup_local``)."""
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    if n is None:
+        n = _rows_from_input_bytes(ds, est_row_bytes)
+    return n
+
+
 def auto_buckets(*datasets, rows_per_bucket: int, fallback: int,
                  multiplier: int = 1, minimum: int = 64,
                  maximum: int = 1 << 16, est_row_bytes: int = 64) -> int:
@@ -71,12 +86,7 @@ def auto_buckets(*datasets, rows_per_bucket: int, fallback: int,
     """
     total, known = 0, False
     for ds in datasets:
-        try:
-            n = ds._meta_count()
-        except Exception:
-            n = None
-        if n is None:
-            n = _rows_from_input_bytes(ds, est_row_bytes)
+        n = estimate_rows(ds, est_row_bytes)
         if n is not None:
             total += n
             known = True

@@ -2929,3 +2929,49 @@ def test_small_graph_fast_path_matches_distributed(rd):
         eq(k_core(ds, k=3),
            k_core(ds, k=3, small_graph_max_edges=0, num_buckets=8),
            "node")
+
+
+def test_minhash_fast_path_matches_distributed(rd):
+    """Round-5 gate-latency work, part 2: the size-guarded single-task
+    MinHash kernels (stages/dedup_local.py) must be BYTE-EQUAL to the
+    joined distributed pipelines they stand in for — verified near-dup
+    pairs and fuzzy benchmark decontamination, planted dups included.
+    small_corpus_max_docs=0 forces the distributed path."""
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.decontam import minhash_decontam
+    from rdfa_streaming_parser_js_ray.stages.dedup import (
+        minhash_dedup_pairs_joined,
+    )
+
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(300)]
+    docs = [" ".join(words[rng.randint(0, 300)] for _ in range(60))
+            for _ in range(120)]
+    for i in range(0, 20, 2):           # planted near-dups (J >= ~0.95)
+        docs[i + 1] = docs[i] + " extra"
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype="int64"),
+                       "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def eq(fast, slow, keys):
+        f, s = fast.to_pandas(), slow.to_pandas()
+        f = f.sort_values(keys).reset_index(drop=True)
+        s = s.sort_values(keys).reset_index(drop=True)
+        assert list(f.columns) == list(s.columns)
+        for c in f.columns:
+            assert str(f[c].dtype) == str(s[c].dtype), c
+            assert f[c].equals(s[c]), c
+        return len(f)
+
+    assert eq(minhash_dedup_pairs_joined(ds, threshold=0.8),
+              minhash_dedup_pairs_joined(ds, threshold=0.8,
+                                         small_corpus_max_docs=0,
+                                         num_buckets=8),
+              ["doc_a", "doc_b"]) >= 10
+
+    bench = rd.from_pandas(df[df.doc_id % 11 == 5]).repartition(2)
+    assert eq(minhash_decontam(ds, bench, threshold=0.5),
+              minhash_decontam(ds, bench, threshold=0.5,
+                               small_corpus_max_docs=0, num_buckets=256),
+              ["doc_id"]) >= 10
