@@ -371,9 +371,33 @@ def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     return posts.groupby("token").map_groups(band, batch_format="pandas")
 
 
+def _tfidf_finish_kernel(tf: pd.DataFrame, *, k: int,
+                         id_col: str) -> pd.DataFrame:
+    """``tfidf_top_terms``' post-tf stages in one frame (single-task
+    fast path): global df counts, integer score, top-k per doc with
+    ascending-term tiebreak — identical to the df exchange + term
+    hash-join + ``topk_per_group`` it stands in for."""
+    df = tf.groupby("term", as_index=False).agg(df=(id_col, "size"))
+    m = tf.merge(df, on="term")
+    tf_ = m["tf"].to_numpy(dtype=np.int64)
+    df_ = m["df"].to_numpy(dtype=np.int64)
+    scored = pd.DataFrame({
+        id_col: m[id_col].to_numpy(),
+        "term": m["term"].to_numpy(),
+        "tf": tf_,
+        "df": df_,
+        "score_scaled": tf_ * 1_000_000 // df_,
+    })
+    out = scored.sort_values(["score_scaled", "term"],
+                             ascending=[False, True]) \
+        .groupby(id_col, as_index=False, sort=False).head(k)
+    return out.reset_index(drop=True)
+
+
 def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text",
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    small_corpus_max_docs: int | None = None):
     """Integer-exact TF-IDF: top-k terms per document scored by
     ``tf * 1_000_000 // df`` (monotone in the tf/idf ratio, no float in
     the compare, so a SQL oracle replays the ranking bit-for-bit).
@@ -410,6 +434,20 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id",
                     .agg(tf=("term", "size"))
 
     tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    # small-input fast path (dedup_local docstring): tf extraction (the
+    # CPU-heavy leg) stays a distributed map_batches; the df exchange,
+    # term hash-join and top-k exchange collapse into ONE task with
+    # identical integer-exact semantics (byte-equality pinned by tests)
+    from .dedup_local import SMALL_CORPUS_MAX_DOCS, solve_in_task_n
+    from .joins import estimate_rows
+    if small_corpus_max_docs is None:
+        small_corpus_max_docs = SMALL_CORPUS_MAX_DOCS
+    est = estimate_rows(ds)
+    if small_corpus_max_docs and est is not None \
+            and est <= small_corpus_max_docs:
+        return solve_in_task_n(_tfidf_finish_kernel, [tf.materialize()],
+                               k=k, id_col=id_col)
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("term", as_index=False).agg(df=(id_col, "size"))

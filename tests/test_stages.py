@@ -2975,3 +2975,36 @@ def test_minhash_fast_path_matches_distributed(rd):
               minhash_decontam(ds, bench, threshold=0.5,
                                small_corpus_max_docs=0, num_buckets=256),
               ["doc_id"]) >= 10
+
+
+def test_tfidf_fast_path_matches_distributed(rd):
+    """The tfidf single-task finish kernel (df counts + integer score +
+    top-k with ascending-term tiebreak) must be BYTE-EQUAL to the df
+    exchange + term hash-join + topk_per_group it stands in for."""
+    import itertools
+    import string
+
+    import numpy as np
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import tfidf_top_terms
+
+    rng = np.random.RandomState(3)
+    words = ["".join(p) for p in itertools.islice(
+        itertools.product(string.ascii_lowercase, repeat=3), 150)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype="int64"),
+        "text": [" ".join(words[rng.randint(0, 150)] for _ in range(50))
+                 for _ in range(80)]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    f = tfidf_top_terms(ds, k=3).to_pandas()
+    s = tfidf_top_terms(ds, k=3, small_corpus_max_docs=0,
+                        num_buckets=8).to_pandas()
+    assert len(f) == 240                      # 3 per doc, no collapse
+    for x in (f, s):
+        x.sort_values(["doc_id", "term"], inplace=True)
+        x.reset_index(drop=True, inplace=True)
+    assert list(f.columns) == list(s.columns)
+    for c in f.columns:
+        assert str(f[c].dtype) == str(s[c].dtype), c
+        assert f[c].equals(s[c]), c
