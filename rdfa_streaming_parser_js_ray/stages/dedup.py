@@ -249,7 +249,8 @@ def _lsh_bucket(band: np.ndarray, band_key: np.ndarray,
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                            shingle_k: int = 3, concurrency: int = 4,
                            text_col: str = "text", id_col: str = "doc_id",
-                           num_buckets: int | None = None):
+                           num_buckets: int | None = None,
+                           small_corpus_max_docs: int | None = None):
     """documents → candidate near-dup pairs (doc_a < doc_b, n_bands agreeing).
 
     Candidate generation groups on a hash bucket of the full
@@ -261,11 +262,6 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
     without retuning; the fallback when the input size is not free to
     know is 256.
     """
-    if num_buckets is None:
-        from .joins import auto_buckets
-        num_buckets = auto_buckets(ds, rows_per_bucket=1024,
-                                   multiplier=bands, fallback=256,
-                                   minimum=256)
     # task-based band rows (band_rows_fn docstring has the actor-pool
     # cost rationale); ``concurrency`` is retained in the signature for
     # API compatibility but no longer pins a pool size
@@ -275,6 +271,27 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                        shingle_k=shingle_k, text_col=text_col,
                        id_col=id_col),
         batch_format="pandas")
+
+    # small-input fast path (dedup_local docstring): band rows stay the
+    # distributed map_batches above; the bucket groupby + pair fold
+    # collapse into ONE task with identical semantics
+    from .dedup_local import (
+        SMALL_CORPUS_MAX_DOCS, candidate_pairs_kernel, solve_in_task_n,
+    )
+    from .joins import estimate_rows
+    if small_corpus_max_docs is None:
+        small_corpus_max_docs = SMALL_CORPUS_MAX_DOCS
+    est = estimate_rows(ds)
+    if small_corpus_max_docs and est is not None \
+            and est <= small_corpus_max_docs:
+        return solve_in_task_n(candidate_pairs_kernel,
+                               [band_rows.materialize()]).materialize()
+
+    if num_buckets is None:
+        from .joins import auto_buckets
+        num_buckets = auto_buckets(ds, rows_per_bucket=1024,
+                                   multiplier=bands, fallback=256,
+                                   minimum=256)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_bucket"] = _lsh_bucket(batch["band"].to_numpy(),
@@ -405,8 +422,9 @@ def minhash_dedup_pairs_joined(ds, threshold: float = 0.8,
         return solve_in_task_n(pairs_verify_kernel, [band_rows, texts],
                                threshold=threshold, shingle_k=shingle_k)
 
-    candidates = minhash_lsh_candidates(ds, text_col=text_col,
-                                        id_col=id_col, **kwargs)
+    candidates = minhash_lsh_candidates(
+        ds, text_col=text_col, id_col=id_col,
+        small_corpus_max_docs=small_corpus_max_docs, **kwargs)
     if candidates.count() == 0:
         return candidates
 

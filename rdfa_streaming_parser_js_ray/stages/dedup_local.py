@@ -82,6 +82,31 @@ def solve_in_task_n(kernel, datasets, **kw):
     return rd.from_pandas_refs([_run.remote(kernel, kw, counts, *flat)])
 
 
+def candidate_pairs_kernel(band_rows: pd.DataFrame) -> pd.DataFrame:
+    """``minhash_lsh_candidates`` in one frame: band rows
+    [doc_id, band, band_hash] -> candidate pairs with agreeing-band
+    counts [doc_a, doc_b, n_bands] (doc_a < doc_b)."""
+    id_dtype = band_rows["doc_id"].dtype \
+        if "doc_id" in band_rows.columns else "int64"
+    empty = pd.DataFrame({
+        "doc_a": pd.Series(dtype=id_dtype),
+        "doc_b": pd.Series(dtype=id_dtype),
+        "n_bands": pd.Series(dtype="int64")})
+    if "doc_id" not in band_rows.columns or not len(band_rows):
+        return empty
+    g = band_rows[["doc_id", "band", "band_hash"]].drop_duplicates()
+    j = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    j = j[j["doc_id_a"] < j["doc_id_b"]]
+    if not len(j):
+        return empty
+    cand = j.groupby(["doc_id_a", "doc_id_b"], as_index=False,
+                     sort=False).size() \
+        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b",
+                         "size": "n_bands"})
+    cand["n_bands"] = cand["n_bands"].astype("int64")
+    return cand.reset_index(drop=True)
+
+
 def pairs_verify_kernel(band_rows: pd.DataFrame, texts: pd.DataFrame, *,
                         threshold: float, shingle_k: int) -> pd.DataFrame:
     """``minhash_dedup_pairs_joined`` in one frame: band rows
@@ -89,20 +114,10 @@ def pairs_verify_kernel(band_rows: pd.DataFrame, texts: pd.DataFrame, *,
     [doc_a, doc_b, n_bands, jaccard].  ``texts`` is [doc_id, text]."""
     from .dedup import ngram_jaccard
 
-    g = band_rows[["doc_id", "band", "band_hash"]].drop_duplicates()
-    j = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
-    j = j[j["doc_id_a"] < j["doc_id_b"]]
-    if not len(j):
-        return pd.DataFrame({
-            "doc_a": pd.Series(dtype=g["doc_id"].dtype),
-            "doc_b": pd.Series(dtype=g["doc_id"].dtype),
-            "n_bands": pd.Series(dtype="int64"),
-            "jaccard": pd.Series(dtype="float64")})
-    cand = j.groupby(["doc_id_a", "doc_id_b"], as_index=False,
-                     sort=False).size() \
-        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b",
-                         "size": "n_bands"})
-    cand["n_bands"] = cand["n_bands"].astype("int64")
+    cand = candidate_pairs_kernel(band_rows)
+    if not len(cand):
+        cand["jaccard"] = pd.Series(dtype="float64")
+        return cand
     cand = cand.merge(
         texts.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
         on="doc_a")
@@ -128,16 +143,19 @@ def decontam_kernel(corp_rows: pd.DataFrame, ben_rows: pd.DataFrame,
 
     from .dedup import ngram_jaccard
 
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype=corp_rows["doc_id"].dtype
+                            if "doc_id" in corp_rows.columns else "int64"),
+        "n_bench_matches": pd.Series(dtype="int64"),
+        "max_jaccard_ppm": pd.Series(dtype="int64")})
+    if "doc_id" not in corp_rows.columns \
+            or "doc_id" not in ben_rows.columns:
+        return empty
     corp = corp_rows[["doc_id", "band", "band_hash"]].drop_duplicates()
     ben = ben_rows[["doc_id", "band", "band_hash"]].drop_duplicates() \
         .rename(columns={"doc_id": "bench_id"})
     cand = corp.merge(ben, on=["band", "band_hash"])[
         ["doc_id", "bench_id"]].drop_duplicates()
-    empty = pd.DataFrame({
-        "doc_id": pd.Series(dtype=corp["doc_id"].dtype
-                            if len(corp) else "int64"),
-        "n_bench_matches": pd.Series(dtype="int64"),
-        "max_jaccard_ppm": pd.Series(dtype="int64")})
     if not len(cand):
         return empty
     cand = cand.merge(

@@ -2941,7 +2941,7 @@ def test_minhash_fast_path_matches_distributed(rd):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.stages.decontam import minhash_decontam
     from rdfa_streaming_parser_js_ray.stages.dedup import (
-        minhash_dedup_pairs_joined,
+        minhash_dedup_pairs_joined, minhash_lsh_candidates,
     )
 
     rng = np.random.RandomState(7)
@@ -2968,6 +2968,11 @@ def test_minhash_fast_path_matches_distributed(rd):
               minhash_dedup_pairs_joined(ds, threshold=0.8,
                                          small_corpus_max_docs=0,
                                          num_buckets=8),
+              ["doc_a", "doc_b"]) >= 10
+
+    assert eq(minhash_lsh_candidates(ds),
+              minhash_lsh_candidates(ds, small_corpus_max_docs=0,
+                                     num_buckets=256),
               ["doc_a", "doc_b"]) >= 10
 
     bench = rd.from_pandas(df[df.doc_id % 11 == 5]).repartition(2)
