@@ -49,37 +49,45 @@ import pandas as pd
 SMALL_CORPUS_MAX_DOCS = 100_000
 
 
+_RUN_REMOTE = None
+
+
+def _run_kernel_task(kern, kwargs, counts, *blocks):
+    dfs, i = [], 0
+    for c in counts:
+        blks = [b for b in blocks[i:i + c] if len(b)]
+        if blks:
+            dfs.append(pd.concat(blks, ignore_index=True))
+        elif c:
+            dfs.append(blocks[i].iloc[:0])
+        else:
+            dfs.append(pd.DataFrame())
+        i += c
+    return kern(*dfs, **kwargs)
+
+
 def solve_in_task_n(kernel, datasets, **kw):
     """Run ``kernel(df_0, df_1, ..., **kw)`` inside ONE Ray task over
     the blocks of several materialized Datasets; return a Dataset.
 
-    Generalizes ``graph_local.solve_in_task`` to multi-input kernels
-    (band rows + texts; corpus + benchmark sides).  The driver only
-    handles ObjectRefs — blocks stream object store -> task and the
-    kernel's output comes back as a single block ref.
+    The single-dataset ``graph_local.solve_in_task`` delegates here.
+    The driver only handles ObjectRefs — blocks stream object store ->
+    task and the kernel's output comes back as a single block ref.
+    The remote function is created once per driver process (module
+    cache), not re-exported per invocation.
     """
     import ray
     import ray.data as rd
 
+    global _RUN_REMOTE
+    if _RUN_REMOTE is None:
+        _RUN_REMOTE = ray.remote(_run_kernel_task)
+
     groups = [ds.to_pandas_refs() for ds in datasets]
     counts = [len(g) for g in groups]
     flat = [r for g in groups for r in g]
-
-    @ray.remote
-    def _run(kern, kwargs, counts, *blocks):
-        dfs, i = [], 0
-        for c in counts:
-            blks = [b for b in blocks[i:i + c] if len(b)]
-            if blks:
-                dfs.append(pd.concat(blks, ignore_index=True))
-            elif c:
-                dfs.append(blocks[i].iloc[:0])
-            else:
-                dfs.append(pd.DataFrame())
-            i += c
-        return kern(*dfs, **kwargs)
-
-    return rd.from_pandas_refs([_run.remote(kernel, kw, counts, *flat)])
+    return rd.from_pandas_refs(
+        [_RUN_REMOTE.remote(kernel, kw, counts, *flat)])
 
 
 def candidate_pairs_kernel(band_rows: pd.DataFrame) -> pd.DataFrame:

@@ -55,7 +55,12 @@ def connected_components(edges_ds, src_col: str = "src",
     from .graph_local import SMALL_GRAPH_MAX_EDGES, cc_kernel, solve_in_task
     if small_graph_max_edges is None:
         small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
-    if small_graph_max_edges and pairs.count() <= small_graph_max_edges:
+    # the kernel always runs to the fixpoint, so the fast path only
+    # stands in when the caller asked for effectively-full convergence
+    # (default 32 pointer-doubling rounds covers diameter 2^32);
+    # bounded-rounds callers keep the distributed partial semantics
+    if small_graph_max_edges and max_rounds >= 32 \
+            and pairs.count() <= small_graph_max_edges:
         return solve_in_task(pairs, cc_kernel,
                              src_col="subj", dst_col="entity")
     mapping = transitive_closure_joined(pairs, num_buckets=num_buckets,

@@ -54,20 +54,12 @@ def solve_in_task(edges_mat, kernel, **kw):
     The driver only handles ObjectRefs — blocks stream object-store →
     task, the kernel's output DataFrame comes back as a single block
     ref (``from_pandas_refs``), never deserialized driver-side.
+    Delegates to the multi-input ``dedup_local.solve_in_task_n`` so the
+    plumbing (block concat, empty handling, remote-function caching)
+    lives in exactly one place.
     """
-    import ray
-    import ray.data as rd
-
-    refs = edges_mat.to_pandas_refs()
-
-    @ray.remote
-    def _run(kern, kwargs, *blocks):
-        dfs = [b for b in blocks if len(b)]
-        edges = pd.concat(dfs, ignore_index=True) if dfs else \
-            (blocks[0].iloc[:0] if blocks else pd.DataFrame())
-        return kern(edges, **kwargs)
-
-    return rd.from_pandas_refs([_run.remote(kernel, kw, *refs)])
+    from .dedup_local import solve_in_task_n
+    return solve_in_task_n(kernel, [edges_mat], **kw)
 
 
 def _factorize_edges(edges: pd.DataFrame, src_col: str, dst_col: str):
@@ -127,6 +119,10 @@ def pagerank_kernel(edges: pd.DataFrame, iterations: int = 3,
 
 def _canon_distinct(edges: pd.DataFrame, src_col: str, dst_col: str,
                     as_str: bool) -> pd.DataFrame:
+    if src_col not in edges.columns or not len(edges):
+        # zero-block materialized inputs reach the kernel as a
+        # column-less frame — mirror the distributed paths' clean empty
+        return pd.DataFrame({"a": [], "b": []})
     s, d = edges[src_col], edges[dst_col]
     if as_str or s.dtype.kind not in "iu" or d.dtype.kind not in "iu":
         s, d = s.astype(str), d.astype(str)

@@ -371,23 +371,37 @@ def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     return posts.groupby("token").map_groups(band, batch_format="pandas")
 
 
-def _tfidf_finish_kernel(tf: pd.DataFrame, *, k: int,
-                         id_col: str) -> pd.DataFrame:
-    """``tfidf_top_terms``' post-tf stages in one frame (single-task
-    fast path): global df counts, integer score, top-k per doc with
-    ascending-term tiebreak — identical to the df exchange + term
-    hash-join + ``topk_per_group`` it stands in for."""
-    df = tf.groupby("term", as_index=False).agg(df=(id_col, "size"))
-    m = tf.merge(df, on="term")
+def _tfidf_score_frame(m: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """The ONE copy of the integer-exact scoring expression (shared by
+    the distributed ``score`` stage and the single-task kernel, so the
+    byte-equality contract can't drift between them)."""
     tf_ = m["tf"].to_numpy(dtype=np.int64)
     df_ = m["df"].to_numpy(dtype=np.int64)
-    scored = pd.DataFrame({
+    return pd.DataFrame({
         id_col: m[id_col].to_numpy(),
         "term": m["term"].to_numpy(),
         "tf": tf_,
         "df": df_,
         "score_scaled": tf_ * 1_000_000 // df_,
     })
+
+
+def _tfidf_finish_kernel(tf: pd.DataFrame, *, k: int,
+                         id_col: str) -> pd.DataFrame:
+    """``tfidf_top_terms``' post-tf stages in one frame (single-task
+    fast path): global df counts, integer score, top-k per doc with
+    ascending-term tiebreak — identical to the df exchange + term
+    hash-join + ``topk_per_group`` it stands in for."""
+    if "term" not in tf.columns or not len(tf):
+        # zero-block materialized tf reaches the kernel column-less
+        return pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int64"),
+            "df": pd.Series(dtype="int64"),
+            "score_scaled": pd.Series(dtype="int64")})
+    df = tf.groupby("term", as_index=False).agg(df=(id_col, "size"))
+    scored = _tfidf_score_frame(tf.merge(df, on="term"), id_col)
     out = scored.sort_values(["score_scaled", "term"],
                              ascending=[False, True]) \
         .groupby(id_col, as_index=False, sort=False).head(k)
@@ -458,15 +472,7 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id",
     joined = hash_join(tf, df, on="term", num_buckets=num_buckets)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        tf_ = batch["tf"].to_numpy(dtype=np.int64)
-        df_ = batch["df"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy(),
-            "term": batch["term"].to_numpy(),
-            "tf": tf_,
-            "df": df_,
-            "score_scaled": tf_ * 1_000_000 // df_,
-        })
+        return _tfidf_score_frame(batch, id_col)
 
     scored = joined.map_batches(score, batch_format="pandas")
     return topk_per_group(scored, key_col=id_col, order_col="score_scaled",
