@@ -1746,6 +1746,164 @@ case("empty @content emits an empty literal", "html",
      [[B, EX + "p", '""']])
 
 
+# ------------------------------------------------- round-5 long-tail --
+# Spec-corner growth (VERDICT round-3 item 8 continued): subject
+# fallbacks, empty/invalid annotation edges, hanging-rel discard,
+# datatype pass-through, rdfa1.0-doc literals under 1.1 rules,
+# pattern-copy trigger parity with the reference (property-only).
+
+# 1 href as subject
+case("@href establishes the subject when no @about/@resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a href="#me"><span property="foaf:name">Alice</span></a>'
+     '</body></html>',
+     [[B + "#me", FOAF + "name", '"Alice"']])
+
+# 2 bnode resource + label reuse
+case("blank node label in @resource is shared with a later @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me" rel="foaf:knows" resource="_:joe"></div>'
+     '<div about="_:joe"><span property="foaf:name">Joe</span></div>'
+     '</body></html>',
+     [[B + "#me", FOAF + "knows", "_:joe"],
+      ["_:joe", FOAF + "name", '"Joe"']])
+
+# 3 empty property
+case("empty @property emits nothing", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="">ignored</span></body></html>',
+     [])
+
+# 5 hanging rel discarded
+case("hanging @rel with no completing child emits nothing", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me" rel="foaf:knows"><span>no rdfa here</span></div>'
+     '</body></html>',
+     [])
+
+# 6 empty typeof
+case("empty @typeof emits no type", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me" typeof=""><span property="foaf:name">A</span></div>'
+     '</body></html>',
+     [[B + "#me", FOAF + "name", '"A"']])
+
+# 7 undeclared-prefix datatype passes through as IRI
+case("undeclared-prefix @datatype passes through as a valid IRI", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p" datatype="nope:dt">v</span></body></html>',
+     [[B, EX + "p", '"v"^^nope:dt']])
+
+# 8 invalid about
+case("@about with a space is not a valid IRI and is skipped", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="not a uri"><span property="dc:title">x</span></div>'
+     '</body></html>',
+     [[B, DC + "title", '"x"']])
+
+# 9 base without href
+case("<base> without href leaves the base unchanged", "html",
+     f'<html><head><base target="_blank"/></head><body prefix="{PREFIXES}">'
+     '<span property="dc:title">x</span></body></html>',
+     [[B, DC + "title", '"x"']])
+
+# 16 entity decode in svg resource attr
+case("entity-encoded IRI in svg @resource decodes", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" prefix="{PREFIXES}">'
+     '<g about="#me" rel="ex:link" resource="http://e.org/?a=1&amp;b=2"/>'
+     '</svg>',
+     [[B + "#me", EX + "link", "http://e.org/?a=1&b=2"]])
+
+# 18 fragment-only plain resource (xhtml)
+case("fragment-only @resource resolves against the base (xhtml)", "xhtml",
+     f'<html xmlns="{XHTML_NS}"><body prefix="{PREFIXES}">'
+     '<div about="#me" rel="ex:link" resource="#part"></div></body></html>',
+     [[B + "#me", EX + "link", B + "#part"]])
+
+# 19 void element inside literal (html4)
+case("void br inside a property literal contributes no text (html4)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#me"><span property="dc:title">A<br>B</span></div>'
+     '</body></html>',
+     [[B + "#me", DC + "title", '"AB"']],
+     label="html4")
+
+# 20 bare boolean attribute before rdfa attrs (html4)
+case("bare boolean attribute does not eat the next attribute (html4)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span hidden property="ex:p" content="v">x</span></body></html>',
+     [[B, EX + "p", '"v"']],
+     label="html4")
+
+# 21 rdfa1.0 doc, markup children => plain text literal under 1.1 rules
+case("markup children yield a plain text literal under 1.1 rules "
+     "(rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0" '
+     f'xmlns:dc="{DC11}"><body>'
+     '<span property="dc:title">has <b>bold</b> text</span></body></html>',
+     [[B, DC11 + "title", '"has bold text"']],
+     label="rdfa1.0")
+
+# 22 rdfa1.0 src object
+case("@src supplies the object for @rel (rdfa1.0 xhtml1)", "xhtml",
+     R10DOC + f'<html xmlns="{XHTML_NS}" version="XHTML+RDFa 1.0" '
+     f'xmlns:foaf="{FOAF}"><body>'
+     '<img about="#me" rel="foaf:img" src="photo.jpg"/></body></html>',
+     [[B + "#me", FOAF + "img", "http://rdfa.example.org/photo.jpg"]],
+     label="rdfa1.0")
+
+# 26 property+content on the root element
+case("@property with @content on the root html element", "html",
+     f'<html prefix="{PREFIXES}" property="dc:title" content="T">'
+     '<body>x</body></html>',
+     [[B, DC + "title", '"T"']])
+
+# 28 sniffed datatype drops the language
+case("<time> sniffed datatype drops the inherited language", "html",
+     f'<html><body prefix="{PREFIXES}" lang="en">'
+     '<time property="ex:d">2020-01-01</time></body></html>',
+     [[B, EX + "d", f'"2020-01-01"^^{XSD}date']])
+
+# 29 property+rel+content
+case("@property with @content plus @rel: content literal, href object",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#me" property="dc:title" content="T" rel="foaf:page" '
+     'href="http://e.org/p">x</a></body></html>',
+     [[B + "#me", DC + "title", '"T"'],
+      [B + "#me", FOAF + "page", "http://e.org/p"]])
+
+# 30 one target referencing two patterns (property-triggered, as the
+# reference requires: RdfaParser.ts:190 matches property === 'rdfa:copy')
+case("one subject copies two rdfa:Patterns", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     f'<div resource="#p1" typeof="rdfa:Pattern">'
+     '<span property="dc:title">T1</span></div>'
+     f'<div resource="#p2" typeof="rdfa:Pattern">'
+     '<span property="dc:creator">C2</span></div>'
+     '<div about="#me">'
+     '<link property="rdfa:copy" href="#p1"/>'
+     '<link property="rdfa:copy" href="#p2"/>'
+     '</div></body></html>',
+     [[B + "#me", DC + "title", '"T1"'],
+      [B + "#me", DC + "creator", '"C2"']])
+
+# 31 rel-triggered copy does NOT replay (reference parity:
+# RdfaParser.ts:190 only matches property='rdfa:copy'; a rel emits the
+# raw copy triple and the pattern content stays in place)
+case("rel=rdfa:copy does not replay the pattern (property-only trigger)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     f'<div resource="#p1" typeof="rdfa:Pattern">'
+     '<span property="dc:title">T1</span></div>'
+     '<div about="#me"><link rel="rdfa:copy" href="#p1"/></div>'
+     '</body></html>',
+     [[B + "#p1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+       "http://www.w3.org/ns/rdfa#Pattern"],
+      [B + "#p1", DC + "title", '"T1"'],
+      [B + "#me", "http://www.w3.org/ns/rdfa#copy", B + "#p1"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
