@@ -1904,6 +1904,106 @@ case("rel=rdfa:copy does not replay the pattern (property-only trigger)",
       [B + "#me", "http://www.w3.org/ns/rdfa#copy", B + "#p1"]])
 
 
+# Pattern-copy recursion parity (reference RdfaParser.ts:856: a pattern
+# replaying a copy-link to ANOTHER pattern recurses; a copy-link back to
+# the root pattern id is the cycle guard and is skipped), plus a second
+# round-5 batch of attribute-grammar and scoping edges.
+
+case("a pattern containing rdfa:copy to a second pattern replays both",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div resource="#p2" typeof="rdfa:Pattern">'
+     '<span property="dc:creator">C2</span></div>'
+     '<div resource="#p1" typeof="rdfa:Pattern">'
+     '<span property="dc:title">T1</span>'
+     '<link property="rdfa:copy" href="#p2"/></div>'
+     '<div about="#me"><link property="rdfa:copy" href="#p1"/></div>'
+     '</body></html>',
+     [[B + "#me", DC + "title", '"T1"'],
+      [B + "#me", DC + "creator", '"C2"']])
+
+case("a self-referential pattern copy stops at the cycle guard", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div resource="#p1" typeof="rdfa:Pattern">'
+     '<span property="dc:title">T1</span>'
+     '<link property="rdfa:copy" href="#p1"/></div>'
+     '<div about="#me"><link property="rdfa:copy" href="#p1"/></div>'
+     '</body></html>',
+     [[B + "#me", DC + "title", '"T1"']])
+
+# 4 repeated prefix, last wins
+case("repeated prefix declaration in one attribute: last wins", "html",
+     f'<html><body prefix="p: {DC} p: {EX}">'
+     '<span property="p:x">v</span></body></html>',
+     [[B, EX + "x", '"v"']])
+
+# 5 dangling prefix name ignored
+case("dangling prefix name without an IRI is ignored", "html",
+     f'<html><body prefix="dc: {DC} broken:">'
+     '<span property="dc:title">T</span></body></html>',
+     [[B, DC + "title", '"T"']])
+
+# 6 typeof on root html
+case("@typeof on the root html element types the base", "html",
+     f'<html typeof="ex:Doc" prefix="{PREFIXES}"><body>'
+     '<span property="dc:title">T</span></body></html>',
+     [[B, RDF + "type", EX + "Doc"],
+      [B, DC + "title", '"T"']])
+
+# 8 same property inlist on two subjects -> two lists
+case("same @inlist property on two subjects builds two lists", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#a"><span property="ex:l" inlist="">1</span></div>'
+     '<div about="#b"><span property="ex:l" inlist="">2</span></div>'
+     '</body></html>',
+     [[B + "#a", EX + "l", "_:la"],
+      ["_:la", RDF + "first", '"1"'],
+      ["_:la", RDF + "rest", RDF + "nil"],
+      [B + "#b", EX + "l", "_:lb"],
+      ["_:lb", RDF + "first", '"2"'],
+      ["_:lb", RDF + "rest", RDF + "nil"]])
+
+# 9 svg island inside html body (html profile)
+case("RDFa on an svg island inside an html body", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<svg about="#pic"><title property="dc:title">A chart</title></svg>'
+     '</body></html>',
+     [[B + "#pic", DC + "title", '"A chart"']])
+
+# 10 empty rel with href emits nothing
+case("empty @rel with @href emits nothing", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#me" rel="" href="#x">t</a></body></html>',
+     [])
+
+# 11 whitespace preserved in @content
+case("@content whitespace is preserved verbatim", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p" content=" a  b ">x</span></body></html>',
+     [[B, EX + "p", '" a  b "']])
+
+# 12 entity decodes inside @content
+case("entity reference decodes inside @content", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="ex:p" content="a&amp;b">x</span></body></html>',
+     [[B, EX + "p", '"a&b"']])
+
+# 14 about on head scopes meta children
+case("@about on head scopes its meta children", "html",
+     f'<html prefix="{PREFIXES}"><head about="#meta">'
+     '<meta property="dc:creator" content="A"/></head>'
+     '<body></body></html>',
+     [[B + "#meta", DC + "creator", '"A"']])
+
+# 16 role + typeof together
+case("@role and @typeof on one element both emit", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div id="w" role="ex:widget" typeof="ex:Thing" about="#t"></div>'
+     '</body></html>',
+     [[B + "#w", XHV + "role", EX + "widget"],
+      [B + "#t", RDF + "type", EX + "Thing"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
