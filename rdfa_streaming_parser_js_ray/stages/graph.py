@@ -20,11 +20,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# max_rounds value treated as "effectively full convergence" for the
+# pointer-doubling closure (covers diameter 2^32): the default of
+# connected_components AND the single-task fast-path eligibility bound —
+# one constant so the two can't drift apart.
+FULL_CONVERGENCE_ROUNDS = 32
+
 
 def connected_components(edges_ds, src_col: str = "src",
                          dst_col: str = "dst",
                          num_buckets: int | None = None,
-                         max_rounds: int = 32,
+                         max_rounds: int = FULL_CONVERGENCE_ROUNDS,
                          small_graph_max_edges: int | None = None):
     """Min-label connected components over a generic edge Dataset —
     the public face of the hash-to-min machinery the KG pipeline uses
@@ -56,10 +62,9 @@ def connected_components(edges_ds, src_col: str = "src",
     if small_graph_max_edges is None:
         small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
     # the kernel always runs to the fixpoint, so the fast path only
-    # stands in when the caller asked for effectively-full convergence
-    # (default 32 pointer-doubling rounds covers diameter 2^32);
+    # stands in when the caller asked for effectively-full convergence;
     # bounded-rounds callers keep the distributed partial semantics
-    if small_graph_max_edges and max_rounds >= 32 \
+    if small_graph_max_edges and max_rounds >= FULL_CONVERGENCE_ROUNDS \
             and pairs.count() <= small_graph_max_edges:
         return solve_in_task(pairs, cc_kernel,
                              src_col="subj", dst_col="entity")

@@ -393,9 +393,12 @@ def _tfidf_finish_kernel(tf: pd.DataFrame, *, k: int,
     ascending-term tiebreak — identical to the df exchange + term
     hash-join + ``topk_per_group`` it stands in for."""
     if "term" not in tf.columns or not len(tf):
-        # zero-block materialized tf reaches the kernel column-less
+        # zero-block materialized tf reaches the kernel column-less;
+        # an empty-with-columns tf keeps its id dtype (string doc ids
+        # must not demote to int64 in the empty output)
+        id_dtype = tf[id_col].dtype if id_col in tf.columns else "int64"
         return pd.DataFrame({
-            id_col: pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype=id_dtype),
             "term": pd.Series(dtype="object"),
             "tf": pd.Series(dtype="int64"),
             "df": pd.Series(dtype="int64"),

@@ -3013,3 +3013,24 @@ def test_tfidf_fast_path_matches_distributed(rd):
     for c in f.columns:
         assert str(f[c].dtype) == str(s[c].dtype), c
         assert f[c].equals(s[c]), c
+
+
+def test_tfidf_kernel_empty_preserves_id_dtype():
+    """Review fix: an empty-with-columns tf frame (e.g. a small corpus
+    whose docs have no alphabetic tokens) must keep its id dtype in the
+    kernel's empty output — string doc ids must not demote to int64."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import _tfidf_finish_kernel
+
+    tf = pd.DataFrame({"doc_id": pd.Series(dtype="object"),
+                       "term": pd.Series(dtype="object"),
+                       "tf": pd.Series(dtype="int64")})
+    out = _tfidf_finish_kernel(tf, k=3, id_col="doc_id")
+    assert list(out.columns) == ["doc_id", "term", "tf", "df",
+                                 "score_scaled"]
+    assert str(out["doc_id"].dtype) == "object"
+    # the column-less zero-block shape still gets a clean typed empty
+    out2 = _tfidf_finish_kernel(pd.DataFrame(), k=3, id_col="doc_id")
+    assert list(out2.columns) == ["doc_id", "term", "tf", "df",
+                                  "score_scaled"]
+    assert len(out2) == 0
