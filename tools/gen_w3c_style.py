@@ -2004,6 +2004,109 @@ case("@role and @typeof on one element both emit", "html",
       [B + "#t", RDF + "type", EX + "Thing"]])
 
 
+# --------------------------------------------- round-5 batch-3 cases --
+# Safe-CURIE null-resolution fallbacks, case-insensitive term lookup,
+# the default ':' prefix, and the attribute-PRESENCE (not value) checks
+# in processing steps 5.1/11 (reference RdfaParser.ts:280-314,494-496:
+# `'about' in attributes` gates the typeof→object chain even when the
+# about value resolves to null; Util.ts:266-272 nulls bracket terms
+# without a colon; Util.ts:98-101 expands the '' prefix to xhv;
+# Util.ts:112-117 lowercases term lookups; Util.ts:276 names the '_:'
+# identity blank node b_identity).
+
+case("empty safe CURIE [] in @about resolves null and falls back", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="[]"><span property="dc:title">x</span></div>'
+     '</body></html>',
+     [[B, DC + "title", '"x"']])
+
+case("bracketed term without a colon is not a safe CURIE", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="[foo]"><span property="dc:title">x</span></div>'
+     '</body></html>',
+     [[B, DC + "title", '"x"']])
+
+case("bare-colon safe CURIE expands through the default xhv prefix",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span property="[:]">x</span></body></html>',
+     [[B, XHV, '"x"']])
+
+case("default ':' prefix CURIE in @rel expands to xhv", "html",
+     '<html><body>'
+     '<a about="#s" rel=":next" href="http://n.org/">x</a></body></html>',
+     [[B + "#s", XHV + "next", "http://n.org/"]])
+
+case("'_:' resolves to one shared identity blank node", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="_:"><span property="dc:title">x</span></div>'
+     '<div about="_:"><span property="dc:creator">y</span></div>'
+     '<div about="_:other"><span property="dc:title">z</span></div>'
+     '</body></html>',
+     [["_:b_identity", DC + "title", '"x"'],
+      ["_:b_identity", DC + "creator", '"y"'],
+      ["_:other", DC + "title", '"z"']])
+
+case("uppercase xhtml term in @rel matches case-insensitively", "xhtml",
+     f'<html xmlns="{XHTML_NS}"><body>'
+     '<a about="#s" rel="LICENSE" href="http://l.org/">x</a>'
+     '</body></html>',
+     [[B + "#s", XHV + "license", "http://l.org/"]])
+
+case("mixed-case xhtml term in @property matches case-insensitively",
+     "xhtml",
+     f'<html xmlns="{XHTML_NS}"><body>'
+     '<span about="#s" property="License">x</span></body></html>',
+     [[B + "#s", XHV + "license", '"x"']])
+
+case("null-resolving @about with @typeof types a fresh bnode; "
+     "the property literal stays on the inherited subject", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="[nope]" typeof="ex:T" property="ex:p">x</span>'
+     '</body></html>',
+     [["_:t", RDF + "type", EX + "T"],
+      [B, EX + "p", '"x"']])
+
+case("@typeof with @resource redirects @property to the resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span typeof="ex:T" resource="#o" property="ex:p">x</span>'
+     '</body></html>',
+     [[B + "#o", RDF + "type", EX + "T"],
+      [B, EX + "p", B + "#o"]])
+
+case("@typeof with @href redirects @property to the href", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a typeof="ex:T" href="http://o.org/" property="ex:p">x</a>'
+     '</body></html>',
+     [["http://o.org/", RDF + "type", EX + "T"],
+      [B, EX + "p", "http://o.org/"]])
+
+case("null-resolving @resource under @rel falls back to @href", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" resource="[nope]" href="http://o.org/">x</a>'
+     '</body></html>',
+     [[B + "#s", EX + "r", "http://o.org/"]])
+
+case("null-resolving @about under @rel: no type triple, hanging rel "
+     "completed by a child on a fresh bnode", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="[nope]" rel="ex:r" typeof="ex:T">'
+     '<span property="ex:q">v</span></div></body></html>',
+     [[B, EX + "r", "_:o"],
+      ["_:o", EX + "q", '"v"']])
+
+case("XMLLiteral capture still processes nested RDFa", "html",
+     f'<html><body prefix="{PREFIXES} rdf: {RDF}">'
+     '<div about="#s" property="ex:p" datatype="rdf:XMLLiteral">t '
+     '<span property="ex:q">inner</span></div></body></html>',
+     [[B + "#s", EX + "q", '"inner"'],
+      [B + "#s", EX + "p",
+       '"t <span property="ex:q" xmlns:dc="http://purl.org/dc/terms/" '
+       'xmlns:ex="http://example.org/vocab#" '
+       'xmlns:foaf="http://xmlns.com/foaf/0.1/" '
+       f'xmlns:rdf="{RDF}">inner</span>"^^{RDF}XMLLiteral']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
