@@ -117,6 +117,26 @@ case("inner @lang overrides outer", "html",
      '</body></html>',
      [[B, DC + "title", '"Titre"@fr']])
 
+# createLiteral lowercases the language tag at literal creation
+# (reference Util.ts:212 — activeTag.language?.toLowerCase()); the raw
+# attribute case never reaches the emitted term.
+case("mixed-case @lang is lowercased on the literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p" lang="EN-us">x</span>'
+     '<span about="#s" property="ex:q" xml:lang="PT-BR">y</span>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"x"@en-us'],
+      [B + "#s", EX + "q", '"y"@pt-br']])
+
+case("inherited uppercase @lang is lowercased at emission, and an "
+     "empty @datatype falls through to the language", "html",
+     f'<html><body prefix="{PREFIXES}" lang="FR">'
+     '<span about="#s" property="ex:p">x</span>'
+     '<span about="#s" property="ex:q" lang="EN" datatype="">y</span>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"x"@fr'],
+      [B + "#s", EX + "q", '"y"@en']])
+
 case("@vocab sets term resolution and emits usesVocabulary", "html",
      f'<html><body vocab="{SCHEMA}">'
      '<span property="name">Alice</span></body></html>',
