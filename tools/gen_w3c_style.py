@@ -2127,6 +2127,96 @@ case("XMLLiteral capture still processes nested RDFa", "html",
        f'xmlns:rdf="{RDF}">inner</span>"^^{RDF}XMLLiteral']])
 
 
+# --- attribute-value grammar corners (RdfaParser.ts:388,460-556;
+# --- Util.ts:182-213 createVocabIris/createLiteral/TIME_REGEXES) ---------
+
+case("duplicate values in @property emit duplicate triples", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p ex:p">x</span></body></html>',
+     [[B + "#s", EX + "p", '"x"'],
+      [B + "#s", EX + "p", '"x"']])
+
+case("@content wins under rdf:XMLLiteral datatype; children are not "
+     "re-emitted as a literal", "html",
+     f'<html><body prefix="{PREFIXES} rdf: {RDF}">'
+     '<div about="#s" property="ex:p" datatype="rdf:XMLLiteral" '
+     'content="c"><b>x</b></div></body></html>',
+     [[B + "#s", EX + "p", f'"c"^^{RDF}XMLLiteral']])
+
+case("time-tag datatype sniffing applies to the @content value", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" content="2015">2012-03-18</time>'
+     '</body></html>',
+     [[B + "#s", EX + "p", f'"2015"^^{XSD}gYear']])
+
+case("@datetime sniffs on any element, not just <time>", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p" datetime="2012-03-18">x</span>'
+     '</body></html>',
+     [[B + "#s", EX + "p", f'"2012-03-18"^^{XSD}date']])
+
+case("empty @href under @rel resolves to the base as object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" href="">x</a></body></html>',
+     [[B + "#s", EX + "r", B]])
+
+case("blank-node CURIE in @typeof becomes the type object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" typeof="_:x"></div></body></html>',
+     [[B + "#s", RDF + "type", "_:x"]])
+
+case("blank-node CURIE in @property is dropped, valid sibling kept",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="_:p ex:q">x</span></body></html>',
+     [[B + "#s", EX + "q", '"x"']])
+
+case("safe CURIE is allowed in @rel", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="[ex:r]" href="#o">x</a></body></html>',
+     [[B + "#s", EX + "r", B + "#o"]])
+
+case("safe CURIE with undeclared prefix in @rel falls back to IRI "
+     "interpretation", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="[nope:x]" href="#o">x</a></body></html>',
+     [[B + "#s", "nope:x", B + "#o"]])
+
+case("non-ASCII CURIE localname expands in @about", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="ex:héllo" property="ex:p">x</div></body></html>',
+     [[EX + "héllo", EX + "p", '"x"']])
+
+case("empty-localname CURIE in @property resolves to the namespace IRI",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:">x</span></body></html>',
+     [[B + "#s", EX, '"x"']])
+
+case("safe CURIE is allowed in @datatype", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p" datatype="[ex:dt]">x</span>'
+     '</body></html>',
+     [[B + "#s", EX + "p", f'"x"^^{EX}dt']])
+
+case("xml:base fragment is stripped from the scoped base (svg)", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" '
+     f'prefix="{PREFIXES}" xml:base="http://img.example.org/d#frag">'
+     '<text about="#s" property="ex:p">x</text></svg>',
+     [["http://img.example.org/d#s", EX + "p", '"x"']],
+     label="svg")
+
+case("negative duration is sniffed to xsd:duration", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p">-P10Y</time></body></html>',
+     [[B + "#s", EX + "p", f'"-P10Y"^^{XSD}duration']])
+
+case("five-digit year still sniffs xsd:date", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p">12345-01-02</time></body></html>',
+     [[B + "#s", EX + "p", f'"12345-01-02"^^{XSD}date']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
