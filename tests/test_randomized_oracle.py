@@ -1,0 +1,198 @@
+"""Randomized oracle differential: the registered Ray pipelines vs their
+registered DuckDB oracles on SEEDED RANDOM tables, not just the fixed
+driver testdata.
+
+The driver gate (tools/check_oracles.py) proves each queries() entry
+matches its oracle_sql() on ONE data distribution (/root/testdata/sf*).
+This module regenerates the input tables with adversarial, tie-heavy
+distributions — duplicate timestamps within a sort key, events exactly
+on the 30-minute session gap and on tumbling-hour boundaries, shipments
+exactly 90 days after their order, duplicate (user, orderdate) pairs on
+the as-of build side, duplicate n_chars inside a top-k group, empty and
+single-element groups — and replays the SAME query callables against
+the SAME oracle SQL over them.  Any tie-break or boundary (<= vs <)
+that the fixed distribution happens not to exercise fails here.
+
+Queries covered are the boundary-sensitive window/join/quantile/top-k
+family; each runs at ~10³-row scale so the whole module stays cheap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SEEDS = [11, 22, 33]
+
+QUERIES = [
+    "sessionize",
+    "window_agg",
+    "sliding_window",
+    "rolling_features",
+    "asof_orders",
+    "shipments_in_window",
+    "interval_overlap",
+    "token_quantiles",
+    "top_docs_per_lang",
+    "pricing_summary",
+]
+
+_GAP_S = 30 * 60          # sessionize gap
+_HOUR_S = 3600            # tumbling / sliding window unit
+_EPOCH = pd.Timestamp("2025-01-01 00:00:00")
+
+
+def _gen_events(rng: np.random.Generator) -> pd.DataFrame:
+    rows = []
+    # user 1: single event (single-element session / group)
+    rows.append((1, 0))
+    # user 2: all events at the IDENTICAL timestamp (ties everywhere)
+    rows += [(2, 7 * 60) for _ in range(5)]
+    # user 3: events exactly one gap apart — strict '>' keeps them in
+    # ONE session; an off-by-one to '>=' splits them
+    rows += [(3, k * _GAP_S) for k in range(4)]
+    # user 4: events exactly one gap + 1s apart — always splits
+    rows += [(4, k * (_GAP_S + 1)) for k in range(4)]
+    # user 5: events exactly on tumbling-hour boundaries
+    rows += [(5, k * _HOUR_S) for k in range(5)]
+    # bulk users: random offsets on a 1-second grid with replacement
+    # (duplicate timestamps within and across users)
+    for user in range(6, 6 + int(rng.integers(3, 12))):
+        n = int(rng.integers(1, 60))
+        pool = rng.integers(0, 5 * 86400, size=max(1, n // 2))
+        offs = rng.choice(pool, size=n, replace=True)
+        rows += [(user, int(o)) for o in offs]
+    df = pd.DataFrame(rows, columns=["user_id", "off_s"])
+    df["event_id"] = np.arange(len(df), dtype="int64")
+    df["ts"] = _EPOCH + pd.to_timedelta(df.pop("off_s"), unit="s")
+    df["event_type"] = rng.choice(["click", "view", "buy"], size=len(df))
+    df["value"] = np.round(rng.uniform(0, 100, size=len(df)), 2)
+    df["props"] = rng.choice(["a=1", "b=2", ""], size=len(df))
+    df["user_id"] = df["user_id"].astype("int64")
+    return df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+def _gen_orders(rng: np.random.Generator, n: int = 120) -> pd.DataFrame:
+    keys = np.arange(1, n + 1, dtype="int64")
+    # custkeys overlap the event user domain; duplicates of
+    # (custkey, orderdate) exercise the as-of MAX(o_orderkey) collapse;
+    # custkey 999 has orders but no events, user 1 has events, no orders
+    cust = rng.choice([2, 3, 4, 5, 6, 7, 999], size=n).astype("int64")
+    day = rng.choice([0, 1, 1, 2, 3, 5], size=n)
+    df = pd.DataFrame({
+        "o_orderkey": keys,
+        "o_custkey": cust,
+        "o_orderstatus": rng.choice(["F", "O", "P"], size=n),
+        "o_totalprice": np.round(rng.uniform(10, 9000, size=n), 2),
+        "o_orderdate": _EPOCH + pd.to_timedelta(day, unit="D"),
+        "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"], size=n),
+    })
+    return df
+
+
+def _gen_lineitem(rng: np.random.Generator,
+                  orders: pd.DataFrame) -> pd.DataFrame:
+    n = len(orders) * 3
+    okey = rng.choice(orders["o_orderkey"].to_numpy(), size=n)
+    odate = orders.set_index("o_orderkey")["o_orderdate"]
+    # ship offsets hug the 90-day window boundary on both sides
+    ship_off = rng.choice([-1, 0, 1, 45, 89, 90, 91], size=n)
+    df = pd.DataFrame({
+        "l_orderkey": okey.astype("int64"),
+        "l_partkey": rng.integers(1, 40, size=n).astype("int64"),
+        "l_suppkey": rng.integers(1, 10, size=n).astype("int64"),
+        "l_linenumber": rng.integers(1, 8, size=n).astype("int32"),
+        "l_quantity": np.round(rng.uniform(1, 50, size=n), 2),
+        "l_extendedprice": np.round(rng.uniform(100, 9000, size=n), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, size=n), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, size=n), 2),
+        "l_returnflag": rng.choice(["A", "N", "R"], size=n),
+        "l_linestatus": rng.choice(["F", "O"], size=n),
+        "l_shipdate": odate.loc[okey].to_numpy()
+        + pd.to_timedelta(ship_off, unit="D"),
+    })
+    return df
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x", "longword"]
+
+
+def _gen_documents(rng: np.random.Generator, n: int = 250) -> pd.DataFrame:
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 40))
+        texts.append(" ".join(rng.choice(_WORDS, size=k)) if k else "")
+    langs = rng.choice(["en", "de", "es", "fr", "nl"], size=n)
+    # pad a slice of texts to one shared length: duplicate n_chars
+    # inside a lang forces the top-k (ORDER BY n_chars DESC, doc_id)
+    # tie-break to actually matter
+    for i in range(0, n, 7):
+        texts[i] = ("tie " * 10).strip()
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "text": texts,
+        "lang": langs,
+        "source": rng.choice(["web", "books", "code"], size=n),
+    })
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    # same contract as tools/check_oracles.py: column-name-sorted,
+    # order-insensitive, stringified values
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(tuple(str(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
+    h = hashlib.md5()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def rand_dir(request, tmp_path_factory):
+    rng = np.random.default_rng(request.param)
+    d = tmp_path_factory.mktemp(f"randoracle_{request.param}")
+    events = _gen_events(rng)
+    orders = _gen_orders(rng)
+    tables = {
+        "events": events,
+        "orders": orders,
+        "lineitem": _gen_lineitem(rng, orders),
+        "documents": _gen_documents(rng),
+    }
+    for name, df in tables.items():
+        df.to_parquet(d / f"{name}.parquet", index=False)
+    con = duckdb.connect()
+    for name in tables:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{d}/{name}.parquet')")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_randomized_oracle(query, rand_dir, ray_session):
+    sf_dir, con = rand_dir
+    ray_df = entrymod.queries()[query](sf_dir)
+    import ray.data as rd
+    if isinstance(ray_df, rd.Dataset):
+        ray_df = ray_df.to_pandas()
+    elif not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    oracle_df = con.sql(entrymod.oracle_sql()[query]).df()
+    assert len(ray_df) == len(oracle_df), (len(ray_df), len(oracle_df))
+    assert sorted(ray_df.columns) == sorted(oracle_df.columns)
+    assert _value_hash(ray_df) == _value_hash(oracle_df), (
+        f"{query}: value mismatch on randomized input\n"
+        f"ray head:\n{ray_df.sort_values(sorted(ray_df.columns)).head(8)}\n"
+        f"oracle head:\n"
+        f"{oracle_df.sort_values(sorted(oracle_df.columns)).head(8)}")
