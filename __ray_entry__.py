@@ -2110,7 +2110,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, greatest(1, len(t) - 2)),
-                         i -> array_to_string(t[i:i+2], ' '))) AS g
+                         i -> COALESCE(array_to_string(t[i:i+2], ' '), ''))) AS g
               FROM toks),
             victims AS (
               SELECT DISTINCT b.doc_id AS doc_b
@@ -2155,7 +2155,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, greatest(1, len(t) - 2)),
-                         i -> array_to_string(t[i:i+2], ' '))) AS g
+                         i -> COALESCE(array_to_string(t[i:i+2], ' '), ''))) AS g
               FROM toks),
             victims AS (
               SELECT DISTINCT b.doc_id AS doc_b
@@ -2171,14 +2171,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 97 = 3),
             bench_g AS (
               SELECT DISTINCT unnest(
-                CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                CASE WHEN len(t) <= 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                 ELSE list_transform(range(1, len(t) - 1),
                        i -> array_to_string(list_slice(t, i, i + 2), ' '))
                 END) AS gr
               FROM btoks),
             dgrams AS (
               SELECT doc_id,
-                CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                CASE WHEN len(t) <= 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                 ELSE list_transform(range(1, len(t) - 1),
                        i -> array_to_string(list_slice(t, i, i + 2), ' '))
                 END AS hs
@@ -2214,7 +2214,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, greatest(1, len(t) - 2)),
-                         i -> array_to_string(t[i:i+2], ' '))) AS g
+                         i -> COALESCE(array_to_string(t[i:i+2], ' '), ''))) AS g
               FROM toks),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2234,7 +2234,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, greatest(1, len(t) - 2)),
-                         i -> array_to_string(t[i:i+2], ' '))) AS g
+                         i -> COALESCE(array_to_string(t[i:i+2], ' '), ''))) AS g
               FROM toks),
             near AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2576,7 +2576,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             g AS (
               SELECT doc_id,
-                CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                CASE WHEN len(toks) <= 4 THEN [COALESCE(array_to_string(toks, ' '), '')]
                      ELSE list_transform(range(1, len(toks) - 2),
                             i -> array_to_string(list_slice(toks, i, i + 3), ' '))
                 END AS grams
@@ -2619,7 +2619,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             g AS (
               SELECT doc_id,
-                CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                CASE WHEN len(toks) <= 4 THEN [COALESCE(array_to_string(toks, ' '), '')]
                      ELSE list_transform(range(1, len(toks) - 2),
                             i -> array_to_string(list_slice(toks, i, i + 3), ' '))
                 END AS grams
@@ -2832,7 +2832,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(list_transform(
                          generate_series(1, greatest(1, len(t) - 2)),
-                         i -> array_to_string(t[i:i+2], ' '))) AS g
+                         i -> COALESCE(array_to_string(t[i:i+2], ' '), ''))) AS g
               FROM toks),
             pairs AS (
               SELECT c.doc_id, b.doc_id AS bench_id,
