@@ -2048,8 +2048,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": """
             WITH scored AS (
               SELECT q.vec_id AS src_id, e.vec_id AS dst_id,
-                     list_cosine_similarity(e.embedding, q.embedding)
-                         AS score
+                     CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                            OR list_dot_product(q.embedding, q.embedding) = 0
+                          THEN 0.0
+                          ELSE list_cosine_similarity(e.embedding,
+                                                      q.embedding)
+                     END AS score
               FROM embeddings e CROSS JOIN embeddings q
               WHERE e.vec_id <> q.vec_id),
             ranked AS (
@@ -2294,7 +2298,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.qid, e.vec_id,
-                     list_cosine_similarity(e.embedding, q.qe) AS score
+                     CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                            OR list_dot_product(q.qe, q.qe) = 0 THEN 0.0
+                          ELSE list_cosine_similarity(e.embedding, q.qe)
+                     END AS score
               FROM embeddings e CROSS JOIN q),
             ranked AS (
               SELECT qid, vec_id,
@@ -2308,7 +2315,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.qid, e.vec_id,
-                     list_cosine_similarity(e.embedding, q.qe) AS score
+                     CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                            OR list_dot_product(q.qe, q.qe) = 0 THEN 0.0
+                          ELSE list_cosine_similarity(e.embedding, q.qe)
+                     END AS score
               FROM embeddings e CROSS JOIN q),
             ranked AS (
               SELECT qid, vec_id,

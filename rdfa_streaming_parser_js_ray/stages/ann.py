@@ -27,6 +27,21 @@ def _keep_in_set(col: str, wanted) -> "callable":
     return f
 
 
+def _local_topk(col: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best rows by (score DESC, id ASC) — TIE-STABLE.
+
+    An ``argpartition`` prefilter is not: when ties straddle the local
+    k boundary it keeps an arbitrary subset, so the global merge (which
+    does tie-break correctly) never sees the lower-id tied candidate —
+    caught by the randomized oracle differential with planted duplicate
+    and zero-norm vectors (all-equal score columns).  A full lexsort per
+    query column is O(n log n) against the O(n·d) score computation that
+    produced it, so the combiner stays matmul-dominated.
+    """
+    order = np.lexsort((ids, -col))
+    return order if k >= len(ids) else order[:k]
+
+
 class BruteForceScorer:
     """Per-batch cosine scores vs the broadcast query matrix; emits each
     batch's local top-k per query (the combiner) — the global merge only
@@ -50,10 +65,10 @@ class BruteForceScorer:
         ids = np.asarray(batch[self.id_col])
         out = {"qid": [], self.id_col: [], "score": []}
         k = min(self.k, len(ids))
+        id_key = np.asarray(ids, dtype=np.int64)
         for qid in range(scores.shape[1]):
             col = scores[:, qid]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
-            for i in top:
+            for i in _local_topk(col, id_key, k):
                 out["qid"].append(qid)
                 out[self.id_col].append(ids[i])
                 out["score"].append(float(col[i]))
@@ -152,9 +167,7 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
             k = min(self.k, scores.shape[0])
             for q in range(scores.shape[1]):
                 col = scores[:, q]
-                top = np.argpartition(-col, k - 1)[:k] \
-                    if k < len(ids) else np.arange(len(ids))
-                for i in top:
+                for i in _local_topk(col, ids, k):
                     if np.isinf(col[i]):
                         continue
                     out["src_id"].append(self.qids[q])

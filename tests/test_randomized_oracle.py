@@ -69,6 +69,68 @@ QUERIES = [
     "corpus_prep_full",
 ]
 
+# The rest of the oracled registry runs on ONE adversarial seed (wall
+# budget) — every oracled query sees at least one random input.
+# Excluded by design: kg_incremental / kg_lineage (their side effects —
+# checkpoint dirs under /tmp — are the query; the fixed-distribution
+# gate owns them).
+QUERIES_WIDE = [
+    # flagship RDFa/KG family (the wrapping template is deterministic
+    # in (doc_id, text, lang, source), so random tables stay oracled)
+    "rdfa_extract",
+    "rdfa_triple_counts",
+    "kg_construct",
+    "kg_predicate_stats",
+    "bgp_titles",
+    # per-document text analytics
+    "pii_redact",
+    "lang_id",
+    "quality",
+    "repetition",
+    "normalize_text",
+    "token_counts",
+    "bpe_token_counts",
+    # embeddings / ANN family (random vectors + a planted zero vector
+    # and a planted exact-duplicate pair: cosine ties at the k boundary
+    # and the zero-norm convention both get exercised).
+    # embedding_near_dups / embedding_dedup_clusters are excluded here
+    # BY CONTRACT: their oracles hard-code the pairs the query itself
+    # plants and require the input table to have no natural near-dups
+    # (__ray_entry__.q_embedding_near_dups docstring) — this generator
+    # deliberately violates that precondition.
+    "ann_topk",
+    "ann_ivf_exhaustive",
+    "knn_graph",
+    "semantic_decontam",
+    "quantize_embeddings",
+    # sketches, stats, validation
+    "props_stats",
+    "kmv_distinct",
+    "kmv_users",
+    "snapshot_diff",
+    "validate_columns",
+    "top_docs_by_tokens",
+    "distinct_langs",
+    "lang_pivot",
+    "source_rollup",
+    "source_mix",
+    "source_summary",
+    "degree_histogram",
+    # dimension joins
+    "suppliers_by_region",
+    "join_broadcast",
+    "join_hash",
+    "join_semi",
+    "events_filtered",
+    # packing / sharding / splits
+    "pack_docs",
+    "pack_chunks",
+    "chunk_windows",
+    "shard_manifest",
+    "sample_per_source",
+    "train_val_split",
+]
+
 _GAP_S = 30 * 60          # sessionize gap
 _HOUR_S = 3600            # tumbling / sliding window unit
 _EPOCH = pd.Timestamp("2025-01-01 00:00:00")
@@ -190,7 +252,11 @@ def _gen_lineitem(rng: np.random.Generator, orders: pd.DataFrame,
     return pd.concat([df, dense], ignore_index=True)
 
 
-_WORDS = ["alpha", "beta", "gamma", "delta", "x", "longword"]
+# word pool stresses the HTML-escape roundtrip of the RDFa wrapping
+# (&, <, >), PII redaction (email / phone), unicode, and token edges
+_WORDS = ["alpha", "beta", "gamma", "delta", "x", "longword",
+          "a&b", "<tag>", "x>y", "héllo",
+          "bob@example.com", "555-123-4567"]
 
 
 def _gen_documents(rng: np.random.Generator, n: int = 250) -> pd.DataFrame:
@@ -198,7 +264,8 @@ def _gen_documents(rng: np.random.Generator, n: int = 250) -> pd.DataFrame:
     for i in range(n):
         k = int(rng.integers(0, 40))
         texts.append(" ".join(rng.choice(_WORDS, size=k)) if k else "")
-    langs = rng.choice(["en", "de", "es", "fr", "nl"], size=n)
+    # lang/source domains follow the driver table's shape (TESTDATA.md)
+    langs = rng.choice(["en", "de", "es", "fr", "zh"], size=n)
     # pad a slice of texts to one shared length: duplicate n_chars
     # inside a lang forces the top-k (ORDER BY n_chars DESC, doc_id)
     # tie-break to actually matter
@@ -208,10 +275,60 @@ def _gen_documents(rng: np.random.Generator, n: int = 250) -> pd.DataFrame:
         "doc_id": np.arange(n, dtype="int64"),
         "text": texts,
         "lang": langs,
-        "source": rng.choice(["web", "books", "code"], size=n),
+        "source": "src" + pd.Series(rng.integers(0, 20, size=n)).astype(str),
     })
     df["n_chars"] = df["text"].str.len().astype("int64")
     return df
+
+
+def _gen_embeddings(rng: np.random.Generator, n: int = 150,
+                    dim: int = 64) -> pd.DataFrame:
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs[1] = vecs[0]                      # exact duplicate pair
+    vecs[3] = (vecs[2]                     # near-dup well above 0.9
+               + rng.normal(scale=0.01, size=dim).astype("float32"))
+    vecs[37] = 0.0                         # zero vector (norm-0 edge)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [v for v in vecs],
+        "label": rng.integers(0, 10, size=n).astype("int32"),
+    })
+
+
+def _gen_dims(rng: np.random.Generator, orders: pd.DataFrame,
+              lineitem: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    # cover every order custkey / lineitem suppkey, plus childless keys
+    custkeys = np.unique(np.concatenate(
+        [orders["o_custkey"].to_numpy(), np.array([5000, 5001])]))
+    suppkeys = np.unique(np.concatenate(
+        [lineitem["l_suppkey"].to_numpy(), np.array([5000])]))
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(10, dtype="int32"),
+        "n_name": [f"NATION{i}" for i in range(10)],
+        "n_regionkey": (np.arange(10) % 5).astype("int32"),
+    })
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(5, dtype="int32"),
+        "r_name": [f"REGION{i}" for i in range(5)],
+    })
+    customer = pd.DataFrame({
+        "c_custkey": custkeys.astype("int64"),
+        "c_name": [f"Customer#{k}" for k in custkeys],
+        "c_nationkey": rng.integers(0, 10, size=len(custkeys))
+        .astype("int32"),
+        "c_acctbal": np.round(rng.uniform(-900, 9000, size=len(custkeys)), 2),
+        "c_mktsegment": rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD"],
+                                   size=len(custkeys)),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": suppkeys.astype("int64"),
+        "s_name": [f"Supplier#{k}" for k in suppkeys],
+        "s_nationkey": rng.integers(0, 10, size=len(suppkeys))
+        .astype("int32"),
+        "s_acctbal": np.round(rng.uniform(-900, 9000, size=len(suppkeys)), 2),
+    })
+    return {"nation": nation, "region": region,
+            "customer": customer, "supplier": supplier}
 
 
 def _value_hash(df: pd.DataFrame) -> str:
@@ -233,11 +350,14 @@ def rand_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"randoracle_{request.param}")
     events = _gen_events(rng)
     orders, supp_slot = _gen_orders(rng)
+    lineitem = _gen_lineitem(rng, orders, supp_slot)
     tables = {
         "events": events,
         "orders": orders,
-        "lineitem": _gen_lineitem(rng, orders, supp_slot),
+        "lineitem": lineitem,
         "documents": _gen_documents(rng),
+        "embeddings": _gen_embeddings(rng),
+        **_gen_dims(rng, orders, lineitem),
     }
     for name, df in tables.items():
         df.to_parquet(d / f"{name}.parquet", index=False)
@@ -245,13 +365,11 @@ def rand_dir(request, tmp_path_factory):
     for name in tables:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                 f"read_parquet('{d}/{name}.parquet')")
-    yield str(d), con
+    yield request.param, str(d), con
     con.close()
 
 
-@pytest.mark.parametrize("query", QUERIES)
-def test_randomized_oracle(query, rand_dir, ray_session):
-    sf_dir, con = rand_dir
+def _compare(query, sf_dir, con):
     ray_df = entrymod.queries()[query](sf_dir)
     import ray.data as rd
     if isinstance(ray_df, rd.Dataset):
@@ -271,3 +389,17 @@ def test_randomized_oracle(query, rand_dir, ray_session):
         f"ray head:\n{ray_df.sort_values(sorted(ray_df.columns)).head(8)}\n"
         f"oracle head:\n"
         f"{oracle_df.sort_values(sorted(oracle_df.columns)).head(8)}")
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_randomized_oracle(query, rand_dir, ray_session):
+    seed, sf_dir, con = rand_dir
+    _compare(query, sf_dir, con)
+
+
+@pytest.mark.parametrize("query", QUERIES_WIDE)
+def test_randomized_oracle_wide(query, rand_dir, ray_session):
+    seed, sf_dir, con = rand_dir
+    if seed != SEEDS[0]:
+        pytest.skip("wide registry runs on one adversarial seed")
+    _compare(query, sf_dir, con)
