@@ -161,7 +161,12 @@ def _gen_events(rng: np.random.Generator) -> pd.DataFrame:
     df["ts"] = _EPOCH + pd.to_timedelta(df.pop("off_s"), unit="s")
     df["event_type"] = rng.choice(["click", "view", "buy"], size=len(df))
     df["value"] = np.round(rng.uniform(0, 100, size=len(df)), 2)
-    df["props"] = rng.choice(["a=1", "b=2", ""], size=len(df))
+    # JSON sidecar in the driver table's shape plus whitespace variants,
+    # negatives, a missing key and plain junk — props_stats must agree
+    # with its oracle's regex contract on all of them
+    props_pool = np.array(['{"k": 87}', '{"k": -5}', '{ "k" :  12 }',
+                           '{"j": 3}', "", "a=1"], dtype=object)
+    df["props"] = rng.choice(props_pool, size=len(df))
     df["user_id"] = df["user_id"].astype("int64")
     return df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
 
