@@ -2217,6 +2217,55 @@ case("five-digit year still sniffs xsd:date", "html",
      [[B + "#s", EX + "p", f'"12345-01-02"^^{XSD}date']])
 
 
+# --- rawtext/RCDATA islands inside literals; IRI resolution corners ----
+
+case("script content is raw text inside a property literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p"><script>if(a<b)x()</script>!</span>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"if(a<b)x()!"']])
+
+case("style content is raw text inside a property literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:p"><style>a>b{color:red}</style>t</div>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"a>b{color:red}t"']])
+
+case("a mismatched end tag does not close <script>", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p">'
+     '<script>a</scripty>b</script>c</span></body></html>',
+     [[B + "#s", EX + "p", '"a</scripty>bc"']])
+
+case("textarea RCDATA decodes entities but keeps tags literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<textarea about="#s" property="ex:p">&amp;<b>x</b></textarea>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"&<b>x</b>"']])
+
+case("newline-separated @prefix declaration still maps", "html",
+     f'<html><body prefix="ex:\n{EX}">'
+     '<span about="#s" property="ex:p">x</span></body></html>',
+     [[B + "#s", EX + "p", '"x"']])
+
+case("dot-dot segments beyond the root are dropped (RFC 3986)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="../../up" property="ex:p">x</div></body></html>',
+     [["http://rdfa.example.org/up", EX + "p", '"x"']])
+
+case("network-path reference keeps the base scheme", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="//other.example.net/p" property="ex:p">x</div>'
+     '</body></html>',
+     [["http://other.example.net/p", EX + "p", '"x"']])
+
+case("empty @datetime emits an empty plain literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" datetime="">x</time>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '""']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
