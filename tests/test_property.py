@@ -541,3 +541,41 @@ def test_tolerant_recovery_not_set_by_decoded_entities():
     _, stk = _parse_tk('x<!-->y<span property="dc:t">v</span>',
                        HtmlTokenizer)
     assert stk.tolerant_recovery
+
+
+def test_deep_nesting_is_iterative():
+    """5000-deep nested RDFa must complete without recursion limits —
+    the evaluator's active-tag state is an explicit list-of-frames
+    stack, not call recursion (the reference inherits this from
+    htmlparser2's event loop; RdfaParser.ts:87 onTagOpen is likewise
+    iterative per event)."""
+    depth = 5000
+    doc = ('<html><body prefix="ex: http://ex.org/">'
+           + '<div about="#s" property="ex:p">' * depth
+           + "x" + "</div>" * depth + "</body></html>")
+    p = RdfaParser(base_iri="http://e.org/")
+    p.write(doc)
+    p.end()
+    # one literal per level; every level's captured text is the same
+    # concatenated inner text "x"
+    assert len(p.triples) == depth
+    assert {str(t[2]) for t in p.triples} == {'"x"'}
+
+
+def test_deep_xmlliteral_capture_stays_linear_enough():
+    """A 1000-deep XMLLiteral capture serializes the whole subtree into
+    one literal (markup preserved) without blowing up: guards the
+    text-segment merge in onTagClose against accidental quadratic
+    copying regressions."""
+    depth = 1000
+    doc = ('<html><body prefix="ex: http://ex.org/ '
+           'rdf: http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+           '<div about="#s" property="ex:p" datatype="rdf:XMLLiteral">'
+           + "<b>" * depth + "x" + "</b>" * depth + "</div></body></html>")
+    p = RdfaParser(base_iri="http://e.org/")
+    p.write(doc)
+    p.end()
+    assert len(p.triples) == 1
+    val = p.triples[0][2].value
+    # every captured opening tag carries the xmlns injection
+    assert val.count("<b ") == depth and val.count("</b>") == depth

@@ -364,8 +364,14 @@ def rand_dir(request, tmp_path_factory):
         "embeddings": _gen_embeddings(rng),
         **_gen_dims(rng, orders, lineitem),
     }
+    # every second seed writes TINY row groups: Ray's parquet reader
+    # splits blocks on row-group boundaries, so the same pipelines run
+    # multi-block — partial aggregates, local-top-k combiners and merge
+    # tie-breaks all cross block boundaries instead of degenerating to
+    # one block per table
+    kw = {"row_group_size": 32} if request.param % 2 == 0 else {}
     for name, df in tables.items():
-        df.to_parquet(d / f"{name}.parquet", index=False)
+        df.to_parquet(d / f"{name}.parquet", index=False, **kw)
     con = duckdb.connect()
     for name in tables:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
@@ -391,6 +397,8 @@ def _compare(query, sf_dir, con):
     assert sorted(ray_df.columns) == sorted(oracle_df.columns)
     assert _value_hash(ray_df) == _value_hash(oracle_df), (
         f"{query}: value mismatch on randomized input\n"
+        f"ray dtypes: {ray_df.dtypes.to_dict()}\n"
+        f"oracle dtypes: {oracle_df.dtypes.to_dict()}\n"
         f"ray head:\n{ray_df.sort_values(sorted(ray_df.columns)).head(8)}\n"
         f"oracle head:\n"
         f"{oracle_df.sort_values(sorted(oracle_df.columns)).head(8)}")
