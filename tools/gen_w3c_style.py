@@ -2266,6 +2266,66 @@ case("empty @datetime emits an empty plain literal", "html",
      [[B + "#s", EX + "p", '""']])
 
 
+# --- chaining via resource/href; core profile; feature overrides ------
+
+case("xmlns: prefix mapping works in the html5 profile too", "html",
+     f'<html xmlns:ex="{EX}"><body>'
+     '<span about="#s" property="ex:p">x</span></body></html>',
+     [[B + "#s", EX + "p", '"x"']])
+
+case("@resource consumed by @property (no @typeof) does NOT chain: "
+     "children stay on the @about subject", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:p" resource="#o">'
+     '<span property="ex:q">v</span></div></body></html>',
+     [[B + "#s", EX + "p", B + "#o"],
+      [B + "#s", EX + "q", '"v"']])
+
+case("@href consumed by @property (no @typeof) does NOT chain either",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" property="ex:p" href="http://o.org/">'
+     '<span property="ex:q">v</span></a></body></html>',
+     [[B + "#s", EX + "p", "http://o.org/"],
+      [B + "#s", EX + "q", '"v"']])
+
+case("<base> has no effect in the core profile (baseTag off)", "core",
+     f'<html><head><base href="http://moved.example.org/"/></head>'
+     f'<body prefix="{PREFIXES}">'
+     '<span about="#s" property="ex:p">x</span></body></html>',
+     [[B + "#s", EX + "p", '"x"']],
+     label="core")
+
+case("core profile: <time> text is not sniffed and @datetime is ignored",
+     "core",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" datetime="2012-03-18">2015</time>'
+     '</body></html>',
+     [[B + "#s", EX + "p", '"2015"']],
+     label="core")
+
+_HTML_FEATURES_PLUS_SKIP = {
+    "baseTag": True, "langAttribute": True,
+    "onlyAllowUriRelRevIfProperty": True,
+    "inheritSubjectInHeadBody": True, "datetimeAttribute": True,
+    "timeTag": True, "htmlDatatype": True, "copyRdfaPatterns": True,
+    "xmlnsPrefixMappings": True, "roleAttribute": True,
+    "skipHandlingXmlLiteralChildren": True,
+}
+
+case("skipHandlingXmlLiteralChildren suppresses nested RDFa inside an "
+     "XMLLiteral capture (markup still serialized)", "html",
+     f'<html><body prefix="{PREFIXES} rdf: {RDF}">'
+     '<div about="#s" property="ex:p" datatype="rdf:XMLLiteral">t '
+     '<span property="ex:q">inner</span></div></body></html>',
+     [[B + "#s", EX + "p",
+       '"t <span property="ex:q" xmlns:dc="http://purl.org/dc/terms/" '
+       'xmlns:ex="http://example.org/vocab#" '
+       'xmlns:foaf="http://xmlns.com/foaf/0.1/" '
+       f'xmlns:rdf="{RDF}">inner</span>"^^{RDF}XMLLiteral']],
+     features=_HTML_FEATURES_PLUS_SKIP)
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
