@@ -3034,3 +3034,29 @@ def test_tfidf_kernel_empty_preserves_id_dtype():
     assert list(out2.columns) == ["doc_id", "term", "tf", "df",
                                   "score_scaled"]
     assert len(out2) == 0
+
+
+def test_local_topk_tie_stability():
+    """Regression pin for the randomized-differential finding: the
+    batch-local top-k combiner must keep the LOWEST ids when scores tie
+    at the k boundary (argpartition kept an arbitrary subset, so the
+    global merge — which tie-breaks correctly — never saw the dropped
+    lower-id candidate).  Also covers the all-equal column produced by
+    a zero-norm query vector."""
+    import numpy as np
+
+    from rdfa_streaming_parser_js_ray.stages.ann import _local_topk
+
+    ids = np.array([50, 10, 30, 20, 40], dtype=np.int64)
+    # tie at the boundary: three 0.9 scores competing for two slots
+    col = np.array([0.9, 0.5, 0.9, 0.9, 0.1])
+    top = _local_topk(col, ids, 3)
+    assert [ids[i] for i in top] == [20, 30, 50]
+    # all-equal (zero-norm query): k lowest ids, ascending
+    col = np.zeros(5)
+    top = _local_topk(col, ids, 2)
+    assert [ids[i] for i in top] == [10, 20]
+    # k >= n returns every row, still (score DESC, id ASC)
+    col = np.array([0.1, 0.2, 0.2, 0.0, 0.3])
+    top = _local_topk(col, ids, 99)
+    assert [ids[i] for i in top] == [40, 10, 30, 50, 20]
