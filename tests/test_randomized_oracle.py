@@ -395,13 +395,20 @@ def _compare(query, sf_dir, con):
         # stops at the row-count agreement
         return
     assert sorted(ray_df.columns) == sorted(oracle_df.columns)
-    assert _value_hash(ray_df) == _value_hash(oracle_df), (
-        f"{query}: value mismatch on randomized input\n"
-        f"ray dtypes: {ray_df.dtypes.to_dict()}\n"
-        f"oracle dtypes: {oracle_df.dtypes.to_dict()}\n"
-        f"ray head:\n{ray_df.sort_values(sorted(ray_df.columns)).head(8)}\n"
-        f"oracle head:\n"
-        f"{oracle_df.sort_values(sorted(oracle_df.columns)).head(8)}")
+    if _value_hash(ray_df) != _value_hash(oracle_df):
+        err = AssertionError(
+            f"{query}: value mismatch on randomized input\n"
+            f"ray dtypes: {ray_df.dtypes.to_dict()}\n"
+            f"oracle dtypes: {oracle_df.dtypes.to_dict()}\n"
+            f"ray head:\n"
+            f"{ray_df.sort_values(sorted(ray_df.columns)).head(8)}\n"
+            f"oracle head:\n"
+            f"{oracle_df.sort_values(sorted(oracle_df.columns)).head(8)}")
+        # the FAILED frames ride along so a nondeterministic mismatch
+        # can be dumped by the caller (re-running the query would
+        # observe a fresh, likely-correct result)
+        err.ray_df, err.oracle_df = ray_df, oracle_df
+        raise err
 
 
 @pytest.mark.parametrize("query", QUERIES)

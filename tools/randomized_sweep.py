@@ -73,10 +73,21 @@ def main() -> int:
         for name in tables:
             con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                     f"read_parquet('{d}/{name}.parquet')")
+        def dump(q, tag, exc):
+            """Write the FAILED frames (attached by _compare) to CSV —
+            the only usable evidence for a nondeterministic mismatch."""
+            for side in ("ray_df", "oracle_df"):
+                df = getattr(exc, side, None)
+                if df is not None:
+                    path = f"/tmp/sweep_fail_{s}_{q}_{tag}_{side}.csv"
+                    df.to_csv(path, index=False)
+                    print(f"dumped {path}", file=sys.stderr)
+
         for q in queries:
             try:
                 _compare(q, d, con)
             except AssertionError as exc:
+                dump(q, "first", exc)
                 # retry once: classifies scheduling-dependent flakes
                 # (e.g. empty-block dtype artifacts) vs stable
                 # semantic divergences — both are findings, but they
@@ -87,6 +98,7 @@ def main() -> int:
                                      "transient": True,
                                      "err": str(exc)[:700]})
                 except AssertionError as exc2:
+                    dump(q, "retry", exc2)
                     failures.append({"seed": s, "query": q,
                                      "transient": False,
                                      "err": str(exc2)[:700]})
