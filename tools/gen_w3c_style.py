@@ -2326,6 +2326,40 @@ case("skipHandlingXmlLiteralChildren suppresses nested RDFa inside an "
      features=_HTML_FEATURES_PLUS_SKIP)
 
 
+# --- vocab/prefix value grammar (Util.ts:16,52-80; emitTriple gate) ----
+
+case("relative @vocab: terms expand but every triple fails the "
+     "emit validity gate (no colon)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div vocab="foo/" about="#s" property="bar">x</div></body></html>',
+     [])
+
+case("prefix mapped to a relative IRI: CURIEs resolve against the "
+     "document base after expansion (@property)", "html",
+     '<html><body prefix="rel: doc2#">'
+     '<span about="#s" property="rel:x">v</span></body></html>',
+     [[B + "#s", "http://rdfa.example.org/doc2#x", '"v"']])
+
+case("prefix mapped to a relative IRI resolves in @about too", "html",
+     f'<html><body prefix="rel: doc2# {PREFIXES}">'
+     '<div about="rel:x" property="ex:p">v</div></body></html>',
+     [["http://rdfa.example.org/doc2#x", EX + "p", '"v"']])
+
+case("the ':' default prefix stays xhv even when a bare xmlns "
+     "declares an empty-prefix mapping (expandPrefixedTerm "
+     "special-cases '' before any lookup)", "html",
+     '<html><body>'
+     '<div xmlns="http://d.org/ns#" about="#s" property=":p">x</div>'
+     '</body></html>',
+     [[B + "#s", XHV + "p", '"x"']])
+
+case("a colon-less term that equals a declared prefix NAME expands to "
+     "that namespace IRI (term branch, lowercased lookup)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<span about="#s" property="EX">v</span></body></html>',
+     [[B + "#s", EX, '"v"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
