@@ -2398,17 +2398,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rn <= 3
         """,
         "sessionize": """
+            -- both windows MUST share a fully deterministic order
+            -- (ts, event_id): with duplicate timestamps and ORDER BY ts
+            -- alone, DuckDB's two window scans may pick DIFFERENT tie
+            -- orders under parallel execution, attaching the session-
+            -- break flags to the wrong tied rows — a scheduling-
+            -- dependent oracle flake the randomized sweep caught (the
+            -- Ray pipeline was right; session CONTENTS are tie-order-
+            -- invariant once both windows agree)
             WITH o AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
                                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id, ts,
-                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id_raw
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_id_raw
               FROM o)
             SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id,
                    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
