@@ -2360,6 +2360,40 @@ case("a colon-less term that equals a declared prefix NAME expands to "
      [[B + "#s", EX, '"v"']])
 
 
+# --- IRI validity-gate corners (Util.ts:32 IRI_REGEX) ------------------
+
+case("digit-leading scheme is no scheme at all: the value resolves as "
+     "a RELATIVE reference against the base", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="1http://x.org/y" property="ex:p">v</div></body></html>',
+     [["http://rdfa.example.org/1http://x.org/y", EX + "p", '"v"']])
+
+case("underscore-prefixed scheme (not a bare bnode, prefix undeclared) "
+     "also resolves as a relative reference", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="_x:y" property="ex:p">v</div></body></html>',
+     [["http://rdfa.example.org/_x:y", EX + "p", '"v"']])
+
+case("curly brace makes @resource invalid; @href takes over as the "
+     "property object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" property="ex:p" resource="http://x.org/{t}" '
+     'href="#o">v</a></body></html>',
+     [[B + "#s", EX + "p", B + "#o"]])
+
+case("a literal tab inside an IRI is allowed by the validity gate "
+     "(only space is excluded)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="http://x.org/a\tb" property="ex:p">v</div>'
+     '</body></html>',
+     [["http://x.org/a\tb", EX + "p", '"v"']])
+
+case("non-ASCII characters are valid in @href", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" href="http://x.org/π">v</a></body></html>',
+     [[B + "#s", EX + "r", "http://x.org/π"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
