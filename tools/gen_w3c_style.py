@@ -2394,6 +2394,44 @@ case("non-ASCII characters are valid in @href", "html",
      [[B + "#s", EX + "r", "http://x.org/π"]])
 
 
+# --- text propagation; attribute PRESENCE (not value) gates ------------
+
+case("nested @property elements: inner text feeds both literals", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:o">A<span property="ex:i">B</span>C'
+     '</div></body></html>',
+     [[B + "#s", EX + "i", '"B"'],
+      [B + "#s", EX + "o", '"ABC"']])
+
+case("inner @content consumes the inner predicate but its element text "
+     "still feeds the outer literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:o">A'
+     '<span property="ex:i" content="X">B</span>C</div></body></html>',
+     [[B + "#s", EX + "i", '"X"'],
+      [B + "#s", EX + "o", '"ABC"']])
+
+case("time sniffing applies to tag-stripped text (markup inside <time>)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p"><b>2015</b></time></body></html>',
+     [[B + "#s", EX + "p", f'"2015"^^{XSD}gYear']])
+
+case("html5: a colon-less @rel next to @property is DELETED "
+     "(onlyAllowUriRelRevIfProperty), so @property takes the href "
+     "object", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" property="ex:p" rel="" href="#o">x</a></body></html>',
+     [[B + "#s", EX + "p", B + "#o"]])
+
+case("xml profile: empty @rel STAYS present (feature off) and gates "
+     "@property back to the text literal", "xml",
+     f'<svg xmlns="http://www.w3.org/2000/svg" prefix="{PREFIXES}">'
+     '<a about="#s" property="ex:p" rel="" href="#o">x</a></svg>',
+     [[B + "#s", EX + "p", '"x"']],
+     label="svg")
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
