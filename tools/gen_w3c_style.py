@@ -2432,6 +2432,33 @@ case("xml profile: empty @rel STAYS present (feature off) and gates "
      label="svg")
 
 
+# --- initial-context long tail (lib/initial-context.json parity) -------
+
+case("initial-context og prefix needs no declaration", "html",
+     '<html><body>'
+     '<meta about="#s" property="og:title" content="T"/></body></html>',
+     [[B + "#s", "http://ogp.me/ns#title", '"T"']])
+
+case("initial-context skos prefix works in @typeof", "html",
+     '<html><body><div about="#s" typeof="skos:Concept"></div>'
+     '</body></html>',
+     [[B + "#s", RDF + "type",
+       "http://www.w3.org/2004/02/skos/core#Concept"]])
+
+case("initial-context term describedby resolves in @rel", "html",
+     '<html><body><a about="#s" rel="describedby" href="#o">x</a>'
+     '</body></html>',
+     [[B + "#s", "http://www.w3.org/2007/05/powder-s#describedby",
+       B + "#o"]])
+
+case("initial-context term lookup is case-insensitive (DESCRIBEDBY)",
+     "html",
+     '<html><body><a about="#s" rel="DESCRIBEDBY" href="#o">x</a>'
+     '</body></html>',
+     [[B + "#s", "http://www.w3.org/2007/05/powder-s#describedby",
+       B + "#o"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
