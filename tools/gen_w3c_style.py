@@ -2459,6 +2459,72 @@ case("initial-context term lookup is case-insensitive (DESCRIBEDBY)",
        B + "#o"]])
 
 
+# --- @src resolution chain + attribute-TRUTHINESS fallthroughs ---------
+# The reference resolves subjects/objects via JS `attributes.a || b`
+# (lib/RdfaParser.ts:191,305,318,322), so an EMPTY attribute value falls
+# through to the next attribute in branch 5.2 — while branch 5.1 tests
+# `'about' in attributes` and does NOT fall through.  Pin both sides.
+
+case("@src supplies the new subject in 5.2 (content forces the branch)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<img src="img.png" property="ex:p" content="X"/></body></html>',
+     [[B.rsplit("/", 1)[0] + "/img.png", EX + "p", '"X"']])
+
+case("@typeof with @src redirects @property to the src resource", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<img property="ex:p" typeof="ex:T" src="i.png"/></body></html>',
+     [[B.rsplit("/", 1)[0] + "/i.png", RDF + "type", EX + "T"],
+      [B, EX + "p", B.rsplit("/", 1)[0] + "/i.png"]])
+
+case("@href takes precedence over @src on the object side", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" href="h.html" src="s.png">x</a>'
+     '</body></html>',
+     [[B + "#s", EX + "r", B.rsplit("/", 1)[0] + "/h.html"]])
+
+case("head @property+@typeof: typedResource inherits the head subject "
+     "(inheritSubjectInHeadBody in the 5.1 type cascade)", "html",
+     f'<html prefix="{PREFIXES}">'
+     '<head property="ex:p" typeof="ex:T"><title>T</title></head></html>',
+     [[B, RDF + "type", EX + "T"],
+      [B, EX + "p", B]])
+
+case("@property+@content+@typeof makes a typed bnode carrying the "
+     "literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div property="ex:p" content="X" typeof="ex:T"></div></body></html>',
+     [["_:b0", RDF + "type", EX + "T"],
+      ["_:b0", EX + "p", '"X"']])
+
+case("empty @about falls through to @resource in 5.2 (JS || truthiness)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="" resource="#r" property="ex:p" content="X"></div>'
+     '</body></html>',
+     [[B + "#r", EX + "p", '"X"']])
+
+case("empty @about in 5.1 resolves to base — no resource fallthrough "
+     "('about' in attributes, not truthiness)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="" resource="#r" property="ex:p">v</div></body></html>',
+     [[B, EX + "p", B + "#r"]])
+
+case("empty @href falls through to @src for the 5.2 subject", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a href="" src="s.png" property="ex:p" content="X">x</a>'
+     '</body></html>',
+     [[B.rsplit("/", 1)[0] + "/s.png", EX + "p", '"X"']])
+
+case("@about+@resource+@datatype: typed literal stays on the about "
+     "subject; @resource is ignored entirely (datatype suppresses the "
+     "resource-object cascade)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" resource="#r" property="ex:p" datatype="ex:dt">v'
+     '</div></body></html>',
+     [[B + "#s", EX + "p", f'"v"^^{EX}dt']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
