@@ -2525,6 +2525,63 @@ case("@about+@resource+@datatype: typed literal stays on the about "
      [[B + "#s", EX + "p", f'"v"^^{EX}dt']])
 
 
+# --- language truthiness, constructor-vocab restore, the '' profile, ----
+# --- and xml:base scope interaction with skip-elements ------------------
+
+case("empty xml:lang falls through to @lang for the value (the gate "
+     "tests xml:lang PRESENCE, the value uses || truthiness)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div xml:lang="" lang="fr" property="ex:p">v</div></body></html>',
+     [[B, EX + "p", '"v"@fr']])
+
+case("empty @vocab restores the CONSTRUCTOR vocab, not no-vocab "
+     "(RdfaParser.ts:235-236 falls back to the root tag's vocab)", "html",
+     '<html><body><div vocab="http://other.org/ns#">'
+     '<span vocab="" property="p">v</span></div></body></html>',
+     [[B, RDFA + "usesVocabulary", "http://other.org/ns#"],
+      [B, "http://ctor.example.org/ns#p", '"v"']],
+     vocab="http://ctor.example.org/ns#")
+
+case("unknown-profile '' feature set: xhv term, @datetime and @role "
+     "are all active at once", "",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="next" href="#o">n</a>'
+     '<time about="#s" property="ex:d" datetime="2020-01-02">x</time>'
+     '<div id="w" role="banner">r</div></body></html>',
+     [[B + "#s", XHV + "next", B + "#o"],
+      [B + "#s", EX + "d", f'"2020-01-02"^^{XSD}date'],
+      [B + "#w", XHV + "role", XHV + "banner"]],
+     label="default")
+
+case("unknown-profile '' feature set honors the <base> tag", "",
+     '<html><head><base href="http://based.example.org/x"/></head>'
+     f'<body prefix="{PREFIXES}">'
+     '<span about="#f" property="ex:p">v</span></body></html>',
+     [["http://based.example.org/x#f", EX + "p", '"v"']],
+     label="default")
+
+case("xml:base on a SKIP-element is lost for children (the skip-parent "
+     "context copy restores lang/prefixes/vocab only, "
+     "RdfaParser.ts:95-104)", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'prefix="ex: http://example.org/vocab#">'
+     '<g xml:base="http://alt.example.org/dir/">'
+     '<text about="rel.html" property="ex:p">v</text></g></svg>',
+     [[B.rsplit("/", 1)[0] + "/rel.html", EX + "p", '"v"']],
+     label="svg")
+
+case("xml:base on a non-skipped element applies to its own @about and "
+     "scopes its children", "xml",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'prefix="ex: http://example.org/vocab#">'
+     '<g xml:base="http://alt.example.org/dir/" about="own.html" '
+     'property="ex:o">'
+     '<text about="rel.html" property="ex:p">v</text></g></svg>',
+     [["http://alt.example.org/dir/own.html", EX + "o", '"v"'],
+      ["http://alt.example.org/dir/rel.html", EX + "p", '"v"']],
+     label="svg")
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
