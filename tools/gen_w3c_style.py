@@ -2582,6 +2582,27 @@ case("xml:base on a non-skipped element applies to its own @about and "
      label="svg")
 
 
+case("@content beats @datetime, and a non-time carrier gets NO "
+     "datatype sniffing (content branch never sets "
+     "interpretObjectAsTime)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:p" content="2020-01-02" '
+     'datetime="2030-05-05">t</div></body></html>',
+     [[B + "#s", EX + "p", '"2020-01-02"']])
+
+case("@datetime with @inlist builds an rdf list of sniffed time "
+     "literals", "html",
+     f'<html><body prefix="{PREFIXES}"><div about="#s">'
+     '<time property="ex:p" inlist="" datetime="2020-01-02">a</time>'
+     '<time property="ex:p" inlist="" datetime="2021-03-04">b</time>'
+     '</div></body></html>',
+     [["_:l0", RDF + "first", f'"2020-01-02"^^{XSD}date'],
+      ["_:l0", RDF + "rest", "_:l1"],
+      ["_:l1", RDF + "first", f'"2021-03-04"^^{XSD}date'],
+      ["_:l1", RDF + "rest", RDF + "nil"],
+      [B + "#s", EX + "p", "_:l0"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
