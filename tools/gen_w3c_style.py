@@ -2603,6 +2603,47 @@ case("@datetime with @inlist builds an rdf list of sniffed time "
       [B + "#s", EX + "p", "_:l0"]])
 
 
+# --- pattern/copy trigger EXACT-string matching (RdfaParser.ts:176,190) -
+
+case("multi-valued @typeof including rdfa:Pattern is NOT a pattern "
+     "(the trigger is an exact string compare)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern ex:T"><span property="ex:p">v</span>'
+     '</div></body></html>',
+     [["_:b0", RDF + "type", RDFA + "Pattern"],
+      ["_:b0", RDF + "type", EX + "T"],
+      ["_:b0", EX + "p", '"v"']])
+
+case("full-IRI @typeof rdfa#Pattern is NOT a pattern either", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="http://www.w3.org/ns/rdfa#Pattern">'
+     '<span property="ex:p">v</span></div></body></html>',
+     [["_:b0", RDF + "type", RDFA + "Pattern"],
+      ["_:b0", EX + "p", '"v"']])
+
+case("rdfa:copy target: empty @resource falls through to @href "
+     "(|| truthiness at RdfaParser.ts:191)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern" resource="#pat">'
+     '<span property="ex:q">Q</span></div>'
+     '<div about="#s"><link property="rdfa:copy" resource="" '
+     'href="#pat"/></div></body></html>',
+     [[B + "#s", EX + "q", '"Q"']])
+
+case("full-IRI @property rdfa#copy is NOT a copy trigger: it emits a "
+     "plain triple and leaves the pattern unreferenced (plain replay)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern" resource="#pat">'
+     '<span property="ex:q">Q</span></div>'
+     '<div about="#s"><link '
+     'property="http://www.w3.org/ns/rdfa#copy" href="#pat"/></div>'
+     '</body></html>',
+     [[B + "#s", RDFA + "copy", B + "#pat"],
+      [B + "#pat", RDF + "type", RDFA + "Pattern"],
+      [B + "#pat", EX + "q", '"Q"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
