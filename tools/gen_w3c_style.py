@@ -2644,6 +2644,13 @@ case("full-IRI @property rdfa#copy is NOT a copy trigger: it emits a "
       [B + "#pat", EX + "q", '"Q"']])
 
 
+case("empty @href falls through to @src on the @rel OBJECT side too "
+     "(RdfaParser.ts:370)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" href="" src="s.png">x</a></body></html>',
+     [[B + "#s", EX + "r", B.rsplit("/", 1)[0] + "/s.png"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
