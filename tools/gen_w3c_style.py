@@ -2651,6 +2651,35 @@ case("empty @href falls through to @src on the @rel OBJECT side too "
      [[B + "#s", EX + "r", B.rsplit("/", 1)[0] + "/s.png"]])
 
 
+# --- time-sniffing regex long tail (Util.ts:17-30) ----------------------
+
+case("bare 'P' sniffs as xsd:duration (every duration group is "
+     "optional)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" datetime="P">x</time>'
+     '</body></html>',
+     [[B + "#s", EX + "p", f'"P"^^{XSD}duration']])
+
+case("date with a Z suffix sniffs as xsd:date", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" datetime="2020-01-02Z">x</time>'
+     '</body></html>',
+     [[B + "#s", EX + "p", f'"2020-01-02Z"^^{XSD}date']])
+
+case("fractional-second dateTime matches NO sniffing regex: plain "
+     "literal", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" '
+     'datetime="2020-01-02T01:02:03.5">x</time></body></html>',
+     [[B + "#s", EX + "p", '"2020-01-02T01:02:03.5"']])
+
+case("time-of-day with a timezone offset sniffs as xsd:time", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<time about="#s" property="ex:p" datetime="01:02:03+05:00">x'
+     '</time></body></html>',
+     [[B + "#s", EX + "p", f'"01:02:03+05:00"^^{XSD}time']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
