@@ -2680,6 +2680,41 @@ case("time-of-day with a timezone offset sniffs as xsd:time", "html",
      [[B + "#s", EX + "p", f'"01:02:03+05:00"^^{XSD}time']])
 
 
+# --- pattern STORAGE id quirks (patterns key on @resource only; -------
+# --- onTagClose deletes typeof/resource, onEnd restores them) ----------
+
+case("a dangling rdfa:copy replays as a plain rdfa#copy triple at the "
+     "end (pending-copy replay runs with copyRdfaPatterns disabled)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s"><link property="rdfa:copy" href="#nope"/></div>'
+     '</body></html>',
+     [[B + "#s", RDFA + "copy", B + "#nope"]])
+
+case("a pattern declared with @about (no @resource) is stored under "
+     "the key 'undefined' and never matches a copy: the copy dangles "
+     "and the pattern replays unreferenced on its about subject",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern" about="#pat">'
+     '<span property="ex:q">Q</span></div>'
+     '<div about="#s"><link property="rdfa:copy" href="#pat"/></div>'
+     '</body></html>',
+     [[B + "#pat", RDF + "type", RDFA + "Pattern"],
+      [B + "#pat", EX + "q", '"Q"'],
+      [B + "#s", RDFA + "copy", B + "#pat"]])
+
+case("two @about-only patterns collide on the 'undefined' storage key: "
+     "the second overwrites the first, whose content VANISHES", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern" about="#p1">'
+     '<span property="ex:a">A</span></div>'
+     '<div typeof="rdfa:Pattern" about="#p2">'
+     '<span property="ex:b">B</span></div></body></html>',
+     [[B + "#p2", RDF + "type", RDFA + "Pattern"],
+      [B + "#p2", EX + "b", '"B"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
