@@ -2715,6 +2715,16 @@ case("two @about-only patterns collide on the 'undefined' storage key: "
       [B + "#p2", EX + "b", '"B"']])
 
 
+case("a literal-emitting child under a PLAIN middle element has its "
+     "text consumed: the outer literal skips it (text resets only "
+     "when the IMMEDIATE parent lacks predicates)", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" property="ex:o">A<span>B<i property="ex:i">C</i>'
+     'D</span>E</div></body></html>',
+     [[B + "#s", EX + "i", '"C"'],
+      [B + "#s", EX + "o", '"ABDE"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
