@@ -2725,6 +2725,24 @@ case("a literal-emitting child under a PLAIN middle element has its "
       [B + "#s", EX + "o", '"ABDE"']])
 
 
+case("one hanging @rel is completed by EVERY descendant subject: two "
+     "siblings (one through a plain middle element) give two triples",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" rel="ex:r"><span><a about="#o1">x</a></span>'
+     '<a about="#o2">y</a></div></body></html>',
+     [[B + "#s", EX + "r", B + "#o1"],
+      [B + "#s", EX + "r", B + "#o2"]])
+
+case("hanging @rel pre-creates a bnode object (RdfaParser.ts:461-462): "
+     "a property-only child chains onto it", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div about="#s" rel="ex:r"><span property="ex:p">text</span>'
+     '</div></body></html>',
+     [[B + "#s", EX + "r", "_:b0"],
+      ["_:b0", EX + "p", '"text"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
