@@ -2743,6 +2743,18 @@ case("hanging @rel pre-creates a bnode object (RdfaParser.ts:461-462): "
       ["_:b0", EX + "p", '"text"']])
 
 
+case("relative prefix expansion in VOCAB mode resolves against the "
+     "FROZEN document base (Util.ts:42,291), while base-mode terms "
+     "follow the <base> override — one triple, three bases", "html",
+     '<html><head><base href="http://based.example.org/dir/"/></head>'
+     '<body prefix="p: rel/">'
+     '<span about="#s" property="p:x" resource="p:y">v</span>'
+     '</body></html>',
+     [["http://based.example.org/dir/#s",
+       B.rsplit("/", 1)[0] + "/rel/x",
+       "http://based.example.org/dir/rel/y"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
