@@ -2755,6 +2755,21 @@ case("relative prefix expansion in VOCAB mode resolves against the "
        "http://based.example.org/dir/rel/y"]])
 
 
+case("an 'xmlns'-prefixed attribute WITHOUT a colon still declares a "
+     "prefix via slice(6): xmlnsabc maps prefix 'bc' (Util.ts:60-61)",
+     "html",
+     '<html><body><div xmlnsabc="http://x.example.org/" '
+     'property="bc:p">v</div></body></html>',
+     [[B, "http://x.example.org/p", '"v"']])
+
+case("PREFIX lookup is case-sensitive (only term lookup lowercases): "
+     "EX:p with only ex declared passes through as the IRI EX:p",
+     "html",
+     '<html><body prefix="ex: http://example.org/vocab#">'
+     '<div about="#s" property="EX:p">v</div></body></html>',
+     [[B + "#s", "EX:p", '"v"']])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
