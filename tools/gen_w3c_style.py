@@ -2770,6 +2770,14 @@ case("PREFIX lookup is case-sensitive (only term lookup lowercases): "
      [[B + "#s", "EX:p", '"v"']])
 
 
+case("@href '_:foo' is NOT a bnode (no CURIE path for href): the "
+     "resolver treats '_' as no scheme and resolves it as a relative "
+     "reference", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" href="_:foo">x</a></body></html>',
+     [[B + "#s", EX + "r", B.rsplit("/", 1)[0] + "/_:foo"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
