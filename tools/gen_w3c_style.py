@@ -2778,6 +2778,16 @@ case("@href '_:foo' is NOT a bnode (no CURIE path for href): the "
      [[B + "#s", EX + "r", B.rsplit("/", 1)[0] + "/_:foo"]])
 
 
+case("core profile: head @property+@typeof types a FRESH bnode "
+     "(inheritSubjectInHeadBody off — contrast with the html5 pin)",
+     "core",
+     '<html prefix="ex: http://example.org/vocab#">'
+     '<head property="ex:p" typeof="ex:T"><title>T</title></head></html>',
+     [["_:b0", RDF + "type", EX + "T"],
+      [B, EX + "p", "_:b0"]],
+     label="core")
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
