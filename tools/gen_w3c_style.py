@@ -2788,6 +2788,33 @@ case("core profile: head @property+@typeof types a FRESH bnode "
      label="core")
 
 
+case("pattern-internal bnodes are instantiated ONCE: later copies "
+     "REUSE the first copy's blank nodes (RdfaParser.ts:823-835)",
+     "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<div typeof="rdfa:Pattern" resource="#pat">'
+     '<span rel="ex:r"><span typeof="ex:T"></span></span></div>'
+     '<div about="#a"><link property="rdfa:copy" href="#pat"/></div>'
+     '<div about="#b"><link property="rdfa:copy" href="#pat"/></div>'
+     '</body></html>',
+     [["_:b0", RDF + "type", EX + "T"],
+      [B + "#a", EX + "r", "_:b0"],
+      [B + "#b", EX + "r", "_:b0"]])
+
+case("@rel+@typeof+@href without @about types the OBJECT", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a rel="ex:r" typeof="ex:T" href="#o">x</a></body></html>',
+     [[B + "#o", RDF + "type", EX + "T"],
+      [B, EX + "r", B + "#o"]])
+
+case("@rel+@typeof WITH @about types the SUBJECT instead", "html",
+     f'<html><body prefix="{PREFIXES}">'
+     '<a about="#s" rel="ex:r" typeof="ex:T" href="#o">x</a>'
+     '</body></html>',
+     [[B + "#s", RDF + "type", EX + "T"],
+      [B + "#s", EX + "r", B + "#o"]])
+
+
 def main() -> None:
     out = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "w3c_style.json"
     out.write_text(json.dumps(CASES, indent=1))
