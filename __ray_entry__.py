@@ -1362,6 +1362,191 @@ def q_pricing_summary(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-style shipping priority: the filtered dimension (BUILDING
+    customers) broadcasts once into orders (map-side semi filter — no
+    exchange for the dim side), then orders x lineitem is a partitioned
+    hash join on orderkey, revenue rolls up combiner-first per order, and
+    a distributed sort takes the top 10.  Revenue is exact integer
+    arithmetic — price_cents x (100 - disc_pct) = revenue_e4 — so the
+    DuckDB oracle hash-matches bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join, hash_join
+
+    # data-derived cutoff (min + (max-min)/100, floored to day): one
+    # streaming min/max reduce over the date column — scale-free, and
+    # non-degenerate on any date distribution the oracle sees.  The SQL
+    # twin computes the identical scalar subquery; both sides are exact
+    # because the inputs are day-resolution and the floor kills any
+    # sub-day division residue.
+    dates = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate"]) \
+        .aggregate(Min("o_orderdate"), Max("o_orderdate"))
+    mn = pd.Timestamp(dates["min(o_orderdate)"])
+    mx = pd.Timestamp(dates["max(o_orderdate)"])
+    cutoff = (mn + (mx - mn) / 100).floor("D")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]] \
+        .rename(columns={"c_custkey": "o_custkey"})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"])
+    orders_f = broadcast_join(orders, _pin_broadcast(building),
+                              on="o_custkey", concurrency=2)
+
+    def orders_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["o_orderdate"] < cutoff,
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        return out.rename(columns={"o_orderkey": "orderkey"})
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["l_shipdate"] > cutoff]
+        price_c = (out["l_extendedprice"].to_numpy() * 100) \
+            .round().astype("int64")
+        disc_pct = (out["l_discount"].to_numpy() * 100).round().astype("int64")
+        return pd.DataFrame({"orderkey": out["l_orderkey"].to_numpy(),
+                             "revenue_e4": price_c * (100 - disc_pct)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas")
+    joined = hash_join(li, orders_f.map_batches(orders_prep,
+                                                batch_format="pandas"),
+                       on="orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["orderkey", "o_orderdate", "o_orderpriority"],
+                             as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby(["orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
+        return batch
+    # orderkey is unique per group, so the (revenue, orderkey) sort is a
+    # total order — the top-10 boundary can't flake on ties
+    return out.map_batches(to_int, batch_format="pandas") \
+        .sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-style returned-item revenue: lineitem filters to
+    returnflag='R' and pre-aggregates revenue per order INSIDE the scan
+    batch (combiner-first — the join exchange moves one row per order,
+    not one per line), hash-joins orders for the custkey, rolls up per
+    customer, then the 1.5k-row customer name table broadcasts into the
+    top-20 decoration step."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join, hash_join
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["l_returnflag"] == "R"]
+        price_c = (out["l_extendedprice"].to_numpy() * 100) \
+            .round().astype("int64")
+        disc_pct = (out["l_discount"].to_numpy() * 100).round().astype("int64")
+        per_line = pd.DataFrame({"orderkey": out["l_orderkey"].to_numpy(),
+                                 "revenue_e4": price_c * (100 - disc_pct)})
+        return per_line.groupby("orderkey", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "orderkey"}),
+                     batch_format="pandas")
+    joined = hash_join(li, orders, on="orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+
+    per_cust = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(Sum("revenue_e4",
+                                            alias_name="revenue_e4"))
+
+    names = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"]).to_pandas() \
+        .rename(columns={"c_custkey": "o_custkey"})
+    decorated = broadcast_join(per_cust, _pin_broadcast(names),
+                               on="o_custkey", concurrency=2)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.rename(columns={"o_custkey": "custkey"})
+        batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
+        return batch[["custkey", "c_name", "revenue_e4"]]
+    # custkey is unique after the rollup: a total order for the top-20 cut
+    return decorated.map_batches(finish, batch_format="pandas") \
+        .sort(["revenue_e4", "custkey"], descending=[True, False]).limit(20)
+
+
+def q_nation_revenue(sf_dir: str):
+    """TPC-H-Q5-flavoured supplier-nation revenue: the big fact
+    (lineitem) pre-aggregates revenue per suppkey inside each scan batch,
+    the supplier→nation dimension chain collapses driver-side (10k + 25
+    rows) into ONE broadcast lookup, and the final groupby moves at most
+    n_suppliers tiny rows.  No all-to-all anywhere."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        price_c = (batch["l_extendedprice"].to_numpy() * 100) \
+            .round().astype("int64")
+        disc_pct = (batch["l_discount"].to_numpy() * 100) \
+            .round().astype("int64")
+        per_line = pd.DataFrame({"l_suppkey": batch["l_suppkey"].to_numpy(),
+                                 "revenue_e4": price_c * (100 - disc_pct),
+                                 "n_items": 1})
+        return per_line.groupby("l_suppkey", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas")
+
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+    supp_nation = supplier.merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey") \
+        [["s_suppkey", "n_name"]].rename(columns={"s_suppkey": "l_suppkey"})
+
+    joined = broadcast_join(li, _pin_broadcast(supp_nation),
+                            on="l_suppkey", concurrency=2)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name").aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_items", alias_name="n_items"))
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
+        batch["n_items"] = batch["n_items"].astype("int64")
+        return batch
+    return out.map_batches(to_int, batch_format="pandas")
+
+
 def q_top_terms(sf_dir: str):
     """Distributed heavy hitters: per-batch term-count combiner (the only
     thing crossing the exchange is unique terms per batch) → small global
@@ -1658,6 +1843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "pack_chunks": q_pack_chunks,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "returned_revenue": q_returned_revenue,
+        "nation_revenue": q_nation_revenue,
         "sessionize": q_sessionize,
         "snapshot_diff": q_snapshot_diff,
         "source_summary": q_source_summary,
@@ -2538,6 +2726,49 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 50 = 7
               ) GROUP BY subj)
             SELECT out_degree, COUNT(*) AS n_subjects FROM deg GROUP BY 1
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey AS orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < (SELECT date_trunc('day',
+                    min(o_orderdate) + (max(o_orderdate) - min(o_orderdate))
+                    / 100) FROM orders)
+              AND l_shipdate > (SELECT date_trunc('day',
+                    min(o_orderdate) + (max(o_orderdate) - min(o_orderdate))
+                    / 100) FROM orders)
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, orderkey
+            LIMIT 10
+        """,
+        "returned_revenue": """
+            SELECT o_custkey AS custkey, c_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2
+            ORDER BY revenue_e4 DESC, custkey
+            LIMIT 20
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

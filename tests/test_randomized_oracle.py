@@ -118,6 +118,9 @@ QUERIES_WIDE = [
     "degree_histogram",
     # dimension joins
     "suppliers_by_region",
+    "shipping_priority",
+    "returned_revenue",
+    "nation_revenue",
     "join_broadcast",
     "join_hash",
     "join_semi",
