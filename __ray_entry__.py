@@ -1387,9 +1387,12 @@ def q_shipping_priority(sf_dir: str):
     mn = pd.Timestamp(dates["min(o_orderdate)"])
     mx = pd.Timestamp(dates["max(o_orderdate)"])
     cutoff = (mn + (mx - mn) / 100).floor("D")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    building = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]] \
+    # segment filter pushed into the parquet scan: only BUILDING custkeys
+    # ever leave storage, and only the key column rides the broadcast
+    import pyarrow.dataset as pads
+    building = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING")).to_pandas() \
         .rename(columns={"c_custkey": "o_custkey"})
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
