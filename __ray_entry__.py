@@ -1445,12 +1445,13 @@ def q_returned_revenue(sf_dir: str):
     returnflag='R' and pre-aggregates revenue per order INSIDE the scan
     batch (combiner-first — the join exchange moves one row per order,
     not one per line), hash-joins orders for the custkey, rolls up per
-    customer, then the 1.5k-row customer name table broadcasts into the
-    top-20 decoration step."""
+    customer, cuts the top 20 FIRST, and only then decorates those 20
+    keys with names via a filtered customer read — the dimension never
+    broadcasts whole."""
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
-    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join, hash_join
+    from rdfa_streaming_parser_js_ray.stages.joins import hash_join
 
     def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.loc[batch["l_returnflag"] == "R"]
@@ -1477,23 +1478,29 @@ def q_returned_revenue(sf_dir: str):
         return batch.groupby("o_custkey", as_index=False).agg(
             revenue_e4=("revenue_e4", "sum"))
 
-    per_cust = joined.map_batches(partial, batch_format="pandas") \
-        .groupby("o_custkey").aggregate(Sum("revenue_e4",
-                                            alias_name="revenue_e4"))
-
-    names = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                            columns=["c_custkey", "c_name"]).to_pandas() \
-        .rename(columns={"c_custkey": "o_custkey"})
-    decorated = broadcast_join(per_cust, _pin_broadcast(names),
-                               on="o_custkey", concurrency=2)
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.rename(columns={"o_custkey": "custkey"})
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
         batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
-        return batch[["custkey", "c_name", "revenue_e4"]]
-    # custkey is unique after the rollup: a total order for the top-20 cut
-    return decorated.map_batches(finish, batch_format="pandas") \
-        .sort(["revenue_e4", "custkey"], descending=[True, False]).limit(20)
+        return batch
+
+    # top-20 cut BEFORE decoration (custkey is unique after the rollup,
+    # so the (revenue, custkey) sort is a total order), then only those
+    # 20 keys read back out of the customer table — the name decoration
+    # never broadcasts the full dimension, no matter how big customer is
+    top = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(Sum("revenue_e4",
+                                            alias_name="revenue_e4")) \
+        .map_batches(to_int, batch_format="pandas") \
+        .sort(["revenue_e4", "o_custkey"], descending=[True, False]) \
+        .limit(20).to_pandas()
+
+    import pyarrow.dataset as pads
+    names = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filter=(pads.field("c_custkey").isin(top["o_custkey"].tolist()))) \
+        .to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey") \
+        .rename(columns={"o_custkey": "custkey"})
+    return out[["custkey", "c_name", "revenue_e4"]]
 
 
 def q_nation_revenue(sf_dir: str):
