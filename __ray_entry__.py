@@ -1503,6 +1503,87 @@ def q_returned_revenue(sf_dir: str):
     return out[["custkey", "c_name", "revenue_e4"]]
 
 
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H-Q6-style scalar forecast: multi-predicate filter + global
+    SUM over the biggest fact table, fully map-side — each scan batch
+    reduces to ONE partial row, the exchange moves n_blocks rows, and the
+    result is a single row.  The predicate band (quantity < 25, discount
+    in [0.02, 0.08]) is value-based so it is distribution-free for the
+    randomized oracle."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        disc_pct = (batch["l_discount"].to_numpy() * 100) \
+            .round().astype("int64")
+        m = (batch["l_quantity"].to_numpy() < 25.0) \
+            & (disc_pct >= 2) & (disc_pct <= 8)
+        price_c = (batch.loc[m, "l_extendedprice"].to_numpy() * 100) \
+            .round().astype("int64")
+        rev = price_c * disc_pct[m]
+        return pd.DataFrame({"revenue_e4": [int(rev.sum())],
+                             "n_items": [int(m.sum())]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(partial, batch_format="pandas")
+    out = li.aggregate(Sum("revenue_e4"), Sum("n_items"))
+    return pd.DataFrame({"revenue_e4": [int(out["sum(revenue_e4)"] or 0)],
+                         "n_items": [int(out["sum(n_items)"] or 0)]})
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H-Q18-style large-volume customers: per-order quantity rollup
+    (combiner inside the lineitem scan), HAVING-style threshold filter,
+    then the qualifying order set — small by construction — decorates via
+    broadcast joins into orders and a filtered customer read.  The big
+    side is touched exactly once; no all-to-all."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty_c = (batch["l_quantity"].to_numpy() * 100).round().astype("int64")
+        per = pd.DataFrame({"o_orderkey": batch["l_orderkey"].to_numpy(),
+                            "qty_cents": qty_c})
+        return per.groupby("o_orderkey", as_index=False).agg(
+            qty_cents=("qty_cents", "sum"))
+
+    per_order = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pandas") \
+        .groupby("o_orderkey").aggregate(Sum("qty_cents",
+                                             alias_name="qty_cents"))
+
+    def having(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["qty_cents"] = batch["qty_cents"].round().astype("int64")
+        # > 250 quantity units — like Q18's spec constant, picks the
+        # extreme tail (204 of 14,743 orders at sf0.01), so the
+        # qualifying set broadcast below is small by construction
+        return batch.loc[batch["qty_cents"] > 250 * 100]
+
+    big = per_order.map_batches(having, batch_format="pandas")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    decorated = broadcast_join(orders, _pin_broadcast(
+        big.to_pandas()), on="o_orderkey", concurrency=2)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["price_cents"] = (batch["o_totalprice"] * 100) \
+            .round().astype("int64")
+        return batch[["o_orderkey", "o_custkey", "price_cents",
+                      "qty_cents"]]
+    # o_orderkey is unique: total order for the top-30 cut
+    return decorated.map_batches(finish, batch_format="pandas") \
+        .sort(["qty_cents", "o_orderkey"], descending=[True, False]) \
+        .limit(30)
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H-Q5-flavoured supplier-nation revenue: the big fact
     (lineitem) pre-aggregates revenue per suppkey inside each scan batch,
@@ -1856,6 +1937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "returned_revenue": q_returned_revenue,
         "nation_revenue": q_nation_revenue,
+        "revenue_forecast": q_revenue_forecast,
+        "large_volume_customers": q_large_volume_customers,
         "sessionize": q_sessionize,
         "snapshot_diff": q_snapshot_diff,
         "source_summary": q_source_summary,
@@ -2768,6 +2851,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, custkey
             LIMIT 20
+        """,
+        "revenue_forecast": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_discount * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_quantity < 25
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 2 AND 8
+        """,
+        "large_volume_customers": """
+            WITH per AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) AS qty_cents
+              FROM lineitem GROUP BY 1
+              HAVING CAST(SUM(ROUND(l_quantity * 100)) AS BIGINT) > 25000)
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+                   per.qty_cents
+            FROM per JOIN orders o USING (o_orderkey)
+            ORDER BY per.qty_cents DESC, o.o_orderkey
+            LIMIT 30
         """,
         "nation_revenue": """
             SELECT n_name,

@@ -121,6 +121,12 @@ QUERIES_WIDE = [
     "shipping_priority",
     "returned_revenue",
     "nation_revenue",
+    # revenue_forecast's predicate band is value-based (quantity < 25,
+    # 2 <= disc_pct <= 8), live on any distribution; large_volume_customers
+    # is excluded BY CONTRACT — its Q18-style spec constant (> 250 units)
+    # selects nothing on the random tables' ~3-line orders, and an empty
+    # qualifying set makes the comparison vacuous, not adversarial
+    "revenue_forecast",
     "join_broadcast",
     "join_hash",
     "join_semi",
