@@ -1542,8 +1542,9 @@ def q_large_volume_customers(sf_dir: str):
     side is touched exactly once; no all-to-all."""
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
-    from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join
+    from rdfa_streaming_parser_js_ray.stages.joins import (
+        broadcast_join, bucketed_fold,
+    )
 
     def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
         qty_c = (batch["l_quantity"].to_numpy() * 100).round().astype("int64")
@@ -1552,20 +1553,23 @@ def q_large_volume_customers(sf_dir: str):
         return per.groupby("o_orderkey", as_index=False).agg(
             qty_cents=("qty_cents", "sum"))
 
-    per_order = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                                columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(li_partial, batch_format="pandas") \
-        .groupby("o_orderkey").aggregate(Sum("qty_cents",
-                                             alias_name="qty_cents"))
+    # per-key sum + HAVING fused into one bucketed fold (int-hash bucket
+    # exchange — the repo's measured ~10× alternative to a sort groupby;
+    # the HAVING filter is per-key-correct because a bucket holds every
+    # partial of each key).  > 250 quantity units, like Q18's spec
+    # constant, picks the extreme tail (204 of 14,743 orders at sf0.01),
+    # so the qualifying set stays broadcast-small by construction.
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("o_orderkey", as_index=False).agg(
+            qty_cents=("qty_cents", "sum"))
+        agg["qty_cents"] = agg["qty_cents"].astype("int64")
+        return agg.loc[agg["qty_cents"] > 250 * 100]
 
-    def having(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["qty_cents"] = batch["qty_cents"].round().astype("int64")
-        # > 250 quantity units — like Q18's spec constant, picks the
-        # extreme tail (204 of 14,743 orders at sf0.01), so the
-        # qualifying set broadcast below is small by construction
-        return batch.loc[batch["qty_cents"] > 250 * 100]
-
-    big = per_order.map_batches(having, batch_format="pandas")
+    big = bucketed_fold(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pandas"),
+        "o_orderkey", fold, num_buckets=32)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
@@ -1578,10 +1582,12 @@ def q_large_volume_customers(sf_dir: str):
             .round().astype("int64")
         return batch[["o_orderkey", "o_custkey", "price_cents",
                       "qty_cents"]]
-    # o_orderkey is unique: total order for the top-30 cut
-    return decorated.map_batches(finish, batch_format="pandas") \
-        .sort(["qty_cents", "o_orderkey"], descending=[True, False]) \
-        .limit(30)
+    # the join output is qualifying-set-sized (~204 rows), so the top-30
+    # cut finishes driver-side; o_orderkey is unique → total order
+    out = decorated.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values(["qty_cents", "o_orderkey"],
+                           ascending=[False, True]).head(30) \
+        .reset_index(drop=True)
 
 
 def q_nation_revenue(sf_dir: str):
