@@ -1372,7 +1372,7 @@ def q_shipping_priority(sf_dir: str):
     DuckDB oracle hash-matches bit-for-bit."""
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Max, Min
     from rdfa_streaming_parser_js_ray.stages.joins import broadcast_join, hash_join
 
     # data-derived cutoff (min + (max-min)/100, floored to day): one
@@ -1422,22 +1422,32 @@ def q_shipping_priority(sf_dir: str):
                                                 batch_format="pandas"),
                        on="orderkey")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(["orderkey", "o_orderdate", "o_orderpriority"],
-                             as_index=False).agg(
+    # per-order revenue rollup as a bucketed fold on the int orderkey
+    # (orderdate/priority are functionally dependent on it, so grouping
+    # all three inside the fold is per-key-correct), then a bounded
+    # global top-10: a per-block top-10 combiner caps the driver pull at
+    # 10 × n_blocks rows regardless of corpus size.  orderkey is unique
+    # per group → the (revenue, orderkey) sort is a total order and the
+    # boundary can't flake on ties.
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["orderkey", "o_orderdate", "o_orderpriority"],
+                            as_index=False).agg(
             revenue_e4=("revenue_e4", "sum"))
+        agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
+        return agg
 
-    out = joined.map_batches(partial, batch_format="pandas") \
-        .groupby(["orderkey", "o_orderdate", "o_orderpriority"]) \
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+    per_order = bucketed_fold(joined, "orderkey", fold, num_buckets=32)
 
-    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
-        return batch
-    # orderkey is unique per group, so the (revenue, orderkey) sort is a
-    # total order — the top-10 boundary can't flake on ties
-    return out.map_batches(to_int, batch_format="pandas") \
-        .sort(["revenue_e4", "orderkey"], descending=[True, False]).limit(10)
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["revenue_e4", "orderkey"],
+                                 ascending=[False, True]).head(10)
+
+    top = per_order.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas()
+    return top.sort_values(["revenue_e4", "orderkey"],
+                           ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
 
 
 def q_returned_revenue(sf_dir: str):
@@ -1450,7 +1460,6 @@ def q_returned_revenue(sf_dir: str):
     broadcasts whole."""
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
     from rdfa_streaming_parser_js_ray.stages.joins import hash_join
 
     def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1478,20 +1487,33 @@ def q_returned_revenue(sf_dir: str):
         return batch.groupby("o_custkey", as_index=False).agg(
             revenue_e4=("revenue_e4", "sum"))
 
-    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue_e4"] = batch["revenue_e4"].round().astype("int64")
-        return batch
+    # per-customer rollup as a bucketed fold on the int custkey, then a
+    # bounded global top-20 (per-block top-20 combiner caps the driver
+    # pull at 20 × n_blocks rows).  Top-20 cut BEFORE decoration
+    # (custkey is unique after the rollup, so the (revenue, custkey)
+    # sort is a total order), then only those 20 keys read back out of
+    # the customer table — the name decoration never broadcasts the
+    # full dimension, no matter how big customer is.
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
 
-    # top-20 cut BEFORE decoration (custkey is unique after the rollup,
-    # so the (revenue, custkey) sort is a total order), then only those
-    # 20 keys read back out of the customer table — the name decoration
-    # never broadcasts the full dimension, no matter how big customer is
-    top = joined.map_batches(partial, batch_format="pandas") \
-        .groupby("o_custkey").aggregate(Sum("revenue_e4",
-                                            alias_name="revenue_e4")) \
-        .map_batches(to_int, batch_format="pandas") \
-        .sort(["revenue_e4", "o_custkey"], descending=[True, False]) \
-        .limit(20).to_pandas()
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("o_custkey", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+        agg["revenue_e4"] = agg["revenue_e4"].astype("int64")
+        return agg
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["revenue_e4", "o_custkey"],
+                                 ascending=[False, True]).head(20)
+
+    per_cust = bucketed_fold(
+        joined.map_batches(partial, batch_format="pandas"),
+        "o_custkey", fold, num_buckets=32)
+    top = per_cust.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas() \
+        .sort_values(["revenue_e4", "o_custkey"],
+                     ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
 
     import pyarrow.dataset as pads
     names = rd.read_parquet(
