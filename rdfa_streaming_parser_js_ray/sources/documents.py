@@ -165,6 +165,32 @@ def documents_from_files(paths: str | list[str], chunk_bytes: int = 0):
     return files.map_batches(to_rows, batch_format="pyarrow")
 
 
+def documents_from_jsonl(paths: str | list[str], **kwargs):
+    """JSONL documents (one ``{"doc_id": ..., "spans": [...]}`` object per
+    line) → interleaved-documents Dataset with ``DOCS_SCHEMA``.
+
+    The common interchange format for crawl/annotation dumps.  Ray's
+    ``read_json`` parallelizes at the file level, so a sharded dump (one
+    .jsonl per shard) streams with the same block-per-shard layout as the
+    Parquet path; the explicit schema pins ``offset`` to int32 and makes a
+    missing/misspelled field a hard parse error instead of a silent
+    schema drift.
+    """
+    import ray.data as rd
+    from pyarrow import json as pj
+
+    return rd.read_json(
+        paths,
+        parse_options=pj.ParseOptions(explicit_schema=DOCS_SCHEMA),
+        **kwargs)
+
+
+def write_documents_jsonl(ds, path: str, **kwargs):
+    """Interleaved-documents Dataset → sharded JSONL (one file per block),
+    the inverse of ``documents_from_jsonl``."""
+    return ds.write_json(path, **kwargs)
+
+
 # --- deterministic synthetic corpora ---------------------------------------
 
 _VOCABS = [

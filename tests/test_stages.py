@@ -362,6 +362,33 @@ def test_documents_from_files(rd, tmp_path):
     assert set(out["obj_value"]) == {"T"}
 
 
+def test_documents_jsonl_roundtrip(rd, tmp_path):
+    """JSONL source parity: synthesize docs → write JSONL → read back →
+    extracted triples equal the direct-path extraction byte-for-byte."""
+    import ray.data as rdata
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        DOCS_SCHEMA, documents_from_jsonl, synthesize_documents,
+        write_documents_jsonl,
+    )
+    from rdfa_streaming_parser_js_ray.stages.extract import extract_triples
+
+    tbl = synthesize_documents(40, seed=9)
+    direct = extract_triples(rdata.from_arrow(tbl)).to_pandas()
+
+    out_dir = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(rdata.from_arrow(tbl), out_dir)
+    docs = documents_from_jsonl(out_dir)
+    assert docs.schema().base_schema == DOCS_SCHEMA
+    via_jsonl = extract_triples(docs).to_pandas()
+
+    key = ["doc_id", "subj", "pred", "obj_kind", "obj_value",
+           "obj_lang", "obj_datatype"]
+    a = direct.sort_values(key).reset_index(drop=True)
+    b = via_jsonl.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert len(a) > 0
+
+
 def test_prepare_corpus_pipeline(rd, tmp_path):
     import pandas as pd
     from rdfa_streaming_parser_js_ray.pipelines.prep import prepare_corpus
