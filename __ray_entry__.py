@@ -1666,6 +1666,92 @@ def q_nation_revenue(sf_dir: str):
     return out.map_batches(to_int, batch_format="pandas")
 
 
+def q_lang_mode_per_source(sf_dir: str):
+    """Per-group mode (argmax with deterministic tie-break): the most
+    frequent lang per source, ties broken by lexicographically smallest
+    lang.  Shape: per-batch (source, lang) count combiner — only unique
+    pairs cross the wire — then ONE bucketed fold on source finishes the
+    count and picks the argmax per key.  The per-group-argmax shape every
+    corpus-composition report needs."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby(["source", "lang"], as_index=False).agg(
+            n=("n", "sum"))
+        # per source: max count, then min lang among the tied rows
+        mx = c.groupby("source")["n"].transform("max")
+        tied = c.loc[c["n"] == mx]
+        out = tied.sort_values(["source", "lang"]) \
+            .groupby("source", as_index=False).first()
+        out = out.rename(columns={"lang": "mode_lang", "n": "n_docs"})
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["source", "mode_lang", "n_docs"]]
+
+    return bucketed_fold(docs.map_batches(partial, batch_format="pandas"),
+                         "source", fold, num_buckets=16)
+
+
+def q_docs_above_source_avg(sf_dir: str):
+    """Aggregate-broadcast-back filter (the correlated-subquery shape):
+    documents whose whitespace token count exceeds their source's mean.
+    Pass 1 reduces to per-source (total, count) — a tiny combiner-first
+    groupby; the n_sources-row result broadcasts back into a second scan
+    whose filter uses exact integer cross-multiplication
+    (n_tokens × cnt > total), so no float division anywhere and the
+    DuckDB twin hash-matches."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": batch["text"].fillna("")
+                        .str.count(r"\S+").astype("int64"),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"]) \
+        .map_batches(tok, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("source", as_index=False).agg(
+            total=("n_tokens", "sum"), cnt=("n_tokens", "size"))
+        return g
+
+    agg = docs.map_batches(partial, batch_format="pandas") \
+        .groupby("source").aggregate(Sum("total", alias_name="total"),
+                                     Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    totals = _pin_broadcast({
+        s: (int(t), int(c))
+        for s, t, c in zip(agg["source"], agg["total"], agg["cnt"])})
+
+    class AboveAvg:
+        def __init__(self, totals_ref):
+            import ray
+            self.totals = ray.get(totals_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            tot = batch["source"].map(lambda s: self.totals[s][0]).to_numpy()
+            cnt = batch["source"].map(lambda s: self.totals[s][1]).to_numpy()
+            keep = batch["n_tokens"].to_numpy() * cnt > tot
+            return batch.loc[keep]
+
+    return docs.map_batches(AboveAvg, fn_constructor_args=(totals,),
+                            batch_format="pandas", concurrency=2)
+
+
 def q_top_terms(sf_dir: str):
     """Distributed heavy hitters: per-batch term-count combiner (the only
     thing crossing the exchange is unique terms per batch) → small global
@@ -1967,6 +2053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q_nation_revenue,
         "revenue_forecast": q_revenue_forecast,
         "large_volume_customers": q_large_volume_customers,
+        "lang_mode_per_source": q_lang_mode_per_source,
+        "docs_above_source_avg": q_docs_above_source_avg,
         "sessionize": q_sessionize,
         "snapshot_diff": q_snapshot_diff,
         "source_summary": q_source_summary,
@@ -2879,6 +2967,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, custkey
             LIMIT 20
+        """,
+        "lang_mode_per_source": """
+            WITH c AS (
+              SELECT source, lang, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2),
+            m AS (SELECT source, MAX(n) AS mx FROM c GROUP BY 1)
+            SELECT c.source, MIN(c.lang) AS mode_lang,
+                   CAST(MAX(c.n) AS BIGINT) AS n_docs
+            FROM c JOIN m ON c.source = m.source AND c.n = m.mx
+            GROUP BY 1
+        """,
+        "docs_above_source_avg": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            a AS (SELECT source, SUM(n_tokens) AS total, COUNT(*) AS cnt
+                  FROM t GROUP BY 1)
+            SELECT t.doc_id, t.source, t.n_tokens
+            FROM t JOIN a ON t.source = a.source
+            WHERE t.n_tokens * a.cnt > a.total
         """,
         "revenue_forecast": """
             SELECT CAST(COALESCE(SUM(

@@ -127,6 +127,10 @@ QUERIES_WIDE = [
     # selects nothing on the random tables' ~3-line orders, and an empty
     # qualifying set makes the comparison vacuous, not adversarial
     "revenue_forecast",
+    # per-group argmax (deterministic tie-break) and the
+    # aggregate-broadcast-back correlated filter — both integer-exact
+    "lang_mode_per_source",
+    "docs_above_source_avg",
     "join_broadcast",
     "join_hash",
     "join_semi",
