@@ -1700,6 +1700,61 @@ def q_lang_mode_per_source(sf_dir: str):
                          "source", fold, num_buckets=16)
 
 
+def q_langs_per_source(sf_dir: str):
+    """Ordered distinct string aggregation (group_concat): per source,
+    the sorted CSV of its distinct langs + the distinct count.  Shape:
+    per-batch distinct-pair combiner (only unique (source, lang) pairs
+    cross the wire — bounded by |sources| × |langs| per block, not rows)
+    → ONE bucketed fold doing the sort + join per key.  Deterministic by
+    construction (sorted order is the tie-break)."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["source", "lang"])[["source", "lang"]]
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.drop_duplicates(["source", "lang"]) \
+            .sort_values(["source", "lang"]) \
+            .groupby("source", as_index=False).agg(
+                langs_csv=("lang", ",".join), n_langs=("lang", "size"))
+        agg["n_langs"] = agg["n_langs"].astype("int64")
+        return agg
+
+    return bucketed_fold(docs.map_batches(partial, batch_format="pandas"),
+                         "source", fold, num_buckets=16)
+
+
+def q_sources_with_en_and_de(sf_dir: str):
+    """Distributed INTERSECT: sources that have at least one English AND
+    one German document.  Each side reduces to distinct keys inside the
+    scan (per-batch combiner), then one co-grouped fold keeps the keys
+    present on both sides — the set-operation shape (INTERSECT/EXCEPT
+    flips one comparison) without materializing either side."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch["lang"].isin(["en", "de"])]
+        return b.drop_duplicates(["source", "lang"])[["source", "lang"]]
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["source", "lang"])
+        both = d.groupby("source")["lang"].nunique()
+        return pd.DataFrame({"source": both.index[both == 2]})
+
+    return bucketed_fold(docs.map_batches(partial, batch_format="pandas"),
+                         "source", fold, num_buckets=16)
+
+
 def q_docs_above_source_avg(sf_dir: str):
     """Aggregate-broadcast-back filter (the correlated-subquery shape):
     documents whose whitespace token count exceeds their source's mean.
@@ -2055,6 +2110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": q_large_volume_customers,
         "lang_mode_per_source": q_lang_mode_per_source,
         "docs_above_source_avg": q_docs_above_source_avg,
+        "langs_per_source": q_langs_per_source,
+        "sources_with_en_and_de": q_sources_with_en_and_de,
         "sessionize": q_sessionize,
         "snapshot_diff": q_snapshot_diff,
         "source_summary": q_source_summary,
@@ -2967,6 +3024,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, custkey
             LIMIT 20
+        """,
+        "langs_per_source": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_csv,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY 1
+        """,
+        "sources_with_en_and_de": """
+            SELECT source FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT source FROM documents WHERE lang = 'de'
         """,
         "lang_mode_per_source": """
             WITH c AS (

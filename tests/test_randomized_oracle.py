@@ -131,6 +131,9 @@ QUERIES_WIDE = [
     # aggregate-broadcast-back correlated filter — both integer-exact
     "lang_mode_per_source",
     "docs_above_source_avg",
+    # ordered distinct string-agg and the INTERSECT shape
+    "langs_per_source",
+    "sources_with_en_and_de",
     "join_broadcast",
     "join_hash",
     "join_semi",
