@@ -269,6 +269,28 @@ def q_quality(sf_dir: str):
         ["doc_id", "n_chars", "n_words", "n_punct", "n_distinct", "n_stop"])
 
 
+def q_quality_melt(sf_dir: str):
+    """Wide→long unpivot (melt): the five integer quality metrics as
+    (doc_id, metric, value) rows — the layout a metrics store or
+    per-metric distribution job wants.  Pure map (pd.melt per batch,
+    5× row fan-out, no exchange); the oracle is the portable UNION-ALL
+    unpivot."""
+    import pandas as pd
+    from rdfa_streaming_parser_js_ray.stages.text import quality_scores
+
+    cols = ["n_chars", "n_words", "n_punct", "n_distinct", "n_stop"]
+    q = quality_scores(_sf_documents(sf_dir)).select_columns(
+        ["doc_id"] + cols)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.melt(id_vars="doc_id", value_vars=cols,
+                         var_name="metric", value_name="value")
+        out["value"] = out["value"].astype("int64")
+        return out
+
+    return q.map_batches(melt, batch_format="pandas")
+
+
 def q_repetition(sf_dir: str):
     """Line-structure repetition stats (Gopher/C4-style quality filters).
     The oracle replays the integer columns via
@@ -2093,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q_kmv_distinct,
         "normalize_text": q_normalize,
         "quality": q_quality,
+        "quality_melt": q_quality_melt,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2445,6 +2468,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
                         x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
             FROM documents
+        """,
+        "quality_melt": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                     CAST(length(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n\\r]')) AS BIGINT) AS n_punct,
+                     CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct,
+                     CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                          x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM q
+            UNION ALL SELECT doc_id, 'n_words', n_words FROM q
+            UNION ALL SELECT doc_id, 'n_punct', n_punct FROM q
+            UNION ALL SELECT doc_id, 'n_distinct', n_distinct FROM q
+            UNION ALL SELECT doc_id, 'n_stop', n_stop FROM q
         """,
         "pagerank": """
             WITH edges AS (

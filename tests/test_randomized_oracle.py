@@ -134,6 +134,8 @@ QUERIES_WIDE = [
     # ordered distinct string-agg and the INTERSECT shape
     "langs_per_source",
     "sources_with_en_and_de",
+    # wide→long unpivot of the quality metrics (pure map, 5× fan-out)
+    "quality_melt",
     "join_broadcast",
     "join_hash",
     "join_semi",
