@@ -291,6 +291,120 @@ def q_quality_melt(sf_dir: str):
     return q.map_batches(melt, batch_format="pandas")
 
 
+def q_cumulative_spend(sf_dir: str):
+    """Per-key UNBOUNDED running total + ordinal (ROW_NUMBER + SUM OVER
+    ROWS UNBOUNDED PRECEDING): each order's 1-based sequence number
+    within its customer and the customer's cumulative spend in integer
+    cents through that order, ordered by (o_orderdate, o_orderkey).
+    Distribution shape = the rolling_features bucketed fold (keys hash
+    into bounded uniform buckets, ONE grouped exchange, vectorized
+    grouped cumsum/cumcount per bucket); the frame is unbounded instead
+    of trailing-k."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.windows import running_per_key
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return running_per_key(orders, key_col="o_custkey",
+                           order_cols=["o_orderdate", "o_orderkey"],
+                           value_col="o_totalprice")
+
+
+def q_sources_with_en_not_de(sf_dir: str):
+    """Distributed EXCEPT: sources with at least one English document and
+    NO German one.  The INTERSECT twin (sources_with_en_and_de) with the
+    one comparison flipped: per-batch distinct-pair combiner, ONE
+    co-grouped fold keeping keys present on the left side only."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.loc[batch["lang"].isin(["en", "de"])]
+        return b.drop_duplicates(["source", "lang"])[["source", "lang"]]
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["source", "lang"])
+        langs = d.groupby("source")["lang"].agg(set)
+        keep = langs.index[langs.apply(lambda s: "en" in s and "de" not in s)]
+        return pd.DataFrame({"source": keep})
+
+    return bucketed_fold(docs.map_batches(partial, batch_format="pandas"),
+                         "source", fold, num_buckets=16)
+
+
+def q_party_balances(sf_dir: str):
+    """UNION ALL across two tables (the Dataset.union shape at the query
+    level): customer and supplier account balances align to one slim
+    schema (nationkey, cents, is_cust) inside each side's scan, the two
+    streams union WITHOUT a barrier, a per-batch combiner reduces to one
+    row per nation per block, and one tiny grouped exchange finishes
+    (nationkey, n_customers, n_suppliers, total_bal_cents)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def align(nat_col: str, bal_col: str, is_cust: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "nationkey": batch[nat_col].to_numpy().astype("int64"),
+                "cents": np.rint(batch[bal_col].to_numpy() * 100)
+                           .astype("int64"),
+                "is_cust": np.int64(is_cust),
+            })
+        return fn
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"]) \
+        .map_batches(align("c_nationkey", "c_acctbal", 1),
+                     batch_format="pandas")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_nationkey", "s_acctbal"]) \
+        .map_batches(align("s_nationkey", "s_acctbal", 0),
+                     batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("nationkey", as_index=False).agg(
+            n_customers=("is_cust", "sum"),
+            n_rows=("is_cust", "size"),
+            total_bal_cents=("cents", "sum"))
+
+    out = cust.union(supp).map_batches(partial, batch_format="pandas") \
+        .groupby("nationkey").aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("total_bal_cents", alias_name="total_bal_cents"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nationkey": batch["nationkey"].astype("int64"),
+            "n_customers": batch["n_customers"].astype("int64"),
+            "n_suppliers": (batch["n_rows"] - batch["n_customers"])
+                             .astype("int64"),
+            "total_bal_cents": batch["total_bal_cents"].astype("int64"),
+        })
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_balance_deciles(sf_dir: str):
+    """Global NTILE(10) over customer balances without a global sort:
+    exact global ranks from a value-range partition + driver prefix over
+    per-range counts (stages/stats.global_ntile), reduced to one summary
+    row per decile."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.stats import global_ntile
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_acctbal", "c_custkey"])
+    return global_ntile(cust, value_col="c_acctbal",
+                        tiebreak_col="c_custkey", n_tiles=10)
+
+
 def q_repetition(sf_dir: str):
     """Line-structure repetition stats (Gopher/C4-style quality filters).
     The oracle replays the integer columns via
@@ -2116,6 +2230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize,
         "quality": q_quality,
         "quality_melt": q_quality_melt,
+        "cumulative_spend": q_cumulative_spend,
+        "sources_with_en_not_de": q_sources_with_en_not_de,
+        "party_balances": q_party_balances,
+        "balance_deciles": q_balance_deciles,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2484,6 +2602,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, 'n_punct', n_punct FROM q
             UNION ALL SELECT doc_id, 'n_distinct', n_distinct FROM q
             UNION ALL SELECT doc_id, 'n_stop', n_stop FROM q
+        """,
+        "cumulative_spend": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS cum_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "sources_with_en_not_de": """
+            SELECT source FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT source FROM documents WHERE lang = 'de'
+        """,
+        "party_balances": """
+            WITH u AS (
+              SELECT c_nationkey AS nationkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                     1 AS is_cust
+              FROM customer
+              UNION ALL
+              SELECT s_nationkey,
+                     CAST(ROUND(s_acctbal * 100) AS BIGINT), 0
+              FROM supplier)
+            SELECT CAST(nationkey AS BIGINT) AS nationkey,
+                   CAST(SUM(is_cust) AS BIGINT) AS n_customers,
+                   CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(cents) AS BIGINT) AS total_bal_cents
+            FROM u GROUP BY 1
+        """,
+        "balance_deciles": """
+            WITH t AS (
+              SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                     NTILE(10) OVER (
+                       ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                                c_custkey) AS tile
+              FROM customer)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM t GROUP BY 1
         """,
         "pagerank": """
             WITH edges AS (

@@ -99,6 +99,115 @@ def topk_per_group(ds, key_col: str, order_col: str, k: int,
                                                 batch_format="pandas")
 
 
+def global_ntile(ds, value_col: str, tiebreak_col: str,
+                 n_tiles: int = 10, num_ranges: int = 64):
+    """GLOBAL order-statistic tiles: NTILE(``n_tiles``) over the whole
+    dataset ordered by (round(value×100) cents, tiebreak), reduced to one
+    summary row per tile — (tile, n_rows, sum_cents, min_cents,
+    max_cents).
+
+    No global sort.  The global rank of every row is recovered from a
+    RANGE partition of the value domain plus a driver-side prefix over
+    per-range counts (the distributed-prefix-sum shape pack.py uses for
+    token packing, applied to ranking):
+
+    1. one cheap columnar pass computes global min/max cents;
+    2. each row maps to ``_rg = (cents - lo) * num_ranges // span`` — a
+       function of the VALUE only, so tied values always co-locate and
+       ranges are totally ordered by value (every row of range r sorts
+       before every row of range r+1);
+    3. per-range counts (``num_ranges`` integers — the only driver pull)
+       prefix-sum into per-range rank offsets;
+    4. ONE grouped exchange on ``_rg``; each range sorts locally by
+       (cents, tiebreak), adds its offset → exact 0-based global rank →
+       SQL NTILE tile (first N % T tiles get the extra row), and
+       pre-aggregates per tile, so the tail exchange moves at most
+       ``n_tiles`` rows per range.
+
+    Skewed value distributions make ranges uneven (a constant column
+    collapses to one range); callers with pathological skew should raise
+    ``num_ranges`` — correctness is unaffected, only balance.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..state.broadcast import pin_broadcast
+
+    slim_cols = [value_col, tiebreak_col]
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cents": np.rint(batch[value_col].to_numpy() * 100)
+                       .astype("int64"),
+            "tb": batch[tiebreak_col].to_numpy(),
+        })
+
+    cents_ds = ds.select_columns(slim_cols) \
+        .map_batches(to_cents, batch_format="pandas") \
+        .materialize()  # scanned 3× (bounds, counts, rank) — pin once
+
+    bounds = cents_ds.aggregate(Min("cents"), Max("cents"))
+    lo, hi = int(bounds["min(cents)"]), int(bounds["max(cents)"])
+    span = max(hi - lo + 1, 1)
+
+    def add_range(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        c = batch["cents"].to_numpy()
+        batch["_rg"] = ((c - lo) * num_ranges // span).astype("int64")
+        return batch
+
+    ranged = cents_ds.map_batches(add_range, batch_format="pandas")
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("_rg", as_index=False).size()
+        return g.rename(columns={"size": "_n"})
+
+    counts = ranged.map_batches(count_partial, batch_format="pandas") \
+        .groupby("_rg").aggregate(Sum("_n", alias_name="_n")).to_pandas()
+    counts = counts.sort_values("_rg")
+    per_range = dict(zip(counts["_rg"].astype(int),
+                         counts["_n"].astype(int)))
+    total = sum(per_range.values())
+    offsets, acc = {}, 0
+    for rg in sorted(per_range):
+        offsets[rg] = acc
+        acc += per_range[rg]
+    off_ref = pin_broadcast(offsets)
+
+    q, r = divmod(total, n_tiles)
+
+    def rank_and_tile(group: pd.DataFrame) -> pd.DataFrame:
+        import ray
+        offs = ray.get(off_ref)
+        g = group.sort_values(["cents", "tb"]).reset_index(drop=True)
+        rank = np.arange(len(g), dtype="int64") + offs[int(g["_rg"].iloc[0])]
+        if q == 0:
+            tile = rank + 1
+        else:
+            head = r * (q + 1)
+            tile = np.where(rank < head, rank // (q + 1),
+                            r + (rank - head) // q) + 1
+        g["tile"] = tile.astype("int64")
+        out = g.groupby("tile", as_index=False).agg(
+            n_rows=("cents", "size"), sum_cents=("cents", "sum"),
+            min_cents=("cents", "min"), max_cents=("cents", "max"))
+        return out
+
+    partials = ranged.groupby("_rg").map_groups(rank_and_tile,
+                                                batch_format="pandas")
+
+    out = partials.groupby("tile").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("tile", "n_rows", "sum_cents", "min_cents", "max_cents"):
+            batch[c] = batch[c].astype("int64")
+        return batch
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def kmv_distinct_tokens(ds, text_col: str = "text", k: int = 256):
     """Distributed cardinality sketch: K-minimum-values estimate of the
     corpus's distinct-token count.

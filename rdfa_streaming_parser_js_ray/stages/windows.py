@@ -221,3 +221,54 @@ def rolling_per_key(events_ds, k: int = 3,
 
     return events_ds.map_batches(add_bucket, batch_format="pandas") \
         .groupby("_bucket").map_groups(bucket_roll, batch_format="pandas")
+
+
+def running_per_key(ds, key_col: str, order_cols: list[str],
+                    value_col: str, num_buckets: int | None = None):
+    """Per-key UNBOUNDED running total + ordinal: for each row, its
+    1-based sequence number within the key (SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY ...)``) and the cumulative sum of
+    ``value_col`` in integer cents up to and including it (``SUM(...)
+    OVER (... ROWS UNBOUNDED PRECEDING)``).
+
+    Unlike :func:`rolling_per_key` (bounded trailing-k window), the
+    running frame grows without bound — but the DISTRIBUTION shape is
+    identical: keys hash into a bounded number of uniform buckets (every
+    row of a key lands in one bucket), ONE grouped exchange, then one
+    vectorized pandas pass per bucket (sort by (key, *order_cols), a
+    grouped ``cumsum``/``cumcount`` — both C kernels).  Values sum as
+    integer cents so the result is exact and engine-independent.  The
+    last ``order_cols`` entry must be a per-key tie-breaker (e.g. a
+    unique id) for a deterministic result.
+
+    Returns (key, last-order-col, seq, cum_cents).
+    """
+    import numpy as np
+
+    from .joins import _bucket_of, auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds, rows_per_bucket=50_000,
+                                   fallback=256)
+    cols = [key_col, *order_cols, value_col]
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[cols].copy()
+        batch["_bucket"] = _bucket_of(batch[key_col], num_buckets)
+        return batch
+
+    def bucket_run(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols]) \
+            .reset_index(drop=True)
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        g["_cents"] = cents
+        by_key = g.groupby(key_col, sort=False)
+        return pd.DataFrame({
+            key_col: g[key_col],
+            order_cols[-1]: g[order_cols[-1]],
+            "seq": (by_key.cumcount() + 1).astype("int64"),
+            "cum_cents": by_key["_cents"].cumsum().astype("int64"),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_bucket").map_groups(bucket_run, batch_format="pandas")

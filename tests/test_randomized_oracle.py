@@ -136,6 +136,13 @@ QUERIES_WIDE = [
     "sources_with_en_and_de",
     # wide→long unpivot of the quality metrics (pure map, 5× fan-out)
     "quality_melt",
+    # unbounded running total + ROW_NUMBER per key (duplicate
+    # (custkey, orderdate) pairs in the generator exercise the
+    # orderkey tie-break); EXCEPT; UNION ALL; global NTILE ranks
+    "cumulative_spend",
+    "sources_with_en_not_de",
+    "party_balances",
+    "balance_deciles",
     "join_broadcast",
     "join_hash",
     "join_semi",

@@ -3087,3 +3087,67 @@ def test_local_topk_tie_stability():
     col = np.array([0.1, 0.2, 0.2, 0.0, 0.3])
     top = _local_topk(col, ids, 99)
     assert [ids[i] for i in top] == [40, 10, 30, 50, 20]
+
+
+def test_running_per_key_hand_computed(rd):
+    """Unbounded running totals: seq is ROW_NUMBER per key in
+    (order_cols) order, cum_cents is the inclusive prefix sum in exact
+    cents; ties on the first order col break on the last (unique) one;
+    keys never bleed across the bucket fold."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.windows import running_per_key
+
+    d0 = pd.Timestamp("2024-01-01")
+    rows = [
+        {"k": 1, "d": d0, "id": 2, "v": 2.0},
+        {"k": 1, "d": d0, "id": 1, "v": 1.0},   # same-date tie -> id order
+        {"k": 1, "d": d0 + pd.Timedelta("1D"), "id": 3, "v": 0.5},
+        {"k": 2, "d": d0, "id": 4, "v": 10.0},  # fresh key restarts
+    ]
+    out = running_per_key(rd.from_items(rows).repartition(3), key_col="k",
+                          order_cols=["d", "id"], value_col="v",
+                          num_buckets=4) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    assert list(out["seq"]) == [1, 2, 3, 1]
+    assert list(out["cum_cents"]) == [100, 300, 350, 1000]
+
+
+def test_global_ntile_matches_pandas(rd):
+    """global_ntile's range-partition + prefix-offset ranks reproduce
+    SQL NTILE exactly on a multi-block input with heavy value ties
+    (every tied value co-locates by construction; the remainder tiles
+    get the extra row)."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import global_ntile
+
+    rng = np.random.default_rng(7)
+    n = 437  # deliberately not divisible by n_tiles
+    df = pd.DataFrame({
+        "bal": np.round(rng.choice([0.0, 1.5, 1.5, 2.25, -3.0, 99.99],
+                                   size=n), 2),
+        "id": np.arange(n, dtype="int64"),
+    })
+    out = global_ntile(rd.from_pandas(df).repartition(9), value_col="bal",
+                       tiebreak_col="id", n_tiles=10, num_ranges=8) \
+        .to_pandas().sort_values("tile").reset_index(drop=True)
+
+    # single-node replay of SQL NTILE over (cents, id)
+    cents = np.rint(df["bal"].to_numpy() * 100).astype("int64")
+    order = np.lexsort((df["id"].to_numpy(), cents))
+    q, r = divmod(n, 10)
+    sizes = [q + 1 if t < r else q for t in range(10)]
+    tile_of = np.empty(n, dtype="int64")
+    pos = 0
+    for t, s in enumerate(sizes):
+        tile_of[order[pos:pos + s]] = t + 1
+        pos += s
+    exp = pd.DataFrame({"tile": tile_of, "cents": cents}) \
+        .groupby("tile", as_index=False).agg(
+            n_rows=("cents", "size"), sum_cents=("cents", "sum"),
+            min_cents=("cents", "min"), max_cents=("cents", "max"))
+    pd.testing.assert_frame_equal(
+        out[["tile", "n_rows", "sum_cents", "min_cents", "max_cents"]],
+        exp.astype("int64"), check_dtype=False)
