@@ -191,6 +191,58 @@ def write_documents_jsonl(ds, path: str, **kwargs):
     return ds.write_json(path, **kwargs)
 
 
+FLAT_DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def flat_docs_from_csv(paths: str | list[str], schema: "pa.Schema" = None,
+                       **kwargs):
+    """Sharded CSV → flat documents Dataset (the ``documents`` table's
+    doc_id/text/lang/source/n_chars shape) with an explicit Arrow schema.
+
+    CSV cannot hold the interleaved table's nested ``spans`` column —
+    that path is JSONL (:func:`documents_from_jsonl`); this is the
+    interchange format for FLAT per-document tables (exports from
+    spreadsheets/warehouses).  Ray parallelizes at the file level, so a
+    sharded dump streams block-per-shard like the Parquet path.  The
+    convert options pair with :func:`write_flat_docs_csv`'s quoting
+    contract: an UNQUOTED empty field is NULL, a QUOTED ``""`` is the
+    empty string — so null/empty text round-trips byte-exact; embedded
+    newlines in text cells parse because ``newlines_in_values`` is on.
+    """
+    import ray.data as rd
+    from pyarrow import csv as pcsv
+
+    schema = schema if schema is not None else FLAT_DOCS_SCHEMA
+    return rd.read_csv(
+        paths,
+        parse_options=pcsv.ParseOptions(newlines_in_values=True),
+        convert_options=pcsv.ConvertOptions(
+            column_types={f.name: f.type for f in schema},
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False),
+        **kwargs)
+
+
+def write_flat_docs_csv(ds, path: str, **kwargs):
+    """Flat documents Dataset → sharded CSV (one file per block), the
+    inverse of :func:`flat_docs_from_csv`.  ``quoting_style='all_valid'``
+    quotes every non-null string so the reader can tell NULL (unquoted
+    empty) from the empty string (``""``)."""
+    from pyarrow import csv as pcsv
+
+    return ds.write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pcsv.WriteOptions(quoting_style="all_valid")},
+        **kwargs)
+
+
 # --- deterministic synthetic corpora ---------------------------------------
 
 _VOCABS = [

@@ -3151,3 +3151,40 @@ def test_global_ntile_matches_pandas(rd):
     pd.testing.assert_frame_equal(
         out[["tile", "n_rows", "sum_cents", "min_cents", "max_cents"]],
         exp.astype("int64"), check_dtype=False)
+
+
+def test_flat_docs_csv_roundtrip(rd, tmp_path):
+    """CSV source/sink parity for the FLAT documents table: adversarial
+    cells (commas, quotes, embedded newlines, empty string vs NULL) plus
+    the real sf0.001 table survive write→read byte-exact under the
+    all_valid-quoting / unquoted-empty-is-null contract."""
+    import pandas as pd
+    import pyarrow as pa
+    from rdfa_streaming_parser_js_ray.sources.documents import (
+        FLAT_DOCS_SCHEMA, flat_docs_from_csv, write_flat_docs_csv,
+    )
+
+    adversarial = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(['a,b,"c"', "line1\nline2\r\nline3", "", None,
+                          ' leading and trailing '], pa.string()),
+        "lang": pa.array(["en", "de", "en", None, "fr"], pa.string()),
+        "source": pa.array(["s1"] * 5, pa.string()),
+        "n_chars": pa.array([7, 18, 0, 0, 22], pa.int64()),
+    })
+    out_dir = str(tmp_path / "docs_csv")
+    write_flat_docs_csv(rd.from_arrow(adversarial).repartition(2), out_dir)
+    back = flat_docs_from_csv(out_dir)
+    assert back.schema().base_schema == FLAT_DOCS_SCHEMA
+    a = adversarial.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # and the real table round-trips
+    sf = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    sf_dir = str(tmp_path / "sf_csv")
+    write_flat_docs_csv(sf, sf_dir)
+    a = sf.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = flat_docs_from_csv(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
