@@ -405,6 +405,73 @@ def q_balance_deciles(sf_dir: str):
                         tiebreak_col="c_custkey", n_tiles=10)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER partitioned hash join: every customer with their order
+    count and spend, customers with NO orders kept at zero.  The orders
+    side pre-aggregates to one row per custkey inside the scan (combiner
+    — only unique keys cross the wire), the left join is the same ONE
+    bucketed exchange as join_hash with unmatched left rows NULL-padded,
+    and the zero-fill is a map.  Registry gap this closes: every prior
+    join query was inner/semi/anti/as-of/range — none kept unmatched
+    left rows."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({
+            "c_custkey": batch["o_custkey"].to_numpy(),
+            "n_orders": 1,
+            "spend_cents": (batch["o_totalprice"].to_numpy() * 100)
+                             .round().astype("int64"),
+        })
+        return b.groupby("c_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), spend_cents=("spend_cents", "sum"))
+
+    counts = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pandas")
+
+    # fuse the count finish + left join + zero-fill into the join's ONE
+    # bucketed exchange (the large_volume_customers rework pattern):
+    # customer rows ride with NULL metric columns, order partials with
+    # NULL names; the per-bucket fold finishes the per-key sums and
+    # left-merges — two exchanges (groupby + join) become one
+    def tag_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_orders"] = pd.array([pd.NA] * len(batch), dtype="Int64")
+        batch["spend_cents"] = pd.array([pd.NA] * len(batch), dtype="Int64")
+        return batch[["c_custkey", "c_name", "n_orders", "spend_cents"]]
+
+    def tag_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["c_name"] = pd.array([pd.NA] * len(batch), dtype="string")
+        batch["n_orders"] = batch["n_orders"].astype("Int64")
+        batch["spend_cents"] = batch["spend_cents"].astype("Int64")
+        return batch[["c_custkey", "c_name", "n_orders", "spend_cents"]]
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        counts.map_batches(tag_counts, batch_format="pandas"))
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        is_cust = group["c_name"].notna()
+        left = group.loc[is_cust, ["c_custkey", "c_name"]]
+        agg = group.loc[~is_cust] \
+            .groupby("c_custkey", as_index=False).agg(
+                n_orders=("n_orders", "sum"),
+                spend_cents=("spend_cents", "sum"))
+        out = left.merge(agg, on="c_custkey", how="left")
+        out["c_name"] = out["c_name"].astype(object)
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["spend_cents"] = out["spend_cents"].fillna(0).astype("int64")
+        return out
+
+    return bucketed_fold(both, "c_custkey", fold, num_buckets=16)
+
+
 def q_repetition(sf_dir: str):
     """Line-structure repetition stats (Gopher/C4-style quality filters).
     The oracle replays the integer columns via
@@ -2234,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sources_with_en_not_de": q_sources_with_en_not_de,
         "party_balances": q_party_balances,
         "balance_deciles": q_balance_deciles,
+        "customer_order_counts": q_customer_order_counts,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2633,6 +2701,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
                    CAST(SUM(cents) AS BIGINT) AS total_bal_cents
             FROM u GROUP BY 1
+        """,
+        "customer_order_counts": """
+            WITH a AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS spend_cents
+              FROM orders GROUP BY 1)
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(a.n_orders, 0) AS n_orders,
+                   COALESCE(a.spend_cents, 0) AS spend_cents
+            FROM customer c LEFT JOIN a USING (c_custkey)
         """,
         "balance_deciles": """
             WITH t AS (

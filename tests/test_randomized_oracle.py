@@ -143,6 +143,9 @@ QUERIES_WIDE = [
     "sources_with_en_not_de",
     "party_balances",
     "balance_deciles",
+    # LEFT OUTER join keeping unmatched customers at zero (the
+    # generator's childless custkeys 5000/5001 are the adversarial rows)
+    "customer_order_counts",
     "join_broadcast",
     "join_hash",
     "join_semi",
