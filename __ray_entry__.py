@@ -405,6 +405,122 @@ def q_balance_deciles(sf_dir: str):
                         tiebreak_col="c_custkey", n_tiles=10)
 
 
+def q_order_date_ranks(sf_dir: str):
+    """RANK and DENSE_RANK per key (ties SHARE a rank — the window shape
+    ROW_NUMBER can't express): each order's rank of its date within its
+    customer, gapped and dense.  Same ONE bucketed-fold exchange as
+    cumulative_spend; the per-bucket pass is pandas' C-implemented
+    grouped ``rank(method='min'/'dense')`` on the date column."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        by_key = group.groupby("o_custkey", sort=False)["o_orderdate"]
+        return pd.DataFrame({
+            "o_custkey": group["o_custkey"],
+            "o_orderkey": group["o_orderkey"],
+            "date_rank": by_key.rank(method="min").astype("int64"),
+            "date_dense_rank": by_key.rank(method="dense").astype("int64"),
+        })
+
+    return bucketed_fold(orders, "o_custkey", fold, num_buckets=16)
+
+
+def q_daily_order_vs_ship(sf_dir: str):
+    """FULL OUTER reconciliation across two fact tables: per-day order
+    counts vs per-day shipped-line counts, keeping days present in
+    EITHER table at zero on the other side.  The efficient plan for a
+    full outer join of two AGGREGATES is a union-aggregate: each scan
+    reduces to one row per day per batch (combiner), the tagged partials
+    union without a barrier, and ONE tiny grouped exchange finishes both
+    sums — the oracle spells the same result as FULL OUTER JOIN +
+    COALESCE."""
+    import pandas as pd
+    import ray.data as rd
+
+    def per_day(ts_col: str, out_col: str, other: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch[ts_col].dt.floor("D").value_counts().sort_index()
+            return pd.DataFrame({"day": g.index,
+                                 out_col: g.to_numpy().astype("int64"),
+                                 other: np.int64(0)})
+        return fn
+
+    import numpy as np
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate"]) \
+        .map_batches(per_day("o_orderdate", "n_orders", "n_ship"),
+                     batch_format="pandas")
+    ships = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_shipdate"]) \
+        .map_batches(per_day("l_shipdate", "n_ship", "n_orders"),
+                     batch_format="pandas")
+
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("day", as_index=False).agg(
+            n_orders=("n_orders", "sum"), n_ship=("n_ship", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["n_ship"] = g["n_ship"].astype("int64")
+        return g
+
+    # bucketed fold, not ds.groupby("day"): Ray's sort-based exchange on
+    # a timestamp key measured 14.0 s for 43k partial rows vs 0.3 s here
+    return bucketed_fold(orders.union(ships), "day", fold, num_buckets=16)
+
+
+def q_price_corr_stats(sf_dir: str):
+    """Single-pass distributed correlation/covariance sufficient
+    statistics: per returnflag, the exact integer moments (n, Σq, Σp,
+    Σq², Σp², Σqp) of (quantity units, price dollars) from which
+    Pearson r, covariance and both variances derive driver-side — the
+    one-scan numeric-profiling shape.  Quantities round to integer
+    units and prices to integer dollars so every moment is exact int64
+    (Σp² bounds the scale: dollars² keeps ~10¹⁰/row, safe past 10⁸
+    rows; a 100 TB run promotes the quadratic moments to float or
+    128-bit)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(batch["l_quantity"].to_numpy()).astype("int64")
+        # prices carry exactly 2 decimals, so cents are exact; dollars
+        # round HALF-UP from cents (x.50 is common) to match SQL ROUND's
+        # half-away-from-zero — np.rint's half-to-even would drift
+        cents = np.rint(batch["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        p = (cents + 50) // 100
+        d = pd.DataFrame({"l_returnflag": batch["l_returnflag"],
+                          "n": np.int64(1), "sum_q": q, "sum_p": p,
+                          "sum_qq": q * q, "sum_pp": p * p,
+                          "sum_qp": q * p})
+        return d.groupby("l_returnflag", as_index=False).sum()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"]) \
+        .map_batches(moments, batch_format="pandas")
+
+    out = li.groupby("l_returnflag").aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp")])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp"):
+            batch[c] = batch[c].astype("int64")
+        return batch
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count and spend, customers with NO orders kept at zero.  The orders
@@ -2302,6 +2418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_balances": q_party_balances,
         "balance_deciles": q_balance_deciles,
         "customer_order_counts": q_customer_order_counts,
+        "order_date_ranks": q_order_date_ranks,
+        "daily_order_vs_ship": q_daily_order_vs_ship,
+        "price_corr_stats": q_price_corr_stats,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2701,6 +2820,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
                    CAST(SUM(cents) AS BIGINT) AS total_bal_cents
             FROM u GROUP BY 1
+        """,
+        "daily_order_vs_ship": """
+            WITH o AS (
+              SELECT date_trunc('day', o_orderdate) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1),
+            s AS (
+              SELECT date_trunc('day', l_shipdate) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_ship
+              FROM lineitem GROUP BY 1)
+            SELECT COALESCE(o.day, s.day) AS day,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(s.n_ship, 0) AS n_ship
+            FROM o FULL OUTER JOIN s ON o.day = s.day
+        """,
+        "price_corr_stats": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_q,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT))
+                     AS BIGINT) AS sum_p,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                          * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qq,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                          * CAST(ROUND(l_extendedprice) AS BIGINT))
+                     AS BIGINT) AS sum_pp,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                          * CAST(ROUND(l_extendedprice) AS BIGINT))
+                     AS BIGINT) AS sum_qp
+            FROM lineitem GROUP BY 1
+        """,
+        "order_date_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(RANK() OVER w AS BIGINT) AS date_rank,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS date_dense_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
         """,
         "customer_order_counts": """
             WITH a AS (

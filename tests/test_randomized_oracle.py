@@ -146,6 +146,11 @@ QUERIES_WIDE = [
     # LEFT OUTER join keeping unmatched customers at zero (the
     # generator's childless custkeys 5000/5001 are the adversarial rows)
     "customer_order_counts",
+    # RANK/DENSE_RANK (duplicate (custkey, orderdate) pairs force
+    # shared ranks), FULL OUTER day reconciliation, exact int moments
+    "order_date_ranks",
+    "daily_order_vs_ship",
+    "price_corr_stats",
     "join_broadcast",
     "join_hash",
     "join_semi",
