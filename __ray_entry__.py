@@ -521,6 +521,51 @@ def q_price_corr_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_funnel_users(sf_dir: str,
+                   steps: tuple[str, ...] = ("click", "view", "purchase")):
+    """Ordered event-pattern match per key (the MATCH_RECOGNIZE /
+    funnel shape): users whose event stream contains the step types at
+    STRICTLY increasing timestamps, with the earliest such chain's
+    timestamps.  Greedy earliest-step matching is provably optimal for
+    subsequence existence, so the fold is one vectorized grouped min
+    per step (tᵢ = min ts of step i with ts > tᵢ₋₁) — no per-row loop;
+    one bucketed exchange on user_id.  Equal-timestamp events NEVER
+    chain (strict >) — the tie convention the dedicated stage test
+    pins."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["event_type"].isin(steps)]
+
+    def step_min(df: pd.DataFrame, etype: str,
+                 after: pd.Series | None) -> pd.Series:
+        e = df.loc[df["event_type"] == etype, ["user_id", "ts"]]
+        if after is not None:
+            prev = e["user_id"].map(after)
+            e = e.loc[prev.notna() & (e["ts"] > prev)]
+        return e.groupby("user_id")["ts"].min()
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        t = None
+        mins = []
+        for s in steps:
+            t = step_min(group, s, t)
+            mins.append(t)
+        out = pd.DataFrame({"user_id": mins[-1].index,
+                            f"t_{steps[-1]}": mins[-1].to_numpy()})
+        for s, m in zip(steps[:-1], mins[:-1]):
+            out[f"t_{s}"] = out["user_id"].map(m)
+        return out[["user_id"] + [f"t_{s}" for s in steps]]
+
+    return bucketed_fold(ev.map_batches(partial, batch_format="pandas"),
+                         "user_id", fold, num_buckets=16)
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count and spend, customers with NO orders kept at zero.  The orders
@@ -2421,6 +2466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_date_ranks": q_order_date_ranks,
         "daily_order_vs_ship": q_daily_order_vs_ship,
         "price_corr_stats": q_price_corr_stats,
+        "funnel_users": q_funnel_users,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2820,6 +2866,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
                    CAST(SUM(cents) AS BIGINT) AS total_bal_cents
             FROM u GROUP BY 1
+        """,
+        "funnel_users": """
+            WITH c AS (
+              SELECT user_id, MIN(ts) AS t_click FROM events
+              WHERE event_type = 'click' GROUP BY 1),
+            v AS (
+              SELECT e.user_id, MIN(e.ts) AS t_view
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'view' AND e.ts > c.t_click
+              GROUP BY 1),
+            b AS (
+              SELECT e.user_id, MIN(e.ts) AS t_purchase
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+              GROUP BY 1)
+            SELECT b.user_id, c.t_click, v.t_view, b.t_purchase
+            FROM b JOIN v ON b.user_id = v.user_id
+            JOIN c ON b.user_id = c.user_id
         """,
         "daily_order_vs_ship": """
             WITH o AS (

@@ -3188,3 +3188,50 @@ def test_flat_docs_csv_roundtrip(rd, tmp_path):
     b = flat_docs_from_csv(sf_dir).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_funnel_users_tie_and_order_cases(rd, tmp_path):
+    """Funnel semantics pinned on hand-planted streams: equal-timestamp
+    steps never chain (strict >), pre-step events don't count, greedy
+    earliest-step matching finds a chain whenever one exists and reports
+    the earliest one."""
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    t0 = pd.Timestamp("2025-01-01")
+
+    def ev(user, minute, etype):
+        return {"user_id": user, "ts": t0 + pd.Timedelta(minutes=minute),
+                "event_type": etype}
+
+    rows = [
+        # user 1: clean strictly-increasing chain -> qualifies
+        ev(1, 0, "click"), ev(1, 1, "view"), ev(1, 2, "purchase"),
+        # user 2: all three at the IDENTICAL ts -> strict > rejects
+        ev(2, 5, "click"), ev(2, 5, "view"), ev(2, 5, "purchase"),
+        # user 3: view only BEFORE the click -> no chain
+        ev(3, 0, "view"), ev(3, 1, "click"), ev(3, 2, "purchase"),
+        # user 4: view tied with click is skipped; later view chains
+        ev(4, 0, "click"), ev(4, 0, "view"), ev(4, 3, "view"),
+        ev(4, 4, "purchase"),
+        # user 5: purchase tied with view -> rejected at the last hop
+        ev(5, 0, "click"), ev(5, 1, "view"), ev(5, 1, "purchase"),
+        # user 6: earliest chain reported (click@1, view@2, purchase@7)
+        ev(6, 5, "click"), ev(6, 1, "click"), ev(6, 2, "view"),
+        ev(6, 6, "view"), ev(6, 7, "purchase"),
+        # noise types are ignored
+        ev(1, 0, "error"), ev(2, 0, "signup"),
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = entrymod.q_funnel_users(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 4, 6]
+    mins = {u: (c, v, p) for u, c, v, p in zip(
+        out["user_id"],
+        (out["t_click"] - t0).dt.total_seconds() / 60,
+        (out["t_view"] - t0).dt.total_seconds() / 60,
+        (out["t_purchase"] - t0).dt.total_seconds() / 60)}
+    assert mins[1] == (0, 1, 2)
+    assert mins[4] == (0, 3, 4)
+    assert mins[6] == (1, 2, 7)
