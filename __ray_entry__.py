@@ -566,6 +566,30 @@ def q_funnel_users(sf_dir: str,
                          "user_id", fold, num_buckets=16)
 
 
+def q_latest_events(sf_dir: str):
+    """Latest-record compaction (the CDC/upsert shape, SQL DISTINCT ON
+    ... ORDER BY ts DESC): per (user_id, event_type), the single most
+    recent event row, timestamp ties broken by highest event_id.  The
+    per-batch combiner keeps ONE row per key per block (sort +
+    drop_duplicates — both C kernels), so the single bucketed exchange
+    moves at most |keys| rows per block regardless of history depth;
+    the fold re-applies the same selection."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "event_id",
+                                  "ts", "value"])
+
+    def latest(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["ts", "event_id"], ascending=False) \
+            .drop_duplicates(["user_id", "event_type"])
+
+    return bucketed_fold(ev.map_batches(latest, batch_format="pandas"),
+                         ["user_id", "event_type"], latest, num_buckets=16)
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count and spend, customers with NO orders kept at zero.  The orders
@@ -2467,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_order_vs_ship": q_daily_order_vs_ship,
         "price_corr_stats": q_price_corr_stats,
         "funnel_users": q_funnel_users,
+        "latest_events": q_latest_events,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2866,6 +2891,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
                    CAST(SUM(cents) AS BIGINT) AS total_bal_cents
             FROM u GROUP BY 1
+        """,
+        "latest_events": """
+            SELECT user_id, event_type, event_id, ts, value FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
         """,
         "funnel_users": """
             WITH c AS (

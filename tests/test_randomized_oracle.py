@@ -151,6 +151,9 @@ QUERIES_WIDE = [
     "order_date_ranks",
     "daily_order_vs_ship",
     "price_corr_stats",
+    # CDC latest-record compaction (the generator's duplicate
+    # timestamps per user force the event_id tie-break)
+    "latest_events",
     "join_broadcast",
     "join_hash",
     "join_semi",
