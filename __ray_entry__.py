@@ -428,7 +428,11 @@ def q_order_date_ranks(sf_dir: str):
             "date_dense_rank": by_key.rank(method="dense").astype("int64"),
         })
 
-    return bucketed_fold(orders, "o_custkey", fold, num_buckets=16)
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
+    return bucketed_fold(orders, "o_custkey", fold,
+                         num_buckets=auto_buckets(orders,
+                                                  rows_per_bucket=131_072,
+                                                  fallback=64))
 
 
 def q_daily_order_vs_ship(sf_dir: str):
@@ -472,8 +476,14 @@ def q_daily_order_vs_ship(sf_dir: str):
         return g
 
     # bucketed fold, not ds.groupby("day"): Ray's sort-based exchange on
-    # a timestamp key measured 14.0 s for 43k partial rows vs 0.3 s here
-    return bucketed_fold(orders.union(ships), "day", fold, num_buckets=16)
+    # a timestamp key measured 14.0 s for 43k partial rows vs 0.3 s here;
+    # partials are bounded by days x blocks, so buckets scale with the
+    # day domain (~1 row per day per block crosses the wire)
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
+    return bucketed_fold(orders.union(ships), "day", fold,
+                         num_buckets=auto_buckets(
+                             orders, ships, rows_per_bucket=1_048_576,
+                             fallback=64))
 
 
 def q_price_corr_stats(sf_dir: str):
@@ -562,8 +572,12 @@ def q_funnel_users(sf_dir: str,
             out[f"t_{s}"] = out["user_id"].map(m)
         return out[["user_id"] + [f"t_{s}" for s in steps]]
 
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
     return bucketed_fold(ev.map_batches(partial, batch_format="pandas"),
-                         "user_id", fold, num_buckets=16)
+                         "user_id", fold,
+                         num_buckets=auto_buckets(ev,
+                                                  rows_per_bucket=131_072,
+                                                  fallback=64))
 
 
 def q_latest_events(sf_dir: str):
@@ -586,8 +600,12 @@ def q_latest_events(sf_dir: str):
         return batch.sort_values(["ts", "event_id"], ascending=False) \
             .drop_duplicates(["user_id", "event_type"])
 
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
     return bucketed_fold(ev.map_batches(latest, batch_format="pandas"),
-                         ["user_id", "event_type"], latest, num_buckets=16)
+                         ["user_id", "event_type"], latest,
+                         num_buckets=auto_buckets(ev,
+                                                  rows_per_bucket=131_072,
+                                                  fallback=64))
 
 
 def q_customer_order_counts(sf_dir: str):
@@ -654,7 +672,11 @@ def q_customer_order_counts(sf_dir: str):
         out["spend_cents"] = out["spend_cents"].fillna(0).astype("int64")
         return out
 
-    return bucketed_fold(both, "c_custkey", fold, num_buckets=16)
+    from rdfa_streaming_parser_js_ray.stages.joins import auto_buckets
+    return bucketed_fold(both, "c_custkey", fold,
+                         num_buckets=auto_buckets(cust, counts,
+                                                  rows_per_bucket=131_072,
+                                                  fallback=64))
 
 
 def q_repetition(sf_dir: str):
