@@ -502,13 +502,17 @@ def q_price_corr_stats(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def moments(batch: pd.DataFrame) -> pd.DataFrame:
-        q = np.rint(batch["l_quantity"].to_numpy()).astype("int64")
-        # prices carry exactly 2 decimals, so cents are exact; dollars
-        # round HALF-UP from cents (x.50 is common) to match SQL ROUND's
-        # half-away-from-zero — np.rint's half-to-even would drift
-        cents = np.rint(batch["l_extendedprice"].to_numpy() * 100) \
-            .astype("int64")
-        p = (cents + 50) // 100
+        # both inputs carry exactly 2 decimals, so cents are exact;
+        # units/dollars round HALF-UP from cents (x.50 happens) to match
+        # SQL ROUND's half-away-from-zero — np.rint's half-to-even
+        # drifts on every .50 (the randomized sweep caught quantities
+        # doing exactly that at seed 12000)
+        def half_up(col: str) -> np.ndarray:
+            cents = np.rint(batch[col].to_numpy() * 100).astype("int64")
+            return (cents + 50) // 100
+
+        q = half_up("l_quantity")
+        p = half_up("l_extendedprice")
         d = pd.DataFrame({"l_returnflag": batch["l_returnflag"],
                           "n": np.int64(1), "sum_q": q, "sum_p": p,
                           "sum_qq": q * q, "sum_pp": p * p,
