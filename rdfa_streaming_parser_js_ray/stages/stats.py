@@ -146,6 +146,13 @@ def global_ntile(ds, value_col: str, tiebreak_col: str,
         .materialize()  # scanned 3× (bounds, counts, rank) — pin once
 
     bounds = cents_ds.aggregate(Min("cents"), Max("cents"))
+    if bounds is None or bounds.get("min(cents)") is None:   # empty input
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], pa.int64())
+             for c in ("tile", "n_rows", "sum_cents", "min_cents",
+                       "max_cents")}))
     lo, hi = int(bounds["min(cents)"]), int(bounds["max(cents)"])
     span = max(hi - lo + 1, 1)
 

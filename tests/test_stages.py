@@ -3235,3 +3235,22 @@ def test_funnel_users_tie_and_order_cases(rd, tmp_path):
     assert mins[1] == (0, 1, 2)
     assert mins[4] == (0, 3, 4)
     assert mins[6] == (1, 2, 7)
+
+
+def test_global_ntile_empty_input(rd):
+    """Empty input returns an empty typed frame instead of tripping on
+    the None bounds aggregate."""
+    import pandas as pd
+
+    from rdfa_streaming_parser_js_ray.stages.stats import global_ntile
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "bal": pd.Series(dtype="float64"),
+        "id": pd.Series(dtype="int64")}))
+    out = global_ntile(empty, value_col="bal", tiebreak_col="id")
+    # the DATASET carries the typed schema; to_pandas() on an empty
+    # dataset drops columns (known Ray artifact, tolerated by the
+    # oracle compare too)
+    assert sorted(out.schema().names) == ["max_cents", "min_cents",
+                                          "n_rows", "sum_cents", "tile"]
+    assert len(out.to_pandas()) == 0
