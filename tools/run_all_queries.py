@@ -10,7 +10,9 @@ mitigations hold: the gate is THREE consecutive full passes.
 Usage: python tools/run_all_queries.py [sf_dir] [--repeat N] [--from NAME]
 
 No DuckDB comparison here (tools/check_oracles.py owns that); this gate is
-purely "does the 75-query suite survive one session".
+purely "does the full query suite survive one session" (the registry
+has grown from 75 to 100 queries since; the tool runs whatever
+``queries()`` returns).
 """
 
 from __future__ import annotations
