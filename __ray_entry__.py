@@ -612,6 +612,62 @@ def q_latest_events(sf_dir: str):
                                                   fallback=64))
 
 
+def q_hourly_user_load(sf_dir: str):
+    """Per-key TIME-range trailing window (RANGE frame, not ROWS): for
+    each distinct (user, ts), the sum/count of event values in the
+    trailing hour INCLUSIVE of both the window start and all equal-ts
+    peers — the load/velocity feature real-time risk systems compute.
+    See stages/windows.time_range_sum_per_key for why peers force the
+    collapse-to-distinct-ts shape."""
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.windows import (
+        time_range_sum_per_key,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return time_range_sum_per_key(ev, window="1h")
+
+
+def q_lang_len_quartiles(sf_dir: str):
+    """GROUPED NTILE (windowed order statistics per partition key):
+    quartiles of document length within each language, reduced to one
+    summary row per (lang, tile).  Unlike balance_deciles' global
+    ranks (range partition + prefix offsets), the grouped variant needs
+    no cross-bucket coordination at all: every key's rows co-locate in
+    its bucket, so the exact per-key NTILE is one vectorized pass —
+    sort, grouped cumcount, the remainder-spread tile formula."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars", "doc_id"])
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["lang", "n_chars", "doc_id"]) \
+            .reset_index(drop=True)
+        by = g.groupby("lang", sort=False)
+        n = by["doc_id"].transform("size").to_numpy()
+        rank = by.cumcount().to_numpy()
+        q, r = n // 4, n % 4
+        head = r * (q + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tail_tile = np.where(q > 0, r + (rank - head) // np.maximum(q, 1),
+                                 rank)
+        tile = np.where(rank < head, rank // (q + 1), tail_tile) + 1
+        g["tile"] = tile.astype("int64")
+        out = g.groupby(["lang", "tile"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"), max_chars=("n_chars", "max"))
+        for c in ("n_docs", "sum_chars", "min_chars", "max_chars"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_fold(docs, "lang", fold, num_buckets=16)
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count and spend, customers with NO orders kept at zero.  The orders
@@ -2518,6 +2574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_corr_stats": q_price_corr_stats,
         "funnel_users": q_funnel_users,
         "latest_events": q_latest_events,
+        "hourly_user_load": q_hourly_user_load,
+        "lang_len_quartiles": q_lang_len_quartiles,
         "shard_manifest": q_shard_manifest,
         "top_docs_by_tokens": q_top_docs_by_tokens,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2917,6 +2975,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - SUM(is_cust) AS BIGINT) AS n_suppliers,
                    CAST(SUM(cents) AS BIGINT) AS total_bal_cents
             FROM u GROUP BY 1
+        """,
+        "hourly_user_load": """
+            SELECT DISTINCT user_id, ts,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                     AS BIGINT) AS range_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS range_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "lang_len_quartiles": """
+            WITH t AS (
+              SELECT lang, n_chars,
+                     NTILE(4) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS tile
+              FROM documents)
+            SELECT lang, CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM t GROUP BY 1, 2
         """,
         "latest_events": """
             SELECT user_id, event_type, event_id, ts, value FROM (

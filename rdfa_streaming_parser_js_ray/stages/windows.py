@@ -223,6 +223,69 @@ def rolling_per_key(events_ds, k: int = 3,
         .groupby("_bucket").map_groups(bucket_roll, batch_format="pandas")
 
 
+def time_range_sum_per_key(ds, key_col: str = "user_id",
+                           ts_col: str = "ts", value_col: str = "value",
+                           window: str = "1h",
+                           num_buckets: int | None = None):
+    """Per-key TIME-range trailing window (SQL ``SUM(...) OVER (PARTITION
+    BY key ORDER BY ts RANGE BETWEEN INTERVAL window PRECEDING AND
+    CURRENT ROW)``): for each distinct (key, ts), the sum/count of
+    values with ts' ∈ [ts − window, ts] for the same key.
+
+    The RANGE frame differs from :func:`rolling_per_key`'s ROWS frame in
+    both directions: it reaches back by TIME (sparse streams see few
+    rows, bursts see many) and it includes ALL peers of the current
+    timestamp.  Peer inclusion is what makes a naive per-row pandas
+    ``rolling`` wrong under duplicate timestamps (it only sees rows up
+    to the current POSITION), so rows first collapse to one row per
+    (key, ts) — which also makes the output well-defined — and the
+    time-based grouped rolling (``closed='both'``, matching SQL's
+    inclusive ``>= ts − window``) runs on the collapsed series.
+
+    Same distribution shape as the other per-key windows: ONE bucketed
+    exchange, vectorized pandas per bucket, integer-cents exactness.
+    Returns (key, ts, range_sum_cents, range_n).
+    """
+    import numpy as np
+
+    from .joins import _bucket_of, auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds, rows_per_bucket=50_000,
+                                   fallback=256)
+    gap = pd.Timedelta(window)
+
+    def collapse(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({
+            key_col: batch[key_col],
+            ts_col: batch[ts_col],
+            "_cents": np.rint(batch[value_col].to_numpy() * 100)
+                        .astype("int64"),
+            "_n": np.int64(1),
+        })
+        g = b.groupby([key_col, ts_col], as_index=False).agg(
+            _cents=("_cents", "sum"), _n=("_n", "sum"))
+        g["_bucket"] = _bucket_of(g[key_col], num_buckets)
+        return g
+
+    def bucket_range(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby([key_col, ts_col], as_index=False).agg(
+            _cents=("_cents", "sum"), _n=("_n", "sum"))
+        g = g.sort_values([key_col, ts_col]).reset_index(drop=True)
+        rolled = g.groupby(key_col, sort=False) \
+            .rolling(gap, on=ts_col, closed="both")
+        return pd.DataFrame({
+            key_col: g[key_col],
+            ts_col: g[ts_col],
+            "range_sum_cents": rolled["_cents"].sum()
+                                 .to_numpy().astype("int64"),
+            "range_n": rolled["_n"].sum().to_numpy().astype("int64"),
+        })
+
+    return ds.map_batches(collapse, batch_format="pandas") \
+        .groupby("_bucket").map_groups(bucket_range, batch_format="pandas")
+
+
 def running_per_key(ds, key_col: str, order_cols: list[str],
                     value_col: str, num_buckets: int | None = None):
     """Per-key UNBOUNDED running total + ordinal: for each row, its

@@ -39,6 +39,10 @@ QUERIES = [
     "asof_orders",
     "shipments_in_window",
     "interval_overlap",
+    # time-RANGE trailing window: user 5's events sit exactly on hour
+    # boundaries (inclusive window start) and user 2's identical
+    # timestamps force the all-peers-included semantics
+    "hourly_user_load",
     "token_quantiles",
     "top_docs_per_lang",
     "pricing_summary",
@@ -154,6 +158,9 @@ QUERIES_WIDE = [
     # CDC latest-record compaction (the generator's duplicate
     # timestamps per user force the event_id tie-break)
     "latest_events",
+    # grouped NTILE (dup n_chars within a lang exercise the doc_id
+    # tie-break and the remainder-spread tile sizes)
+    "lang_len_quartiles",
     "join_broadcast",
     "join_hash",
     "join_semi",
