@@ -447,23 +447,29 @@ def q_daily_order_vs_ship(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    def per_day(ts_col: str, out_col: str, other: str):
+    def per_day(ts_col: str, out_col: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             g = batch[ts_col].dt.floor("D").value_counts().sort_index()
-            return pd.DataFrame({"day": g.index,
-                                 out_col: g.to_numpy().astype("int64"),
-                                 other: np.int64(0)})
+            counts = g.to_numpy().astype("int64")
+            zero = np.zeros(len(g), dtype="int64")
+            # FIXED column order on both union sides (don't rely on the
+            # exchange aligning blocks by name)
+            return pd.DataFrame({
+                "day": g.index,
+                "n_orders": counts if out_col == "n_orders" else zero,
+                "n_ship": counts if out_col == "n_ship" else zero,
+            })
         return fn
 
     import numpy as np
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderdate"]) \
-        .map_batches(per_day("o_orderdate", "n_orders", "n_ship"),
+        .map_batches(per_day("o_orderdate", "n_orders"),
                      batch_format="pandas")
     ships = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_shipdate"]) \
-        .map_batches(per_day("l_shipdate", "n_ship", "n_orders"),
+        .map_batches(per_day("l_shipdate", "n_ship"),
                      batch_format="pandas")
 
     from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
@@ -503,13 +509,14 @@ def q_price_corr_stats(sf_dir: str):
 
     def moments(batch: pd.DataFrame) -> pd.DataFrame:
         # both inputs carry exactly 2 decimals, so cents are exact;
-        # units/dollars round HALF-UP from cents (x.50 happens) to match
-        # SQL ROUND's half-away-from-zero — np.rint's half-to-even
-        # drifts on every .50 (the randomized sweep caught quantities
-        # doing exactly that at seed 12000)
+        # units/dollars round HALF-AWAY-FROM-ZERO from cents (x.50
+        # happens) to match SQL ROUND — np.rint's half-to-even drifts
+        # on every .50 (the randomized sweep caught quantities doing
+        # exactly that at seed 12000); sign-split so negative halves
+        # also go away from zero (-1.50 → -2, not -1)
         def half_up(col: str) -> np.ndarray:
             cents = np.rint(batch[col].to_numpy() * 100).astype("int64")
-            return (cents + 50) // 100
+            return np.sign(cents) * ((np.abs(cents) + 50) // 100)
 
         q = half_up("l_quantity")
         p = half_up("l_extendedprice")
@@ -636,11 +643,12 @@ def q_lang_len_quartiles(sf_dir: str):
     ranks (range partition + prefix offsets), the grouped variant needs
     no cross-bucket coordination at all: every key's rows co-locate in
     its bucket, so the exact per-key NTILE is one vectorized pass —
-    sort, grouped cumcount, the remainder-spread tile formula."""
-    import numpy as np
+    sort, grouped cumcount, the shared remainder-spread tile formula
+    (stages/stats.ntile_of_rank)."""
     import pandas as pd
     import ray.data as rd
     from rdfa_streaming_parser_js_ray.stages.joins import bucketed_fold
+    from rdfa_streaming_parser_js_ray.stages.stats import ntile_of_rank
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["lang", "n_chars", "doc_id"])
@@ -651,13 +659,7 @@ def q_lang_len_quartiles(sf_dir: str):
         by = g.groupby("lang", sort=False)
         n = by["doc_id"].transform("size").to_numpy()
         rank = by.cumcount().to_numpy()
-        q, r = n // 4, n % 4
-        head = r * (q + 1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tail_tile = np.where(q > 0, r + (rank - head) // np.maximum(q, 1),
-                                 rank)
-        tile = np.where(rank < head, rank // (q + 1), tail_tile) + 1
-        g["tile"] = tile.astype("int64")
+        g["tile"] = ntile_of_rank(rank, n, n_tiles=4)
         out = g.groupby(["lang", "tile"], as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
             min_chars=("n_chars", "min"), max_chars=("n_chars", "max"))
@@ -705,13 +707,17 @@ def q_customer_order_counts(sf_dir: str):
     # left-merges — two exchanges (groupby + join) become one
     def tag_cust(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["n_orders"] = pd.array([pd.NA] * len(batch), dtype="Int64")
-        batch["spend_cents"] = pd.array([pd.NA] * len(batch), dtype="Int64")
+        # masked all-null columns without an O(n) Python list of pd.NA
+        batch["n_orders"] = pd.Series(pd.NA, index=batch.index,
+                                      dtype="Int64")
+        batch["spend_cents"] = pd.Series(pd.NA, index=batch.index,
+                                         dtype="Int64")
         return batch[["c_custkey", "c_name", "n_orders", "spend_cents"]]
 
     def tag_counts(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["c_name"] = pd.array([pd.NA] * len(batch), dtype="string")
+        batch["c_name"] = pd.Series(pd.NA, index=batch.index,
+                                    dtype="string")
         batch["n_orders"] = batch["n_orders"].astype("Int64")
         batch["spend_cents"] = batch["spend_cents"].astype("Int64")
         return batch[["c_custkey", "c_name", "n_orders", "spend_cents"]]

@@ -99,6 +99,24 @@ def topk_per_group(ds, key_col: str, order_col: str, k: int,
                                                 batch_format="pandas")
 
 
+def ntile_of_rank(rank, n, n_tiles: int):
+    """SQL NTILE from 0-based rank(s): with ``n`` rows and ``T`` tiles,
+    the first ``n % T`` tiles get ``n // T + 1`` rows, the rest
+    ``n // T`` (the remainder-spread convention every engine shares).
+    ``rank`` and ``n`` may be scalars or aligned numpy arrays (the
+    grouped variant passes per-row group sizes).  Returns 1-based
+    tiles as int64."""
+    rank = np.asarray(rank, dtype="int64")
+    n = np.asarray(n, dtype="int64")
+    q, r = n // n_tiles, n % n_tiles
+    head = r * (q + 1)
+    # q == 0 (fewer rows than tiles): every rank sits in the head, so
+    # the tail branch (division by max(q, 1)) is never selected
+    tail = r + (rank - head) // np.maximum(q, 1)
+    return (np.where(rank < head, rank // (q + 1), tail) + 1) \
+        .astype("int64")
+
+
 def global_ntile(ds, value_col: str, tiebreak_col: str,
                  n_tiles: int = 10, num_ranges: int = 64):
     """GLOBAL order-statistic tiles: NTILE(``n_tiles``) over the whole
@@ -180,20 +198,12 @@ def global_ntile(ds, value_col: str, tiebreak_col: str,
         acc += per_range[rg]
     off_ref = pin_broadcast(offsets)
 
-    q, r = divmod(total, n_tiles)
-
     def rank_and_tile(group: pd.DataFrame) -> pd.DataFrame:
         import ray
         offs = ray.get(off_ref)
         g = group.sort_values(["cents", "tb"]).reset_index(drop=True)
         rank = np.arange(len(g), dtype="int64") + offs[int(g["_rg"].iloc[0])]
-        if q == 0:
-            tile = rank + 1
-        else:
-            head = r * (q + 1)
-            tile = np.where(rank < head, rank // (q + 1),
-                            r + (rank - head) // q) + 1
-        g["tile"] = tile.astype("int64")
+        g["tile"] = ntile_of_rank(rank, total, n_tiles)
         out = g.groupby("tile", as_index=False).agg(
             n_rows=("cents", "size"), sum_cents=("cents", "sum"),
             min_cents=("cents", "min"), max_cents=("cents", "max"))

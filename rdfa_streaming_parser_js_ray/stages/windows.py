@@ -243,7 +243,11 @@ def time_range_sum_per_key(ds, key_col: str = "user_id",
     inclusive ``>= ts − window``) runs on the collapsed series.
 
     Same distribution shape as the other per-key windows: ONE bucketed
-    exchange, vectorized pandas per bucket, integer-cents exactness.
+    exchange, vectorized pandas per bucket.  Values sum as integer
+    cents, but pandas' time-based Rolling.sum computes in float64, so
+    exactness holds while every trailing-window sum stays under 2⁵³
+    cents (~$90T per key-window) — the realistic bound; a corpus past
+    it needs the int64 cumsum construction running_per_key uses.
     Returns (key, ts, range_sum_cents, range_n).
     """
     import numpy as np

@@ -11,7 +11,7 @@ Usage: python tools/run_all_queries.py [sf_dir] [--repeat N] [--from NAME]
 
 No DuckDB comparison here (tools/check_oracles.py owns that); this gate is
 purely "does the full query suite survive one session" (the registry
-has grown from 75 to 100 queries since; the tool runs whatever
+has grown well past the original 75 since; the tool runs whatever
 ``queries()`` returns).
 """
 
