@@ -1921,6 +1921,15 @@ def q_shipping_priority(sf_dir: str):
 
     top = per_order.map_batches(local_topk, batch_format="pandas") \
         .to_pandas()
+    if len(top) == 0:
+        # legitimately-empty qualifying set (possible on adversarial
+        # random dates): empty Ray to_pandas() drops columns, so
+        # rebuild the typed empty frame instead of KeyError-ing on sort
+        return pd.DataFrame({
+            "orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype="object"),
+            "revenue_e4": pd.Series(dtype="int64")})
     return top.sort_values(["revenue_e4", "orderkey"],
                            ascending=[False, True]).head(10) \
         .reset_index(drop=True)
@@ -1986,9 +1995,16 @@ def q_returned_revenue(sf_dir: str):
         joined.map_batches(partial, batch_format="pandas"),
         "o_custkey", fold, num_buckets=32)
     top = per_cust.map_batches(local_topk, batch_format="pandas") \
-        .to_pandas() \
-        .sort_values(["revenue_e4", "o_custkey"],
-                     ascending=[False, True]).head(20) \
+        .to_pandas()
+    if len(top) == 0:
+        # no returned items at all (possible on adversarial random
+        # inputs): empty Ray to_pandas() drops columns — return the
+        # typed empty frame instead of KeyError-ing below
+        return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object"),
+                             "revenue_e4": pd.Series(dtype="int64")})
+    top = top.sort_values(["revenue_e4", "o_custkey"],
+                          ascending=[False, True]).head(20) \
         .reset_index(drop=True)
 
     import pyarrow.dataset as pads
@@ -2069,11 +2085,21 @@ def q_large_volume_customers(sf_dir: str):
         .map_batches(li_partial, batch_format="pandas"),
         "o_orderkey", fold, num_buckets=32)
 
+    big_df = big.to_pandas()
+    if len(big_df) == 0:
+        # empty qualifying set (the randomized tables by contract):
+        # empty Ray to_pandas() drops columns — return the typed empty
+        # frame instead of KeyError-ing in the broadcast merge
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "o_custkey": pd.Series(dtype="int64"),
+                             "price_cents": pd.Series(dtype="int64"),
+                             "qty_cents": pd.Series(dtype="int64")})
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice"])
-    decorated = broadcast_join(orders, _pin_broadcast(
-        big.to_pandas()), on="o_orderkey", concurrency=2)
+    decorated = broadcast_join(orders, _pin_broadcast(big_df),
+                               on="o_orderkey", concurrency=2)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch["price_cents"] = (batch["o_totalprice"] * 100) \
